@@ -1,0 +1,374 @@
+"""Batched FEM assembly (host path, numpy f64).
+
+Replaces what the reference got from MFEM bilinear forms
+(fem.hpp:427-484 fem_build_discrete_problem, mltest.cpp:560-620 elasticity):
+diffusion and elasticity element matrices for Q1 quads/hexes and P1
+tris/tets (+ Q2 quads), batched over all elements with einsum — the same
+kernels are jax-traceable for the device setup path.
+
+Element matrices are computed for ALL elements as one (NE, nd, nd) batch:
+that is the shape the TPU setup path consumes directly (vmapped eigensolves
+operate on gathered/padded stacks of these).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+import numpy as np
+import scipy.sparse as sp
+
+from saamge_tpu.fem.mesh import Mesh
+from saamge_tpu.utils.tables import Table
+
+Coefficient = Union[float, np.ndarray, Callable]
+
+
+# ---------------------------------------------------------------------------
+# reference elements: nodal basis on [0,1]^d simplices/cubes
+
+
+def _gauss_1d(n: int):
+    x, w = np.polynomial.legendre.leggauss(n)
+    return 0.5 * (x + 1.0), 0.5 * w
+
+
+def _shape_quad_q1(pts):
+    x, y = pts[:, 0], pts[:, 1]
+    N = np.stack([(1 - x) * (1 - y), x * (1 - y), x * y, (1 - x) * y], axis=1)
+    dN = np.stack([
+        np.stack([-(1 - y), -(1 - x)], axis=1),
+        np.stack([(1 - y), -x], axis=1),
+        np.stack([y, x], axis=1),
+        np.stack([-y, (1 - x)], axis=1),
+    ], axis=1)  # (nq, 4, 2)
+    return N, dN
+
+
+def _shape_quad_q2(pts):
+    # 1D quadratic nodal basis at nodes {0, 1, 1/2}
+    def l(t):
+        return np.stack([(1 - t) * (1 - 2 * t), t * (2 * t - 1),
+                         4 * t * (1 - t)], axis=-1)
+
+    def dl(t):
+        return np.stack([4 * t - 3, 4 * t - 1, 4 - 8 * t], axis=-1)
+
+    x, y = pts[:, 0], pts[:, 1]
+    lx, ly, dlx, dly = l(x), l(y), dl(x), dl(y)
+    # local node order: vertices (0,0),(1,0),(1,1),(0,1); edges bottom,right,
+    # top,left; center — (ix, iy) pairs into the 1D {0,1,m} node set:
+    nodes = [(0, 0), (1, 0), (1, 1), (0, 1),
+             (2, 0), (1, 2), (2, 1), (0, 2), (2, 2)]
+    N = np.stack([lx[:, ix] * ly[:, iy] for ix, iy in nodes], axis=1)
+    dN = np.stack([np.stack([dlx[:, ix] * ly[:, iy],
+                             lx[:, ix] * dly[:, iy]], axis=1)
+                   for ix, iy in nodes], axis=1)
+    return N, dN
+
+
+def _shape_hex_q1(pts):
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    # vertex order v000,v100,v110,v010,v001,v101,v111,v011
+    corners = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+               (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+
+    def f(t, c):
+        return t if c else 1 - t
+
+    def df(c):
+        return 1.0 if c else -1.0
+
+    Ns, dNs = [], []
+    for cx, cy, cz in corners:
+        Ns.append(f(x, cx) * f(y, cy) * f(z, cz))
+        dNs.append(np.stack([
+            df(cx) * f(y, cy) * f(z, cz),
+            f(x, cx) * df(cy) * f(z, cz),
+            f(x, cx) * f(y, cy) * df(cz)], axis=1))
+    return np.stack(Ns, axis=1), np.stack(dNs, axis=1)
+
+
+def _shape_tri_p1(pts):
+    x, y = pts[:, 0], pts[:, 1]
+    N = np.stack([1 - x - y, x, y], axis=1)
+    dN = np.broadcast_to(np.array([[-1., -1.], [1., 0.], [0., 1.]]),
+                         (len(pts), 3, 2)).copy()
+    return N, dN
+
+
+def _shape_tet_p1(pts):
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    N = np.stack([1 - x - y - z, x, y, z], axis=1)
+    dN = np.broadcast_to(np.array([[-1., -1., -1.], [1., 0., 0.],
+                                   [0., 1., 0.], [0., 0., 1.]]),
+                         (len(pts), 4, 3)).copy()
+    return N, dN
+
+
+def reference_element(elem_type: str, order: int = 1):
+    """Return (quad points (nq,d), weights (nq,), N (nq,nd), dN (nq,nd,d)).
+
+    Quadrature orders follow mfem::DiffusionIntegrator's default rule
+    (2k + dim - 1 for tensor elements, 2k - 2 for simplices), which is what
+    the reference assembles with."""
+    if elem_type == "quad":
+        n1 = 2 if order == 1 else 3
+        x, w = _gauss_1d(n1)
+        pts = np.array([(a, b) for a in x for b in x])
+        wts = np.array([wa * wb for wa in w for wb in w])
+        N, dN = (_shape_quad_q1 if order == 1 else _shape_quad_q2)(pts)
+    elif elem_type == "hex":
+        assert order == 1
+        x, w = _gauss_1d(3)
+        pts = np.array([(a, b, c) for a in x for b in x for c in x])
+        wts = np.array([wa * wb * wc for wa in w for wb in w for wc in w])
+        N, dN = _shape_hex_q1(pts)
+    elif elem_type == "tri":
+        assert order == 1
+        pts = np.array([[1 / 3, 1 / 3]])
+        wts = np.array([0.5])
+        N, dN = _shape_tri_p1(pts)
+    elif elem_type == "tet":
+        assert order == 1
+        pts = np.array([[0.25, 0.25, 0.25]])
+        wts = np.array([1 / 6])
+        N, dN = _shape_tet_p1(pts)
+    else:
+        raise NotImplementedError(elem_type)
+    return pts, wts, N, dN
+
+
+def _eval_coefficient(coef: Coefficient, mesh: Mesh,
+                      matrix: bool = False) -> np.ndarray:
+    """Evaluate a coefficient per element (P0 projection at element centers,
+    matching the drivers' L2_0 GridFunctionCoefficient usage,
+    mltest.cpp:605-611)."""
+    NE, d = mesh.num_elements, mesh.dim
+    centers = mesh.elem_centers()
+    if callable(coef):
+        vals = np.array([coef(c) for c in centers])
+    else:
+        vals = np.asarray(coef, dtype=np.float64)
+        if vals.ndim == 0:
+            vals = np.broadcast_to(vals, (NE,)).copy()
+    if matrix:
+        if vals.ndim == 1:
+            out = np.einsum("e,ij->eij", vals, np.eye(d))
+        else:
+            out = vals.reshape(NE, d, d)
+        return out
+    return vals
+
+
+def element_geometry(mesh: Mesh, order: int = 1):
+    """Batched isoparametric geometry factors.
+
+    Returns (detJ (NE,nq), gradN (NE,nq,nd,d)) where gradN are physical
+    gradients.  Uses Q1 geometry (straight-sided elements)."""
+    pts, wts, N, dN = reference_element(mesh.elem_type, 1)
+    X = mesh.vertices[mesh.elements]            # (NE, nvert, d)
+    # J (NE, nq, d, d): dx/dxi = sum_a X_a dN_a
+    J = np.einsum("eak,qad->eqkd", X, dN)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    if order == 1:
+        gradN = np.einsum("qad,eqdk->eqak", dN, Jinv)
+        return pts, wts, N, detJ, gradN
+    # higher order basis on Q1 geometry: recompute geometry at that rule
+    pts2, wts2, N2, dN2 = reference_element(mesh.elem_type, order)
+    # geometry derivatives at pts2
+    if mesh.elem_type == "quad":
+        _, dNgeo = _shape_quad_q1(pts2)
+    else:
+        raise NotImplementedError
+    J = np.einsum("eak,qad->eqkd", X, dNgeo)
+    detJ = np.abs(np.linalg.det(J))
+    Jinv = np.linalg.inv(J)
+    gradN = np.einsum("qad,eqdk->eqak", dN2, Jinv)
+    return pts2, wts2, N2, detJ, gradN
+
+
+def diffusion_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
+                               order: int = 1,
+                               matrix_coef: bool = False) -> np.ndarray:
+    """(NE, nd, nd) stiffness batch for -div(c grad u)."""
+    pts, wts, N, detJ, gradN = element_geometry(mesh, order)
+    if matrix_coef or (callable(coef) and
+                       np.asarray(coef(mesh.elem_centers()[0])).ndim == 2):
+        C = _eval_coefficient(coef, mesh, matrix=True)   # (NE, d, d)
+        flux = np.einsum("ekl,eqal->eqak", C, gradN)
+    else:
+        c = _eval_coefficient(coef, mesh)                # (NE,)
+        flux = c[:, None, None, None] * gradN
+    return np.einsum("q,eq,eqak,eqbk->eab", wts, detJ, flux, gradN)
+
+
+def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
+                                lam_scale: float = 1.0,
+                                mu_scale: float = 1.0) -> np.ndarray:
+    """(NE, d*nd, d*nd) batch for lam div(u)div(v) + 2 mu eps(u):eps(v).
+
+    Matches mfem::ElasticityIntegrator(coef, lam_scale, mu_scale) as used by
+    the elasticity driver path (mltest.cpp:581).  DoF order is
+    component-major ([all dofs comp 0, all dofs comp 1, ...]) like MFEM's
+    element matrices with GetElementVDofs."""
+    pts, wts, N, detJ, gradN = element_geometry(mesh, 1)
+    c = _eval_coefficient(coef, mesh)
+    lam = lam_scale * c
+    mu = mu_scale * c
+    NE, nq, nd, d = gradN.shape
+    n = nd * d
+    K = np.zeros((NE, n, n))
+    w = wts[None, :] * detJ          # (NE, nq)
+    # div-div term: (d_i N_a)(d_j N_b)
+    for i in range(d):
+        for j in range(d):
+            blk = np.einsum("eq,e,eqa,eqb->eab", w, lam,
+                            gradN[..., i], gradN[..., j])
+            K[:, i * nd:(i + 1) * nd, j * nd:(j + 1) * nd] += blk
+    # 2 mu eps:eps = mu (grad u + grad u^T) : grad v
+    for i in range(d):
+        for j in range(d):
+            # mu * d_j N_a d_j N_b on (i,i) block
+            if i == j:
+                for k in range(d):
+                    K[:, i * nd:(i + 1) * nd, i * nd:(i + 1) * nd] += \
+                        np.einsum("eq,e,eqa,eqb->eab", w, mu,
+                                  gradN[..., k], gradN[..., k])
+            K[:, i * nd:(i + 1) * nd, j * nd:(j + 1) * nd] += \
+                np.einsum("eq,e,eqa,eqb->eab", w, mu,
+                          gradN[..., j], gradN[..., i])
+    return K
+
+
+def domain_lf(mesh: Mesh, rhs: Coefficient = 1.0, order: int = 1,
+              vdim: int = 1) -> np.ndarray:
+    """Assembled load vector for (rhs, v) (DomainLFIntegrator)."""
+    pts, wts, N, detJ, gradN = element_geometry(mesh, order)
+    r = _eval_coefficient(rhs, mesh)
+    be = np.einsum("q,eq,e,qa->ea", wts, detJ, r, N)  # (NE, nd)
+    e2d = mesh.elem_to_dof(order, vdim)
+    nd_total = e2d.ncols
+    b = np.zeros(nd_total)
+    if vdim == 1:
+        np.add.at(b, e2d.indices.reshape(mesh.num_elements, -1), be)
+    else:
+        reps = np.tile(be, (1, vdim))
+        np.add.at(b, e2d.indices.reshape(mesh.num_elements, -1), reps)
+    return b
+
+
+def assemble_global(elem_mats: np.ndarray, elem_to_dof: Table,
+                    ndofs: int) -> sp.csr_matrix:
+    """Scatter-add the element-matrix batch into global CSR.
+
+    Keeps explicit zeros in the pattern (mfem Finalize(0) semantics) so the
+    AE extraction can iterate the full stencil even after BC elimination."""
+    NE, nd, _ = elem_mats.shape
+    dofs = elem_to_dof.indices.reshape(NE, nd)
+    rows = np.repeat(dofs, nd, axis=1).ravel()
+    cols = np.tile(dofs, (1, nd)).ravel()
+    A = sp.coo_matrix((elem_mats.ravel(), (rows, cols)),
+                      shape=(ndofs, ndofs)).tocsr()
+    A.sort_indices()
+    return A
+
+
+def eliminate_essential_bc(A: sp.csr_matrix, ess_dofs: np.ndarray,
+                           x: np.ndarray, b: np.ndarray,
+                           keep_diag: bool = True) -> sp.csr_matrix:
+    """mfem EliminateEssentialBCFromDofs(ess, x, b, keep_diag=1):
+
+    zero rows/cols of essential dofs (keeping the pattern as explicit
+    zeros), keep original diagonal, fold the boundary values into b."""
+    A = A.copy()
+    ess_mask = np.zeros(A.shape[0], dtype=bool)
+    ess_mask[ess_dofs] = True
+    diag = A.diagonal().copy()
+    # b -= A[:, ess] @ x[ess] for non-essential rows
+    x_e = np.where(ess_mask, x, 0.0)
+    col_contrib = A @ x_e
+    b -= np.where(ess_mask, 0.0, col_contrib)
+    b[ess_mask] = (diag[ess_mask] * x[ess_mask]) if keep_diag \
+        else x[ess_mask]
+    # zero values (pattern preserved)
+    rows = np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+    kill = ess_mask[rows] | ess_mask[A.indices]
+    A.data[kill] = 0.0
+    # restore diagonal on essential dofs
+    diag_entries = _diag_positions(A)
+    keep = diag if keep_diag else np.ones_like(diag)
+    A.data[diag_entries[ess_mask]] = keep[ess_mask]
+    return A
+
+
+def _diag_positions(A: sp.csr_matrix) -> np.ndarray:
+    """Index into A.data of each row's diagonal entry (must exist)."""
+    n = A.shape[0]
+    pos = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        lo, hi = A.indptr[i], A.indptr[i + 1]
+        j = np.searchsorted(A.indices[lo:hi], i)
+        assert j < hi - lo and A.indices[lo + j] == i, "missing diagonal"
+        pos[i] = lo + j
+    return pos
+
+
+def ess_dofs_from_attrs(mesh: Mesh, ess_attr_marker: np.ndarray,
+                        order: int = 1, vdim: int = 1) -> np.ndarray:
+    """Essential dof ids (GetEssentialVDofs analog, byVDIM for vdim>1)."""
+    if order == 1:
+        verts = mesh.ess_vertices(ess_attr_marker)
+        base = verts
+    elif order == 2 and mesh.elem_type == "quad":
+        verts = mesh.ess_vertices(ess_attr_marker)
+        # add edge dofs whose both endpoints... properly: edge dofs on marked
+        # boundary edges. Boundary faces are edges for 2D.
+        e2d, nd = mesh._q2_elem_to_dof()
+        edge_ids = {}
+        local_edges = [(0, 1), (1, 2), (2, 3), (3, 0)]
+        for e, ev in enumerate(mesh.elements):
+            for le, (a, b) in enumerate(local_edges):
+                key = (min(ev[a], ev[b]), max(ev[a], ev[b]))
+                edge_ids.setdefault(key, int(e2d[e, 4 + le]))
+        marked = set(int(v) for v in verts)
+        extra = []
+        for bverts, attr in zip(mesh.boundary, mesh.bdr_attr):
+            if ess_attr_marker[int(attr) - 1]:
+                key = (min(int(bverts[0]), int(bverts[1])),
+                       max(int(bverts[0]), int(bverts[1])))
+                extra.append(edge_ids[key])
+        base = np.unique(np.concatenate(
+            [verts, np.asarray(extra, dtype=np.int64)])) if extra else verts
+    else:
+        raise NotImplementedError
+    if vdim == 1:
+        return base
+    return np.concatenate([base * vdim + vd for vd in range(vdim)])
+
+
+def build_discrete_problem(mesh: Mesh, coef: Coefficient = 1.0,
+                           rhs: Coefficient = 1.0,
+                           ess_attr_marker: Optional[np.ndarray] = None,
+                           order: int = 1, elasticity: bool = False,
+                           matrix_coef: bool = False):
+    """fem_build_discrete_problem analog (fem.hpp:453-484).
+
+    Returns (A_csr, b, elem_mats, elem_to_dof, ess_dofs)."""
+    vdim = mesh.dim if elasticity else 1
+    if elasticity:
+        elem_mats = elasticity_element_matrices(mesh, coef)
+        b = np.zeros(mesh.num_dofs(order) * vdim)
+    else:
+        elem_mats = diffusion_element_matrices(mesh, coef, order,
+                                               matrix_coef)
+        b = domain_lf(mesh, rhs, order, vdim)
+    e2d = mesh.elem_to_dof(order, vdim)
+    A = assemble_global(elem_mats, e2d, mesh.num_dofs(order) * vdim)
+    if ess_attr_marker is None:
+        ess_attr_marker = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    ess = ess_dofs_from_attrs(mesh, ess_attr_marker, order, vdim)
+    x0 = np.zeros_like(b)
+    A = eliminate_essential_bc(A, ess, x0, b, keep_diag=True)
+    return A, b, elem_mats, e2d, ess

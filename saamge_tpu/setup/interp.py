@@ -1,0 +1,197 @@
+"""Interpolation data + the setup hot loop + prolongator smoothing.
+
+Reference: interp.{hpp,cpp}.  interp_compute_vectors (interp.cpp:342) is the
+setup hot loop: per AE assemble the local stiffness and solve the local
+generalized eigenproblem.  On host it is a loop; the device path batches the
+same math over padded AE stacks (saamge_tpu.ops.batched_eig).
+
+interp_smooth (interp.cpp:172): P <- prod_k (I - (1/tau_k) D^{-1} A) P_tent
+with tau_k the SA roots of degree nu_pro (interp_init_data, interp.cpp:231),
+then drop-tolerance thresholding (AltThreshold, interp.cpp:134).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from saamge_tpu.setup.contrib import TentativeInterp, build_tentative
+from saamge_tpu.setup.spectral import Eigensolver
+from saamge_tpu.solve import smoothers
+from saamge_tpu.topology.agglomerate import AggPartRels
+from saamge_tpu.utils.logging import TIMERS, sa_print
+
+
+@dataclasses.dataclass
+class InterpData:
+    """interp_data_t analog (interp.hpp:54-100)."""
+
+    nparts: int
+    nu_pro: int
+    interp_smoother_roots: np.ndarray
+    times_apply_smoother: int = 1
+    drop_tol: float = 0.0
+    use_truncated_eigensolver: bool = False
+    scaling_P: bool = False
+    # per-AE caches
+    cut_evects_arr: Optional[List[np.ndarray]] = None
+    rhs_matrices_arr: Optional[List[np.ndarray]] = None   # B diagonals
+    AEs_stiffm: Optional[List[np.ndarray]] = None
+    # tentative-P products (filled by the tent assembly)
+    tent: Optional[TentativeInterp] = None
+    coarse_truedof_offset: int = 0
+    # coarse-dof block offsets per MIS (aggregates.cpp:1693-1702)
+    mis_coarsedofoffsets: Optional[np.ndarray] = None
+
+    @property
+    def mis_numcoarsedof(self):
+        return self.tent.mis_numcoarsedof if self.tent else None
+
+    @property
+    def mis_tent_interps(self):
+        return self.tent.mis_tent_interps if self.tent else None
+
+
+def interp_init_data(rels: AggPartRels, nu_pro: int,
+                     use_truncated_eigensolver: bool = False,
+                     scaling_P: bool = False) -> InterpData:
+    """interp_init_data (interp.cpp:231): SA roots of degree nu_pro."""
+    roots = smoothers.sa_poly_roots(nu_pro) if nu_pro > 0 else np.zeros(0)
+    return InterpData(
+        nparts=rels.nparts, nu_pro=nu_pro, interp_smoother_roots=roots,
+        use_truncated_eigensolver=use_truncated_eigensolver,
+        scaling_P=scaling_P,
+        cut_evects_arr=[None] * rels.nparts,
+        rhs_matrices_arr=[None] * rels.nparts,
+        AEs_stiffm=[None] * rels.nparts)
+
+
+def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
+                    theta: float, xbad: Optional[np.ndarray] = None,
+                    transf: bool = False, readapting: bool = False,
+                    tol: float = 0.0) -> bool:
+    """interp_compute_vectors (interp.cpp:342) — the setup hot loop.
+
+    Fills cut_evects_arr / rhs_matrices_arr / AEs_stiffm.  With ``transf``
+    (adaptivity), the bad-guy vector xbad is orthogonalized against the old
+    basis per AE and either triggers a subspace-enriched re-solve
+    (spect_update) or is simply appended (readapting).  Returns whether any
+    AE added a vector."""
+    spect_update = not (transf and readapting)
+    eig = Eigensolver(use_truncated=interp_data.use_truncated_eigensolver)
+    vector_added = False
+    with TIMERS.phase("setup.local_eigensolves"):
+        for i in range(rels.nparts):
+            if not readapting:
+                interp_data.AEs_stiffm[i] = elem_data.build_AE_stiff(i)
+            A_T = interp_data.AEs_stiffm[i]
+            if transf:
+                xbad_AE = xbad[rels.AE_to_dof.row(i)]
+                old = interp_data.cut_evects_arr[i]
+                B = interp_data.rhs_matrices_arr[i]
+                if spect_update:
+                    # subspace: orthonormalize [old basis, xbad] in B inner
+                    # product, re-solve in that subspace (interp.cpp:430-470
+                    # + SolveDirect transf path, spectral.cpp:151-166)
+                    Tt, added = _orthogonalize(xbad_AE, old, B, B, 1e-12)
+                    evects, skipped, Bnew = _subspace_eigensolve(
+                        eig, A_T, B, Tt, theta)
+                    interp_data.cut_evects_arr[i] = evects
+                    interp_data.rhs_matrices_arr[i] = Bnew
+                    vector_added = vector_added or \
+                        evects.shape[1] > old.shape[1]
+                else:
+                    # readapting: append xbad if energy-independent
+                    denom = float(np.sqrt(xbad_AE @ (A_T @ xbad_AE)))
+                    Tt, added = _orthogonalize(xbad_AE, old, B, A_T,
+                                               tol * denom)
+                    if added:
+                        interp_data.cut_evects_arr[i] = Tt
+                    vector_added = vector_added or added
+            else:
+                evects, skipped, B = eig.solve(A_T, theta)
+                interp_data.cut_evects_arr[i] = evects
+                interp_data.rhs_matrices_arr[i] = B
+    sa_print(5, "eigensolver: %d solves (%d direct)",
+             eig.stats.count_solves, eig.stats.count_direct_solves)
+    return vector_added
+
+
+def _orthogonalize(v: np.ndarray, basis: np.ndarray, Bip: np.ndarray,
+                   Bnorm, ltol: float):
+    """mbox_orthogonalize_sparse analog: Gram-Schmidt v against basis in the
+    (diagonal) Bip inner product; append if the remainder's Bnorm-norm
+    exceeds ltol.  Returns (new basis, appended?)."""
+    w = v.copy()
+    for j in range(basis.shape[1]):
+        q = basis[:, j]
+        w -= (float((Bip * q) @ w) / float((Bip * q) @ q)) * q
+    if isinstance(Bnorm, np.ndarray) and Bnorm.ndim == 1:
+        nrm = float(np.sqrt((Bnorm * w) @ w))
+    else:
+        nrm = float(np.sqrt(w @ (Bnorm @ w)))
+    if nrm > ltol and nrm > 0.0:
+        return np.concatenate([basis, (w / nrm)[:, None]], axis=1), True
+    return basis.copy(), False
+
+
+def _subspace_eigensolve(eig: Eigensolver, A_T: np.ndarray, B: np.ndarray,
+                         Tt: np.ndarray, theta: float):
+    """Transformed eigenproblem T A T^t y = lambda T B T^t y
+    (SolveDirect transf path); eigenvectors mapped back by T^t."""
+    Asub = Tt.T @ A_T @ Tt
+    # columns of Tt are B-orthonormal, so the transformed B is the identity
+    w, V = np.linalg.eigh(0.5 * (Asub + Asub.T))
+    m = max(int(np.searchsorted(w, theta, side="right")), 1)
+    Y = V[:, :m]
+    return Tt @ Y, float(w[m] if m < len(w) else w[-1]), B
+
+
+def sparse_tent_build(rels: AggPartRels, interp_data: InterpData, elem_data,
+                      theta: float, avoid_ess_bdr_dofs: bool = True,
+                      **compute_kwargs) -> sp.csr_matrix:
+    """interp_sparse_tent_build (interp.cpp:694)."""
+    compute_vectors(rels, interp_data, elem_data, theta, **compute_kwargs)
+    return sparse_tent_assemble(rels, interp_data, avoid_ess_bdr_dofs)
+
+
+def sparse_tent_assemble(rels: AggPartRels, interp_data: InterpData,
+                         avoid_ess_bdr_dofs: bool = True,
+                         extra_vectors=None,
+                         use_spectral: bool = True) -> sp.csr_matrix:
+    """interp_sparse_tent_assemble (interp.cpp:728)."""
+    with TIMERS.phase("setup.mis_svd_tent"):
+        tent = build_tentative(
+            rels,
+            interp_data.cut_evects_arr if use_spectral else None,
+            avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
+            scaling_P=interp_data.scaling_P,
+            extra_vectors=extra_vectors)
+    interp_data.tent = tent
+    offsets = np.zeros(rels.num_mises + 1, dtype=np.int64)
+    np.cumsum(tent.mis_numcoarsedof, out=offsets[1:])
+    interp_data.mis_coarsedofoffsets = offsets
+    return tent.P
+
+
+def interp_smooth(A: sp.csr_matrix, tent: sp.csr_matrix, dinv: np.ndarray,
+                  roots: np.ndarray, times_apply: int = 1,
+                  drop_tol: float = 0.0) -> sp.csr_matrix:
+    """interp_smooth (interp.cpp:172): P = prod_k (I - (1/tau_k) D^{-1}A) P."""
+    P = tent.tocsr()
+    if len(roots) == 0:
+        return P.copy()
+    S = sp.diags(dinv) @ A          # D^{-1} A
+    n = A.shape[0]
+    I = sp.identity(n, format="csr")
+    for tau in roots:
+        M = (I - S / tau).tocsr()
+        for _ in range(times_apply):
+            P = (M @ P).tocsr()
+    if drop_tol > 0.0:
+        P.data[np.abs(P.data) <= drop_tol] = 0.0
+        P.eliminate_zeros()
+    return P

@@ -1,0 +1,109 @@
+"""Per-AE generalized eigenproblems defining the coarse space.
+
+Host path for the reference's Eigensolver (spectral.cpp:89-237):
+solve ``A_T x = lambda B_T x`` with B = the weighted l1-smoother diagonal
+(mbox_snd_D_sparse_from_sparse, mbox.cpp:913: d_i = sum_j |a_ij|
+sqrt(a_ii/a_jj)), keep eigenvectors with lambda <= theta * lmax (lmax == 1 by
+the weighted-l1 choice), at least one (xpacks_calc_lower_eigens_dense,
+xpacks.cpp:224-315).
+
+Since B is diagonal the generalized problem reduces to the standard
+symmetric eigenproblem of D^{-1/2} A D^{-1/2}; that is also exactly the form
+the batched device path uses (jnp.linalg.eigh over padded AE stacks — see
+saamge_tpu.ops.batched_eig).
+
+The 'iterative' mode reproduces the reference's ARPACK configuration for
+large AEs (spectral.cpp:240-322): at most ``max_vectors`` (default 10)
+smallest eigenpairs, vectors kept while lambda < theta (strict), at least
+``min_vectors`` = 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+ARPACK_SIZE_THRESHOLD = 64  # interp.hpp:104
+MAX_ARPACK_VECTORS = 10     # spectral.cpp:56
+
+
+def weighted_l1_diag(A: np.ndarray) -> np.ndarray:
+    """d_i = sum_j |a_ij| sqrt(a_ii / a_jj) over the stored pattern.
+
+    For dense input all entries participate; entries that are exactly zero
+    contribute nothing either way, so pattern vs dense is immaterial."""
+    diag = np.diagonal(A)
+    assert (diag > 0).all(), "non-positive diagonal in AE matrix"
+    s = np.sqrt(diag)
+    return (np.abs(A) / s[None, :]).sum(axis=1) * s
+
+
+@dataclasses.dataclass
+class EigensolverStats:
+    count_solves: int = 0
+    count_direct_solves: int = 0
+    count_max_used: int = 0
+    smallest_eigenvalue_skipped: float = np.inf
+
+
+class Eigensolver:
+    """Dispatches direct (small) vs truncated (large) local eigensolves
+    (spectral.cpp:89-116)."""
+
+    def __init__(self, threshold: int = ARPACK_SIZE_THRESHOLD,
+                 use_truncated: bool = True,
+                 max_vectors: int = MAX_ARPACK_VECTORS):
+        self.threshold = threshold if use_truncated else np.iinfo(np.int32).max
+        self.max_vectors = max_vectors
+        self.stats = EigensolverStats()
+
+    def solve(self, A: np.ndarray, theta: float,
+              B: Optional[np.ndarray] = None):
+        """Returns (cut_evects (n, m), skipped_eigenvalue, B_diag).
+
+        ``skipped_eigenvalue`` is the smallest eigenvalue NOT taken (the
+        value SolveDirect returns through theta for adaptive theta
+        suggestion) — the largest eigenvalue when everything is taken."""
+        n = A.shape[0]
+        self.stats.count_solves += 1
+        if B is None:
+            B = weighted_l1_diag(A)
+        if n <= self.threshold:
+            self.stats.count_direct_solves += 1
+            return self._solve_direct(A, B, theta)
+        return self._solve_truncated(A, B, theta)
+
+    def _eig_all(self, A: np.ndarray, B: np.ndarray):
+        dhalf = 1.0 / np.sqrt(B)
+        M = dhalf[:, None] * A * dhalf[None, :]
+        M = 0.5 * (M + M.T)
+        evals, Y = np.linalg.eigh(M)
+        return evals, dhalf[:, None] * Y
+
+    def _solve_direct(self, A, B, theta):
+        evals, X = self._eig_all(A, B)
+        lmax = 1.0
+        m = int(np.searchsorted(evals, theta * lmax, side="right"))
+        m = max(m, 1)  # at least one (xpacks.cpp atleast_one)
+        skipped = evals[m] if m < len(evals) else evals[-1]
+        return X[:, :m], float(skipped), B
+
+    def _solve_truncated(self, A, B, theta):
+        """ARPACK-mode semantics (spectral.cpp:271-296): <= max_vectors
+        smallest pairs, keep while eval < theta strictly, at least one."""
+        evals, X = self._eig_all(A, B)
+        k = min(self.max_vectors, A.shape[0])
+        got = 1
+        for ev in range(1, k):
+            if evals[ev] < theta:
+                got += 1
+        if got == k:
+            self.stats.count_max_used += 1
+            skipped = evals[k - 1]  # nothing reliable was skipped
+        else:
+            skipped = evals[got]
+            self.stats.smallest_eigenvalue_skipped = min(
+                self.stats.smallest_eigenvalue_skipped, float(skipped))
+        return X[:, :got], float(max(skipped, 0.0)), B

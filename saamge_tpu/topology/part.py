@@ -1,0 +1,155 @@
+"""Host-side graph partitioning (METIS replacement).
+
+The reference partitions the element dual graph with METIS K-way
+(part.cpp:120-204) and post-fixes disconnected parts with a BFS
+connected-component split (part.cpp:56-118 connectedComponents).  Partitioning
+runs once per level during setup, so a host implementation is appropriate; we
+use greedy graph growing with balance-constrained boundary refinement
+(Fiduccia-Mattheyses style sweeps), which produces connected, balanced parts
+of comparable quality for agglomeration purposes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from saamge_tpu.utils.logging import sa_print
+from saamge_tpu.utils.tables import Table
+
+
+def connected_components(partition: np.ndarray, graph: Table) -> int:
+    """Split disconnected parts into separate parts, renumber compactly.
+
+    Same contract as the reference's connectedComponents (part.cpp:56):
+    modifies ``partition`` in place, returns the new number of parts.
+    Vertices with negative part ids are ignored."""
+    n = graph.nrows
+    num_part = int(partition.max()) + 1
+    component = np.full(n, -1, dtype=np.int64)
+    num_comp = np.zeros(num_part, dtype=np.int64)
+    stack = np.zeros(n, dtype=np.int64)
+    for node in range(n):
+        if partition[node] < 0 or component[node] >= 0:
+            continue
+        p = partition[node]
+        component[node] = num_comp[p]
+        num_comp[p] += 1
+        stack[0] = node
+        top = 1
+        ptr = 0
+        while ptr < top:
+            i = stack[ptr]
+            ptr += 1
+            for k in graph.row(i):
+                if partition[k] == partition[i] and component[k] < 0:
+                    component[k] = component[i]
+                    stack[top] = k
+                    top += 1
+    offset = np.zeros(num_part + 1, dtype=np.int64)
+    np.cumsum(num_comp, out=offset[1:])
+    mask = partition >= 0
+    partition[mask] = offset[partition[mask]] + component[mask]
+    return int(offset[-1])
+
+
+def _grow_parts(graph: Table, weights: np.ndarray, nparts: int,
+                rng: np.random.Generator) -> np.ndarray:
+    """Greedy graph growing: BFS regions up to a weight target."""
+    n = graph.nrows
+    part = np.full(n, -1, dtype=np.int64)
+    total_w = weights.sum()
+    target = total_w / nparts
+    assigned = 0
+    order_hint = 0
+    for p in range(nparts):
+        # pick seed: first unassigned vertex with fewest unassigned neighbors
+        # of previously grown regions (cheap heuristic: next unassigned)
+        seed = -1
+        while order_hint < n:
+            if part[order_hint] < 0:
+                seed = order_hint
+                break
+            order_hint += 1
+        if seed < 0:
+            break
+        frontier = [seed]
+        part[seed] = p
+        w = weights[seed]
+        budget = target if p < nparts - 1 else np.inf
+        while frontier and w < budget:
+            nxt = []
+            for i in frontier:
+                for k in graph.row(i):
+                    if part[k] < 0 and w < budget:
+                        part[k] = p
+                        w += weights[k]
+                        nxt.append(k)
+            frontier = nxt
+    # sweep leftovers onto an adjacent part (or part 0)
+    for i in range(n):
+        if part[i] < 0:
+            neigh = [part[k] for k in graph.row(i) if part[k] >= 0]
+            part[i] = neigh[0] if neigh else 0
+    return part
+
+
+def _refine(graph: Table, weights: np.ndarray, part: np.ndarray,
+            nparts: int, passes: int = 6, imbalance: float = 1.3) -> None:
+    """Boundary-move refinement reducing edge cut under a balance cap."""
+    n = graph.nrows
+    part_w = np.bincount(part, weights=weights, minlength=nparts)
+    max_w = imbalance * weights.sum() / nparts
+    for _ in range(passes):
+        moved = 0
+        for i in range(n):
+            pi = part[i]
+            row = graph.row(i)
+            if len(row) == 0:
+                continue
+            neigh_parts = part[row]
+            if np.all(neigh_parts == pi):
+                continue
+            # gain of moving i to part q = (#edges to q) - (#edges to pi)
+            internal = int((neigh_parts == pi).sum())
+            cand, counts = np.unique(neigh_parts[neigh_parts != pi],
+                                     return_counts=True)
+            best = np.argsort(-counts)
+            for b in best:
+                q, cq = int(cand[b]), int(counts[b])
+                if cq <= internal:
+                    break
+                if part_w[q] + weights[i] <= max_w and \
+                        part_w[pi] - weights[i] > 0:
+                    part[i] = q
+                    part_w[q] += weights[i]
+                    part_w[pi] -= weights[i]
+                    moved += 1
+                    break
+        if moved == 0:
+            break
+
+
+def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
+                   seed: int = 0) -> np.ndarray:
+    """part_generate_partitioning analog (part.cpp:120).
+
+    Returns an (n,) part-assignment array; the number of parts actually
+    produced is partition.max()+1 after the connected-components fix, which
+    the caller must read back (exactly like the reference mutating *nparts).
+    """
+    n = graph.nrows
+    if weights is None:
+        weights = np.ones(n, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if nparts <= 1 or n <= 1:
+        return np.zeros(n, dtype=np.int64)
+    nparts = min(nparts, n)
+    rng = np.random.default_rng(seed)
+    part = _grow_parts(graph, weights, nparts, rng)
+    _refine(graph, weights, part, nparts)
+    ncc = connected_components(part, graph)
+    sa_print(3, "Desired number of partitions: %d", nparts)
+    sa_print(3, "Actual number of partitions: %d", ncc)
+    return part

@@ -1,0 +1,120 @@
+"""Boolean relation tables (CSR index graphs) on host.
+
+Replacement for the reference's use of mfem::Table (elem_to_dof, AE_to_elem,
+mis_to_dof, ... — aggregates.hpp:120-179).  A Table is an immutable CSR
+pattern: ``indptr`` (n+1,) and ``indices`` (nnz,) numpy int arrays.
+
+Column order within a row is semantically meaningful in a few places (it
+defines the local DoF numbering inside an agglomerate), so ``mult`` keeps the
+first-encounter order the reference's Table::Mult produces, and ``transpose``
+is stable (row-major order of the source), matching mfem::Transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Table:
+    indptr: np.ndarray   # (nrows+1,) int64
+    indices: np.ndarray  # (nnz,) int64
+    ncols: int
+
+    @property
+    def nrows(self) -> int:
+        return len(self.indptr) - 1
+
+    @property
+    def nnz(self) -> int:
+        return int(self.indptr[-1])
+
+    def row(self, i: int) -> np.ndarray:
+        return self.indices[self.indptr[i]:self.indptr[i + 1]]
+
+    def row_size(self, i: int) -> int:
+        return int(self.indptr[i + 1] - self.indptr[i])
+
+    def row_sizes(self) -> np.ndarray:
+        return np.diff(self.indptr)
+
+    # -- constructors ------------------------------------------------------
+
+    @staticmethod
+    def from_rows(rows, ncols: int) -> "Table":
+        indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+        for i, r in enumerate(rows):
+            indptr[i + 1] = indptr[i] + len(r)
+        indices = (np.concatenate([np.asarray(r, dtype=np.int64) for r in rows])
+                   if rows and indptr[-1] > 0 else np.zeros(0, dtype=np.int64))
+        return Table(indptr, indices, ncols)
+
+    @staticmethod
+    def from_pairs(row_ids: np.ndarray, col_ids: np.ndarray, nrows: int,
+                   ncols: int) -> "Table":
+        """Build from (row, col) pairs; stable within-row order of the input."""
+        row_ids = np.asarray(row_ids, dtype=np.int64)
+        col_ids = np.asarray(col_ids, dtype=np.int64)
+        order = np.argsort(row_ids, kind="stable")
+        counts = np.bincount(row_ids, minlength=nrows)
+        indptr = np.zeros(nrows + 1, dtype=np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        return Table(indptr, col_ids[order], ncols)
+
+    @staticmethod
+    def from_partition(partition: np.ndarray, nparts: int) -> "Table":
+        """AE_to_elem from an element->AE assignment array.
+
+        Mirrors agg_construct_tables_from_arr (aggregates.cpp): row p lists the
+        elements assigned to part p, in increasing element order.
+        """
+        partition = np.asarray(partition, dtype=np.int64)
+        elems = np.arange(len(partition), dtype=np.int64)
+        return Table.from_pairs(partition, elems, nparts, len(partition))
+
+    @staticmethod
+    def identity(n: int) -> "Table":
+        return Table(np.arange(n + 1, dtype=np.int64),
+                     np.arange(n, dtype=np.int64), n)
+
+    # -- algebra -----------------------------------------------------------
+
+    def transpose(self) -> "Table":
+        row_of = np.repeat(np.arange(self.nrows, dtype=np.int64),
+                           self.row_sizes())
+        return Table.from_pairs(self.indices, row_of, self.ncols, self.nrows)
+
+    def mult(self, other: "Table") -> "Table":
+        """Boolean product; within-row column order = first encounter
+        (matches mfem::Mult(Table,Table) used throughout aggregates.cpp)."""
+        assert self.ncols == other.nrows, (self.ncols, other.nrows)
+        # Gather: for every (i, k) of self and (k, j) of other produce (i, j).
+        mid = self.indices
+        reps = other.row_sizes()[mid]
+        out_rows = np.repeat(
+            np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_sizes()),
+            reps)
+        # concatenated columns of other's rows selected by mid, in order
+        starts = other.indptr[mid]
+        offsets = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        out_cols = other.indices[np.repeat(starts, reps) + offsets]
+        # dedupe per row, preserving first occurrence
+        key = out_rows * np.int64(other.ncols) + out_cols
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()
+        return Table.from_pairs(out_rows[first_idx], out_cols[first_idx],
+                                self.nrows, other.ncols)
+
+    def to_csr(self):
+        import scipy.sparse as sp
+        return sp.csr_matrix(
+            (np.ones(self.nnz, dtype=np.int8), self.indices, self.indptr),
+            shape=(self.nrows, self.ncols))
+
+    def __eq__(self, other) -> bool:  # pragma: no cover - debugging helper
+        return (isinstance(other, Table) and self.ncols == other.ncols
+                and np.array_equal(self.indptr, other.indptr)
+                and np.array_equal(self.indices, other.indices))

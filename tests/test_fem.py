@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import hex_mesh, quad_mesh, read_mesh
+
+
+def test_quad_laplacian_known():
+    # unit square, 1x1 Q1 element, coefficient 1: the 4x4 element stiffness
+    # has diagonal 2/3 and the classic bilinear pattern
+    mesh = quad_mesh(1)
+    K = assemble.diffusion_element_matrices(mesh, 1.0)[0]
+    expect = np.array([
+        [4, -1, -2, -1],
+        [-1, 4, -1, -2],
+        [-2, -1, 4, -1],
+        [-1, -2, -1, 4]]) / 6.0
+    np.testing.assert_allclose(K, expect, atol=1e-14)
+
+
+def test_assembled_matrix_properties():
+    mesh = quad_mesh(8)
+    A, b, em, e2d, ess = assemble.build_discrete_problem(mesh, coef=1.0)
+    Ad = A.toarray()
+    np.testing.assert_allclose(Ad, Ad.T, atol=1e-13)
+    evals = np.linalg.eigvalsh(Ad)
+    assert evals.min() > 0  # SPD after elimination w/ kept diagonal
+    # interior row sums are zero pre-elimination (constants in kernel)
+    mesh2 = quad_mesh(4)
+    K = assemble.diffusion_element_matrices(mesh2, 1.0)
+    A2 = assemble.assemble_global(K, mesh2.elem_to_dof(), mesh2.num_vertices)
+    np.testing.assert_allclose(np.asarray(A2.sum(axis=1)).ravel(), 0.0,
+                               atol=1e-12)
+
+
+def test_hex_element_rowsum_zero():
+    mesh = hex_mesh(2)
+    K = assemble.elasticity_element_matrices(mesh, 1.0)
+    # rigid translations in kernel of each elasticity element matrix
+    nd = mesh.elements.shape[1]
+    for d in range(3):
+        v = np.zeros(3 * nd)
+        v[d * nd:(d + 1) * nd] = 1.0
+        np.testing.assert_allclose(K[0] @ v, 0.0, atol=1e-12)
+
+
+def test_elasticity_rotation_kernel():
+    mesh = quad_mesh(2)
+    K = assemble.elasticity_element_matrices(mesh, 1.0)
+    verts = mesh.vertices[mesh.elements[0]]
+    nd = len(verts)
+    # rotation (y, -x)
+    v = np.concatenate([verts[:, 1], -verts[:, 0]])
+    np.testing.assert_allclose(K[0] @ v, 0.0, atol=1e-12)
+
+
+def test_mfem_mesh_reader():
+    mesh = read_mesh("/root/reference/amg/test/mltest.mesh")
+    assert mesh.num_vertices == 20
+    assert mesh.num_elements == 12
+    assert mesh.elem_type == "quad"
+    # boundary attribute 4 is the left edge x=0
+    ess = mesh.ess_vertices(np.array([0, 0, 0, 1]))
+    np.testing.assert_allclose(mesh.vertices[ess][:, 0], 0.0)
+
+
+def test_netgen_reader_and_refine():
+    mesh = read_mesh("/root/reference/amg/data/meshes/cube474.mesh3d")
+    assert mesh.elem_type == "tet"
+    assert mesh.num_elements == 474
+    r = mesh.refine_uniform()
+    assert r.num_elements == 474 * 8
+    # refinement preserves total volume
+    def vol(m):
+        X = m.vertices[m.elements]
+        d = X[:, 1:] - X[:, :1]
+        return np.abs(np.linalg.det(d)).sum() / 6.0
+    np.testing.assert_allclose(vol(mesh), vol(r), rtol=1e-12)
+
+
+def test_q2_dof_count():
+    mesh = quad_mesh(3)
+    # Q2 on n x n quads: (2n+1)^2 dofs
+    assert mesh.num_dofs(2) == 7 * 7

@@ -1,0 +1,163 @@
+"""End-to-end PCG iteration parity against the reference's ctest expectations
+(amg/CMakeLists.txt:191-254, amg/test/CMakeLists.txt:64-79).
+
+The reference's coarsest solve is one BoomerAMG V-cycle; ours is exact, so
+iteration counts may be <= the reference's — every assertion allows equality
+or improvement but never regression.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from saamge_tpu.api import SAAMGeAlgPC, SpectralAMGSolver, checkerboard_coef
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import quad_mesh, read_mesh
+
+TESTMESH = "/root/reference/amg/test/mltest.mesh"
+CUBEMESH = "/root/reference/amg/data/meshes/cube474.mesh3d"
+ANISO = "/root/reference/amg/data/anisotropic.mat.00000"
+TESTMESH_PARTITION = np.array([0, 0, 1, 1, 0, 0, 2, 2, 3, 3, 3, 2])
+TESTMESH_COARSE = np.array([0, 0, 1, 1])
+
+
+def _mltest_setup(order=1, elasticity=False, constant=False):
+    mesh = read_mesh(TESTMESH)
+    ess = np.array([0, 0, 0, 1])
+    coef = 1.0 if constant else checkerboard_coef
+    A, b, em, e2d, ess_dofs = assemble.build_discrete_problem(
+        mesh, coef=coef, rhs=1.0, ess_attr_marker=ess, order=order,
+        elasticity=elasticity)
+    return mesh, ess, A, b, em, ess_dofs
+
+
+def _solver(mesh, ess, A, em, order=1, vdim=1, num_levels=2, **kw):
+    opts = SolverOptions(num_levels=num_levels, correct_nulspace=False, **kw)
+    co = (lambda i: TESTMESH_COARSE if i == 1 else None) \
+        if num_levels > 2 else None
+    return SpectralAMGSolver(A, mesh, em, opts, order=order, vdim=vdim,
+                             ess_attr_marker=ess,
+                             partitioning=TESTMESH_PARTITION,
+                             coarse_part_override=co)
+
+
+def test_mltest_two_level():
+    """ctest 'mltest': reference converges in 3 iterations."""
+    mesh, ess, A, b, em, _ = _mltest_setup()
+    s = _solver(mesh, ess, A, em)
+    res = s.solve(b)
+    assert res.converged
+    assert 0 < res.iterations <= 3
+
+
+def test_mltest_order2():
+    """ctest 'mltest2': reference converges in 4 iterations."""
+    mesh, ess, A, b, em, _ = _mltest_setup(order=2)
+    s = _solver(mesh, ess, A, em, order=2)
+    res = s.solve(b)
+    assert res.converged
+    assert 0 < res.iterations <= 4
+
+
+def test_mltest_three_level():
+    """ctest 'threelevel': reference converges in 3 iterations."""
+    mesh, ess, A, b, em, _ = _mltest_setup()
+    s = _solver(mesh, ess, A, em, num_levels=3)
+    res = s.solve(b)
+    assert res.converged
+    assert 0 < res.iterations <= 3
+
+
+def test_elasticity():
+    """ctest 'elasticity': zero RHS, random guess, reference: 3 iters."""
+    mesh, ess, A, b, em, ess_dofs = _mltest_setup(elasticity=True,
+                                                  constant=True)
+    s = _solver(mesh, ess, A, em, vdim=2)
+    rng = np.random.default_rng(0)
+    x0 = rng.random(A.shape[0])
+    x0[ess_dofs] = 0.0
+    res = s.solve(np.zeros(A.shape[0]), x0=x0)
+    assert res.converged
+    assert 0 < res.iterations <= 3
+
+
+def test_threeleveladapt():
+    """ctest 'threeleveladapt': 100x100 quad mesh, 3 levels, reference
+    converges in 12 iterations; then A <- A + I with hierarchy reuse."""
+    mesh = quad_mesh(100)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, e2d, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(theta=0.003, num_levels=3, correct_nulspace=False)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    res = s.solve(b)
+    assert res.converged
+    assert 0 < res.iterations <= 12
+
+    from saamge_tpu.setup.adapt import adapt_update_operators_ml
+    A2 = (A + sp.identity(A.shape[0], format="csr")).tocsr()
+    s.A = A2
+    adapt_update_operators_ml(A2, s.ml, s.mlp)
+    res2 = s.solve(b)
+    assert res2.converged
+    # reused hierarchy must still be an effective preconditioner
+    assert res2.iterations <= 3 * res.iterations
+
+
+def test_cube_three_level_correct_nullspace():
+    """ctest 'cube': 3D tet mesh refined twice, 3 levels, theta=1e-4,
+    correct-nullspace ON (default); reference converges in 4 iterations."""
+    mesh = read_mesh(CUBEMESH).refined_times(2)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, e2d, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(theta=1e-4, nu_pro=0, num_levels=3,
+                         first_elems_per_agg=128, elems_per_agg=64,
+                         correct_nulspace=True)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    res = s.solve(b)
+    assert res.converged
+    assert 0 < res.iterations <= 4
+
+
+def test_algebraic():
+    """ctest 'algebraic': anisotropic matrix, aggregates mode, theta=0.01;
+    reference converges in 12 iterations."""
+    from saamge_tpu.setup.algebraic import read_hypre_matrix
+    A = read_hypre_matrix(ANISO)
+    opts = SolverOptions(theta=0.01, nu_pro=0, first_elems_per_agg=128,
+                         correct_nulspace=False)
+    pc = SAAMGeAlgPC(A, opts)
+    res = pc.solve(np.ones(A.shape[0]))
+    assert res.converged
+    assert 0 < res.iterations <= 12
+
+
+def test_algebraic_window():
+    """window-AMG variant of the local matrices (WindowSubMatrices)."""
+    from saamge_tpu.setup.algebraic import read_hypre_matrix
+    A = read_hypre_matrix(ANISO)
+    opts = SolverOptions(theta=0.01, nu_pro=0, first_elems_per_agg=128,
+                         correct_nulspace=False)
+    pc = SAAMGeAlgPC(A, opts, use_window=True)
+    res = pc.solve(np.ones(A.shape[0]))
+    assert res.converged
+    assert res.iterations <= 30
+
+
+def test_smoothed_aggregation_nu_pro():
+    """nu_pro > 0 exercises prolongator smoothing (SA roots)."""
+    mesh, ess, A, b, em, _ = _mltest_setup()
+    s = _solver(mesh, ess, A, em, nu_pro=2, first_nu_pro=2)
+    res = s.solve(b)
+    assert res.converged
+    assert res.iterations <= 3
+
+
+def test_minimal_coarse_space():
+    """--minimal-coarse: one constant vector per MIS."""
+    mesh, ess, A, b, em, _ = _mltest_setup()
+    s = _solver(mesh, ess, A, em, minimal_coarse=True, theta=0.0)
+    res = s.solve(b)
+    assert res.converged

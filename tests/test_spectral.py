@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from saamge_tpu.setup.spectral import Eigensolver, weighted_l1_diag
+from saamge_tpu.solve import smoothers
+
+
+def _spd(n, seed=0):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    return M @ M.T + n * np.eye(n)
+
+
+def test_weighted_l1_diag_formula():
+    A = np.array([[4.0, -1.0, 0.0],
+                  [-1.0, 2.0, -0.5],
+                  [0.0, -0.5, 1.0]])
+    d = weighted_l1_diag(A)
+    expect = np.zeros(3)
+    diag = np.diag(A)
+    for i in range(3):
+        expect[i] = sum(abs(A[i, j]) * np.sqrt(diag[i] / diag[j])
+                        for j in range(3))
+    np.testing.assert_allclose(d, expect)
+
+
+def test_weighted_l1_majorizes_A():
+    # the weighted l1 smoother satisfies x^T A x <= x^T D x (lmax <= 1),
+    # the property the theta*lmax cut relies on (spectral.cpp:134)
+    A = _spd(20, 1)
+    d = weighted_l1_diag(A)
+    evals = np.linalg.eigvalsh(np.diag(1 / np.sqrt(d)) @ A
+                               @ np.diag(1 / np.sqrt(d)))
+    assert evals.max() <= 1.0 + 1e-12
+
+
+def test_eigensolver_cut_semantics():
+    A = _spd(12, 2)
+    eig = Eigensolver(use_truncated=False)
+    X, skipped, B = eig.solve(A, theta=0.5)
+    # generalized eigenpairs: A x = lambda B x with lambda <= 0.5 kept
+    lams = np.diag(X.T @ A @ X) / np.diag(X.T @ (B[:, None] * X))
+    assert (lams <= 0.5 + 1e-10).all()
+    assert skipped > 0.5 - 1e-12
+    # at least one vector even for tiny theta
+    X2, _, _ = eig.solve(A, theta=1e-30)
+    assert X2.shape[1] == 1
+
+
+def test_eigensolver_b_orthonormal():
+    A = _spd(10, 3)
+    eig = Eigensolver(use_truncated=False)
+    X, _, B = eig.solve(A, theta=1.0)  # take everything
+    G = X.T @ (B[:, None] * X)
+    np.testing.assert_allclose(G, np.eye(X.shape[1]), atol=1e-10)
+
+
+def test_truncated_mode_caps_vectors():
+    A = _spd(100, 4)
+    eig = Eigensolver(threshold=64, use_truncated=True, max_vectors=10)
+    X, skipped, B = eig.solve(A, theta=1.0)
+    assert X.shape[1] <= 10
+
+
+def test_sas_roots():
+    # smpr_sas_poly_roots (smpr.cpp:282): degree 3nu+1
+    nu = 3
+    r = smoothers.sas_poly_roots(nu)
+    assert len(r) == 3 * nu + 1
+    denom = 2 * nu + 1
+    np.testing.assert_allclose(r[0], 1.0)  # cos^2(0)
+    np.testing.assert_allclose(r[1], np.cos(np.pi / denom) ** 2)
+    np.testing.assert_allclose(r[-1], np.sin(nu * np.pi / denom) ** 2)
+
+
+def test_smoother_contracts_in_energy():
+    import scipy.sparse as sp
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import quad_mesh
+    mesh = quad_mesh(10)
+    A, b, em, e2d, ess = assemble.build_discrete_problem(mesh, coef=1.0)
+    pd = smoothers.init_poly_data(A, 3, "sas")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[0])
+    e0 = x @ (A @ x)
+    x = smoothers.sym_poly(A, np.zeros_like(x), x, pd)
+    e1 = x @ (A @ x)
+    assert e1 < e0
