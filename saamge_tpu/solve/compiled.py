@@ -1,0 +1,186 @@
+"""The jitted device solve phase: multilevel V-cycle + PCG.
+
+This is the production counterpart of solve/vcycle.py + solve/pcg.py: the
+entire preconditioned solve is ONE XLA computation — polynomial smoothers
+(root-by-root fma chains), residual/restriction/prolongation SpMVs on
+ELL/DIA device matrices, a dense Cholesky coarsest solve, and a
+`lax.while_loop` PCG around it.  Static shapes everywhere; the recursion
+over levels is unrolled at trace time (hierarchy depth is a compile-time
+constant, like the reference's levels list).
+
+Reference counterparts: tg_cycle_atb (tg.cpp:91), smpr_sym_poly/
+smpr_compute_poly (smpr.cpp:213, smpr.hpp:319), kalchev_pcg / mfem CGSolver
+(mfem_addons.cpp:106), HypreDirect coarse solve (tg.cpp:61).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.ops.sparse import DeviceELL, DeviceMatrix, device_matrix
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CompiledLevel:
+    A: DeviceMatrix
+    P: DeviceELL                # prolongation (n_f, n_c)
+    R: DeviceELL                # restriction  (n_c, n_f)
+    dinv: jnp.ndarray           # weighted-l1 D^{-1} for the smoother
+    roots: jnp.ndarray          # SAS relaxation roots (degree 3 nu + 1)
+
+    def tree_flatten(self):
+        return (self.A, self.P, self.R, self.dinv, self.roots), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class CompiledHierarchy:
+    """Static solve-phase hierarchy; build once from an MLData via
+    ``compile_hierarchy``."""
+
+    levels: List[CompiledLevel]
+    chol: jnp.ndarray           # dense Cholesky factor of the coarsest Ac
+    coarse_n: int
+
+    def tree_flatten(self):
+        return (self.levels, self.chol), self.coarse_n
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
+
+
+def compile_hierarchy(ml, dtype=jnp.float32,
+                      prefer_dia: bool = True) -> CompiledHierarchy:
+    """Convert a host MLData (setup product) into device arrays."""
+    from saamge_tpu.solve.smoothers import weighted_l1_dinv
+    levels = []
+    for level in ml.levels:
+        tg = level.tg_data
+        levels.append(CompiledLevel(
+            A=device_matrix(level.A, dtype, prefer_dia),
+            P=DeviceELL.from_csr(tg.interp, dtype),
+            R=DeviceELL.from_csr(tg.restr, dtype),
+            dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
+            roots=jnp.asarray(tg.poly_data.roots, dtype=dtype)))
+    Ac = ml.levels[-1].tg_data.Ac.toarray()
+    chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
+    return CompiledHierarchy(levels, chol, Ac.shape[0])
+
+
+def compile_two_level(A: sp.csr_matrix, tg, dtype=jnp.float32,
+                      prefer_dia: bool = True) -> CompiledHierarchy:
+    """Compile a bare TGData (two-level / algebraic path)."""
+    level = CompiledLevel(
+        A=device_matrix(A, dtype, prefer_dia),
+        P=DeviceELL.from_csr(tg.interp, dtype),
+        R=DeviceELL.from_csr(tg.restr, dtype),
+        dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
+        roots=jnp.asarray(tg.poly_data.roots, dtype=dtype))
+    Ac = tg.Ac.toarray()
+    chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
+    return CompiledHierarchy([level], chol, Ac.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# functional kernels (all jit-traceable)
+
+
+def smooth(level: CompiledLevel, b: jnp.ndarray,
+           x: jnp.ndarray) -> jnp.ndarray:
+    """smpr_compute_poly: x += (1/tau) D^{-1} (b - A x), per root.
+
+    The roots array has static length, so this unrolls into degree
+    SpMV+fma stages that XLA fuses aggressively."""
+    def body(x, tau):
+        x = x + (level.dinv * (b - level.A.matvec(x))) / tau
+        return x, None
+    x, _ = jax.lax.scan(body, x, level.roots)
+    return x
+
+
+def coarse_solve(h: CompiledHierarchy, b: jnp.ndarray) -> jnp.ndarray:
+    y = jax.scipy.linalg.solve_triangular(h.chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(h.chol.T, y, lower=False)
+
+
+def vcycle(h: CompiledHierarchy, b: jnp.ndarray, x: jnp.ndarray,
+           level: int = 0) -> jnp.ndarray:
+    """tg_cycle_atb, unrolled over levels at trace time."""
+    lv = h.levels[level]
+    x = smooth(lv, b, x)
+    res = b - lv.A.matvec(x)
+    resc = lv.R.matvec(res)
+    if level + 1 < len(h.levels):
+        xc = jnp.zeros(h.levels[level + 1].A.shape[0], dtype=b.dtype)
+        xc = vcycle(h, resc, xc, level + 1)
+    else:
+        xc = coarse_solve(h, resc)
+    x = x + lv.P.matvec(xc)
+    x = smooth(lv, b, x)
+    return x
+
+
+def precond(h: CompiledHierarchy, r: jnp.ndarray) -> jnp.ndarray:
+    return vcycle(h, r, jnp.zeros_like(r))
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def pcg_solve(h: CompiledHierarchy, b: jnp.ndarray,
+              x0: Optional[jnp.ndarray] = None, rel_tol: float = 1e-6,
+              abs_tol: float = 0.0,
+              max_iter: int = 200) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                            jnp.ndarray]:
+    """MFEM-CGSolver-semantics PCG, entirely on device.
+
+    Returns (x, iterations, final (Br,r)).  Convergence when
+    (B r, r) <= max(rel_tol^2 (B r0, r0), abs_tol^2)."""
+    A = h.levels[0].A
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0vec = b
+    else:
+        r0vec = b - A.matvec(x0)
+    z = precond(h, r0vec)
+    nom0 = z @ r0vec
+    lim = jnp.maximum(nom0 * rel_tol * rel_tol, abs_tol * abs_tol)
+    Ad0 = A.matvec(z)
+
+    def cond(state):
+        x, r, d, Ad, nom, it = state
+        return jnp.logical_and(nom > lim, it < max_iter)
+
+    def body(state):
+        x, r, d, Ad, nom, it = state
+        den = d @ Ad
+        alpha = nom / den
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = precond(h, r)
+        betanom = r @ z
+        d = z + (betanom / nom) * d
+        Ad = A.matvec(d)
+        return (x, r, d, Ad, betanom, it + 1)
+
+    state = (x0, r0vec, z, Ad0, nom0, jnp.int32(0))
+    x, r, d, Ad, nom, it = jax.lax.while_loop(cond, body, state)
+    return x, it, nom
+
+
+@jax.jit
+def vcycle_apply(h: CompiledHierarchy, b: jnp.ndarray) -> jnp.ndarray:
+    """One preconditioner application (the throughput benchmark kernel)."""
+    return precond(h, b)
