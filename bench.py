@@ -1,0 +1,103 @@
+"""Benchmark: multilevel V-cycle throughput on 3D Poisson (the BASELINE.json
+metric — DOFs/sec/chip of the solve-phase hot loop, reference tg_cycle_atb).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "dofs/s", "vs_baseline": N}
+
+vs_baseline is computed against a reference-architecture estimate: the
+reference (C++/hypre on one CPU core) streams the CSR operator at memory
+bandwidth; a V-cycle costs ~ (2*(3nu+1)+1) SpMVs + P/R applications per
+level. We take 2e9 dofs*nnz-normalized-ops/sec as the single-CPU-core hypre
+baseline (~12 GB/s effective CSR streaming / 6 bytes-per-nnz-flop), i.e.
+baseline_dofs_per_sec = 2e9 / ops_per_dof for the same hierarchy.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny problem (CI / CPU smoke)")
+    ap.add_argument("--n", type=int, default=0,
+                    help="hex mesh resolution (elements per side)")
+    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    if args.n:
+        n = args.n
+    elif args.small or platform == "cpu":
+        n = 10
+    else:
+        n = 40
+
+    from saamge_tpu.api import SpectralAMGSolver
+    from saamge_tpu.config import SolverOptions
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import hex_mesh
+    from saamge_tpu.solve.compiled import compile_hierarchy, vcycle_apply
+
+    t0 = time.perf_counter()
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    num_levels = args.levels if A.shape[0] > 5000 else 2
+    opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
+                         first_elems_per_agg=128, elems_per_agg=64)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    setup_s = time.perf_counter() - t0
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    if dtype == jnp.float64:
+        jax.config.update("jax_enable_x64", True)
+    h = compile_hierarchy(s.ml, dtype=dtype)
+    bdev = jnp.asarray(b, dtype=dtype)
+
+    # compile + warmup
+    z = vcycle_apply(h, bdev)
+    z.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        z = vcycle_apply(h, z)
+    z.block_until_ready()
+    dt = (time.perf_counter() - t0) / args.reps
+
+    ndof = A.shape[0]
+    dofs_per_sec = ndof / dt
+
+    # ops per fine dof for this hierarchy (for the baseline estimate)
+    total_nnz_ops = 0.0
+    for lv in s.ml.levels:
+        deg = len(lv.tg_data.poly_data.roots)
+        total_nnz_ops += (2 * deg + 1) * lv.A.nnz \
+            + lv.tg_data.interp.nnz + lv.tg_data.restr.nnz
+    ops_per_dof = total_nnz_ops / ndof
+    baseline_dofs_per_sec = 2e9 / max(ops_per_dof, 1.0)
+    vs = dofs_per_sec / baseline_dofs_per_sec
+
+    print(json.dumps({
+        "metric": f"3d_poisson_vcycle_dofs_per_sec_{platform}"
+                  f"_n{ndof}_L{len(s.ml.levels) + 1}",
+        "value": round(dofs_per_sec, 1),
+        "unit": "dofs/s",
+        "vs_baseline": round(vs, 3),
+        "extra": {"setup_s": round(setup_s, 2), "vcycle_ms": round(dt * 1e3, 3),
+                  "ndof": ndof, "platform": platform,
+                  "ops_per_dof": round(ops_per_dof, 1)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,10 +67,19 @@ class ShardedHierarchy:
 
 
 def _ell_arrays(Acsr, n_to, n_cols_logical, dtype):
-    ell = DeviceELL.from_csr(Acsr, dtype=dtype)
-    cols = _pad_to(np.asarray(ell.cols), n_to)
-    vals = _pad_to(np.asarray(ell.vals), n_to)
-    return cols, vals
+    """Pure-numpy ELL packing (no device placement here)."""
+    A = Acsr.tocsr()
+    A.sum_duplicates()
+    n = A.shape[0]
+    row_nnz = np.diff(A.indptr)
+    k = max(int(row_nnz.max()) if n else 0, 1)
+    cols = np.zeros((n, k), dtype=np.int32)
+    vals = np.zeros((n, k), dtype=np.float64)
+    rows = np.repeat(np.arange(n), row_nnz)
+    pos = np.arange(len(A.data)) - np.repeat(A.indptr[:-1], row_nnz)
+    cols[rows, pos] = A.indices
+    vals[rows, pos] = A.data
+    return _pad_to(cols, n_to), _pad_to(vals, n_to)
 
 
 def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
@@ -96,25 +105,28 @@ def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
         P_cols, P_vals = _ell_arrays(tg.interp, npad, ncpad, dtype)
         R_cols, R_vals = _ell_arrays(tg.restr, ncpad, npad, dtype)
         dinv = _pad_to(np.asarray(tg.poly_data.dinv), npad)
+        # NOTE: device_put NUMPY arrays directly with the target sharding.
+        # jnp.asarray would first commit to the default device (on an axon
+        # TPU-tunnel machine that is the remote chip) and then reshard
+        # cross-backend, which is at best slow and can deadlock.
+        np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype")
+                            else dtype)
         levels.append(ShardedLevel(
-            A_cols=jax.device_put(jnp.asarray(A_cols), shard_rows2),
-            A_vals=jax.device_put(jnp.asarray(A_vals, dtype=dtype),
-                                  shard_rows2),
-            P_cols=jax.device_put(jnp.asarray(P_cols), shard_rows2),
-            P_vals=jax.device_put(jnp.asarray(P_vals, dtype=dtype),
-                                  shard_rows2),
-            R_cols=jax.device_put(jnp.asarray(R_cols), shard_rows2),
-            R_vals=jax.device_put(jnp.asarray(R_vals, dtype=dtype),
-                                  shard_rows2),
-            dinv=jax.device_put(jnp.asarray(dinv, dtype=dtype), shard_rows),
-            roots=jax.device_put(jnp.asarray(tg.poly_data.roots,
-                                             dtype=dtype), repl),
+            A_cols=jax.device_put(A_cols, shard_rows2),
+            A_vals=jax.device_put(A_vals.astype(np_dtype), shard_rows2),
+            P_cols=jax.device_put(P_cols, shard_rows2),
+            P_vals=jax.device_put(P_vals.astype(np_dtype), shard_rows2),
+            R_cols=jax.device_put(R_cols, shard_rows2),
+            R_vals=jax.device_put(R_vals.astype(np_dtype), shard_rows2),
+            dinv=jax.device_put(dinv.astype(np_dtype), shard_rows),
+            roots=jax.device_put(
+                np.asarray(tg.poly_data.roots, dtype=np_dtype), repl),
             n=npad, nc=ncpad))
     Ac = ml.levels[-1].tg_data.Ac.toarray()
     Acp = np.eye(sizes[-1])
     Acp[:Ac.shape[0], :Ac.shape[1]] = Ac
-    chol = jax.device_put(jnp.asarray(np.linalg.cholesky(Acp), dtype=dtype),
-                          repl)
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    chol = jax.device_put(np.linalg.cholesky(Acp).astype(np_dtype), repl)
     return ShardedHierarchy(levels, chol, mesh, ml.levels[0].A.shape[0],
                             sizes[0])
 

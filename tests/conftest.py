@@ -10,3 +10,14 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU-tunnel plugin (sitecustomize) force-registers itself and
+# ignores JAX_PLATFORMS from the environment; pin the platform through the
+# config API before any backend is initialized so tests run on the local
+# 8-device virtual CPU mesh rather than through the tunnel.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
