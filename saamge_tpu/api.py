@@ -106,6 +106,7 @@ class SpectralAMGSolver:
             polynomial_coarse_space=0 if opts.minimal_coarse else -1,
             use_correct_nullspace=opts.correct_nulspace,
             use_truncated_eigensolver=not opts.direct_eigensolver,
+            use_batched_eigensolver=opts.device_setup,
             do_aggregates=opts.do_aggregates,
             coarse_direct=opts.coarse_direct)
         if opts.linear_coarse or vdim > 1:

@@ -70,6 +70,8 @@ class SolverOptions:
     double_cycle: bool = False
     coarse_direct: bool = False
     direct_eigensolver: bool = True
+    # run the per-AE setup eigensolves as batched device kernels
+    device_setup: bool = False
     do_aggregates: bool = False
     zero_rhs: bool = False
     rtol: float = 1e-6

@@ -1,0 +1,144 @@
+"""Batched device eigensolves/SVDs for the setup phase.
+
+The reference's setup hot loop (interp_compute_vectors, interp.cpp:342)
+solves one dense generalized eigenproblem ``A_T x = lambda B_T x`` per
+agglomerate, serially, via LAPACK dsygv/dsygvx (xpacks.cpp:224-315), with
+B_T the weighted-l1 smoother diagonal.  On TPU the per-AE problems have no
+cross-AE dependency (SURVEY §2.2 item 5), so they become ONE batched padded
+dense eigensolve per size bucket:
+
+  - AE matrices are bucketed by padded size (next multiple of
+    ``bucket_multiple``); each bucket is stacked into (B, nmax, nmax).
+  - Padding is decoupled: padded rows/cols are zeroed and the padded
+    diagonal is set to 1 AFTER the weighted-l1 scaling, so every padding
+    eigenvalue is exactly 1.0 and the padding block contributes eigenvectors
+    supported only on padded rows.  Spectral cuts use theta < 1, so padding
+    eigenpairs are never selected.
+  - Since B is diagonal, the generalized problem reduces to the standard
+    symmetric eigenproblem of ``M = B^-1/2 A B^-1/2`` and eigenvectors map
+    back as ``x = B^-1/2 y`` — exactly what the host Eigensolver does, but
+    vmapped over the stack (jnp.linalg.eigh batches natively and XLA lowers
+    it to a batched Jacobi eigensolver on the MXU).
+
+Each bucket shape is jitted once and cached; repeated setup phases (more
+levels, adaptivity re-solves) hit the cache.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["batched_spectral_cut", "batched_weighted_l1",
+           "padded_eigh_stack"]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@jax.jit
+def _eigh_batched(Mstack: jnp.ndarray):
+    """Batched standard sym-eig; Mstack is the pre-scaled, pre-padded
+    (B, nmax, nmax) stack (symmetric; padding block = identity)."""
+    M = 0.5 * (Mstack + jnp.swapaxes(Mstack, 1, 2))
+    return jnp.linalg.eigh(M)
+
+
+def batched_weighted_l1(Astack: np.ndarray) -> np.ndarray:
+    """Batched weighted-l1 smoother diagonals (host convenience)."""
+    diag = np.diagonal(Astack, axis1=1, axis2=2)
+    s = np.sqrt(diag)
+    return np.einsum("bij,bj->bi", np.abs(Astack), 1.0 / s) * s
+
+
+def padded_eigh_stack(mats: Sequence[np.ndarray], nmax: int,
+                      dtype=np.float64):
+    """Stack ragged square matrices into a zero-padded (B, nmax, nmax)."""
+    B = len(mats)
+    out = np.zeros((B, nmax, nmax), dtype=dtype)
+    sizes = np.empty(B, dtype=np.int32)
+    for k, m in enumerate(mats):
+        n = m.shape[0]
+        sizes[k] = n
+        out[k, :n, :n] = m
+    return out, sizes
+
+
+def batched_spectral_cut(
+        mats: Sequence[np.ndarray], theta: float,
+        bucket_multiple: int = 32,
+        use_truncated: bool = False,
+        truncated_threshold: int = 64,
+        max_vectors: int = 10,
+        dtype=None,
+) -> Tuple[List[np.ndarray], List[float], List[np.ndarray]]:
+    """Device-batched replacement for per-AE Eigensolver.solve loops.
+
+    Returns (cut_evects, skipped, bdiags) — lists over AEs with the same
+    theta-cut semantics as setup.spectral.Eigensolver:
+      - direct mode: keep eigenvalues <= theta (at least one);
+      - truncated (ARPACK-analog) mode for AEs larger than
+        ``truncated_threshold``: at most ``max_vectors`` vectors, kept
+        while lambda < theta strictly, at least one.
+    ``skipped`` is the smallest eigenvalue not taken (adaptive-theta input).
+    """
+    assert theta < 1.0, "theta >= 1 would select padding eigenpairs"
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    nae = len(mats)
+    # bucket indices by padded size
+    buckets: Dict[int, List[int]] = {}
+    for i, m in enumerate(mats):
+        nmax = _round_up(max(m.shape[0], 1), bucket_multiple)
+        buckets.setdefault(nmax, []).append(i)
+
+    cut: List[Optional[np.ndarray]] = [None] * nae
+    skipped: List[float] = [0.0] * nae
+    bdiags: List[Optional[np.ndarray]] = [None] * nae
+
+    for nmax, idxs in sorted(buckets.items()):
+        # host (f64): weighted-l1 diagonals + the B^{-1/2} A B^{-1/2}
+        # scaling; padding block = identity (eigenvalue exactly 1)
+        stack, sizes = padded_eigh_stack([mats[i] for i in idxs], nmax,
+                                         dtype=np.float64)
+        B = len(idxs)
+        bdiag = np.ones((B, nmax))
+        dhalf = np.ones((B, nmax))
+        M = np.zeros((B, nmax, nmax))
+        M[:, np.arange(nmax), np.arange(nmax)] = 1.0
+        for k in range(B):
+            n = int(sizes[k])
+            bk = batched_weighted_l1(stack[k:k + 1, :n, :n])[0]
+            bdiag[k, :n] = bk
+            dh = 1.0 / np.sqrt(bk)
+            dhalf[k, :n] = dh
+            M[k, :n, :n] = dh[:, None] * stack[k, :n, :n] * dh[None, :]
+
+        # device: the batched eigensolve itself
+        evals_d, Y_d = _eigh_batched(jnp.asarray(M, dtype=dtype))
+        evals = np.asarray(evals_d, dtype=np.float64)
+        Y = np.asarray(Y_d, dtype=np.float64)
+
+        for k, i in enumerate(idxs):
+            n = int(sizes[k])
+            ev = evals[k]
+            truncated = use_truncated and n > truncated_threshold
+            if truncated:
+                kk = min(max_vectors, n)
+                got = 1 + int((ev[1:kk] < theta).sum())
+                m = got
+                skip = float(ev[kk - 1] if got == kk else max(ev[got], 0.0))
+            else:
+                m = max(int(np.searchsorted(ev, theta, side="right")), 1)
+                skip = float(ev[m] if m < n else ev[n - 1])
+            # back to generalized eigenvectors: x = B^{-1/2} y (host, f64)
+            cut[i] = dhalf[k, :n, None] * Y[k][:n, :m]
+            skipped[i] = skip
+            bdiags[i] = bdiag[k, :n].copy()
+    return cut, skipped, bdiags

@@ -35,6 +35,9 @@ class InterpData:
     times_apply_smoother: int = 1
     drop_tol: float = 0.0
     use_truncated_eigensolver: bool = False
+    # batch the per-AE eigensolves on device (ops.batched_eig) instead of
+    # the host per-AE LAPACK loop
+    use_batched_eigensolver: bool = False
     scaling_P: bool = False
     # per-AE caches
     cut_evects_arr: Optional[List[np.ndarray]] = None
@@ -83,6 +86,21 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
     spect_update = not (transf and readapting)
     eig = Eigensolver(use_truncated=interp_data.use_truncated_eigensolver)
     vector_added = False
+    if interp_data.use_batched_eigensolver and not transf:
+        # device path: one padded batched eigensolve per size bucket
+        from saamge_tpu.ops.batched_eig import batched_spectral_cut
+        with TIMERS.phase("setup.ae_assembly"):
+            if not readapting:
+                for i in range(rels.nparts):
+                    interp_data.AEs_stiffm[i] = elem_data.build_AE_stiff(i)
+        with TIMERS.phase("setup.local_eigensolves"):
+            cut, _skipped, bdiags = batched_spectral_cut(
+                interp_data.AEs_stiffm, theta,
+                use_truncated=interp_data.use_truncated_eigensolver)
+        interp_data.cut_evects_arr = cut
+        interp_data.rhs_matrices_arr = bdiags
+        sa_print(5, "eigensolver: %d batched device solves", rels.nparts)
+        return False
     with TIMERS.phase("setup.local_eigensolves"):
         for i in range(rels.nparts):
             if not readapting:

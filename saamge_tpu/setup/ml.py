@@ -32,6 +32,7 @@ class MultilevelParameters:
     polynomial_coarse_space: int = -1
     use_correct_nullspace: bool = True
     use_truncated_eigensolver: bool = False
+    use_batched_eigensolver: bool = False
     do_aggregates: bool = False
     avoid_ess_bdr_dofs: bool = True
     use_double_cycle: bool = False
@@ -102,7 +103,7 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
     tg = tg_mod.tg_init_data(
         A, rels, mlp.get_nu_pro(0), mlp.nu_relax, mlp.get_theta(0),
         mlp.get_smooth_interp(0), mlp.smooth_drop_tol,
-        mlp.use_truncated_eigensolver)
+        mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
     tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(0)
     if mlp.use_correct_nullspace and (mlp.num_coarsenings == 1
                                       or mlp.use_double_cycle):
@@ -140,7 +141,7 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
         tg = tg_mod.tg_init_data(
             A, rels, mlp.get_nu_pro(i), mlp.nu_relax, mlp.get_theta(i),
             mlp.get_smooth_interp(i), mlp.smooth_drop_tol,
-            mlp.use_truncated_eigensolver)
+            mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
         tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(i)
         if mlp.use_correct_nullspace and i == coarsenings - 1:
             tg.interp_data.scaling_P = True
