@@ -122,6 +122,16 @@ class SpectralAMGSolver:
         self.precond = VCycleSolver(self.ml.finest.tg_data)
         self.precond.set_operator(A)
 
+    def update_operator(self, A: sp.csr_matrix,
+                        resmooth_interp: bool = True) -> None:
+        """Hierarchy reuse after the operator changed (adaptation §3.5):
+        fresh smoother diagonals + Galerkin products, same coarse bases
+        (adapt_update_operators, adapt.cpp:189)."""
+        from saamge_tpu.setup.adapt import adapt_update_operators_ml
+        self.A = A.tocsr()
+        adapt_update_operators_ml(self.A, self.ml, self.mlp, resmooth_interp)
+        self.precond.set_operator(self.A)
+
     def mult(self, r: np.ndarray) -> np.ndarray:
         z = np.zeros_like(r)
         self.precond.mult(r, z)

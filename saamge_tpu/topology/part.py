@@ -131,6 +131,41 @@ def _refine(graph: Table, weights: np.ndarray, part: np.ndarray,
             break
 
 
+def _partition_kway_native(graph: Table, weights: np.ndarray,
+                           nparts: int, seed: int) -> Optional[np.ndarray]:
+    """Multilevel k-way via the C++ partitioner (native/partition.cpp) —
+    the METIS_PartGraphKway analog.  Returns None if the native library is
+    unavailable."""
+    import ctypes
+
+    from saamge_tpu import native
+    lib = native.load("partition")
+    if lib is None:
+        return None
+    fn = lib.saamge_partition_kway
+    fn.restype = ctypes.c_int64
+    fn.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                   ctypes.POINTER(ctypes.c_int64),
+                   ctypes.POINTER(ctypes.c_double),
+                   ctypes.POINTER(ctypes.c_double),
+                   ctypes.c_int64, ctypes.c_double, ctypes.c_uint64,
+                   ctypes.POINTER(ctypes.c_int64)]
+    n = graph.nrows
+    xadj = np.ascontiguousarray(graph.indptr, dtype=np.int64)
+    adjncy = np.ascontiguousarray(graph.indices, dtype=np.int64)
+    vwgt = np.ascontiguousarray(weights, dtype=np.float64)
+    part = np.zeros(n, dtype=np.int64)
+    ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    cut = fn(n, ptr(xadj, ctypes.c_int64), ptr(adjncy, ctypes.c_int64),
+             ptr(vwgt, ctypes.c_double), None, nparts,
+             ctypes.c_double(1.1), ctypes.c_uint64(seed),
+             ptr(part, ctypes.c_int64))
+    if cut < 0:
+        return None
+    sa_print(4, "native partitioner edge cut: %d", int(cut))
+    return part
+
+
 def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
                    seed: int = 0) -> np.ndarray:
     """part_generate_partitioning analog (part.cpp:120).
@@ -146,9 +181,11 @@ def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
     if nparts <= 1 or n <= 1:
         return np.zeros(n, dtype=np.int64)
     nparts = min(nparts, n)
-    rng = np.random.default_rng(seed)
-    part = _grow_parts(graph, weights, nparts, rng)
-    _refine(graph, weights, part, nparts)
+    part = _partition_kway_native(graph, weights, nparts, seed)
+    if part is None:
+        rng = np.random.default_rng(seed)
+        part = _grow_parts(graph, weights, nparts, rng)
+        _refine(graph, weights, part, nparts)
     ncc = connected_components(part, graph)
     sa_print(3, "Desired number of partitions: %d", nparts)
     sa_print(3, "Actual number of partitions: %d", ncc)
