@@ -108,6 +108,7 @@ class SpectralAMGSolver:
             use_truncated_eigensolver=not opts.direct_eigensolver,
             use_batched_eigensolver=opts.device_setup,
             do_aggregates=opts.do_aggregates,
+            use_double_cycle=opts.double_cycle,
             coarse_direct=opts.coarse_direct)
         if opts.linear_coarse or vdim > 1:
             self.mlp.set_polynomial_coarse_space(0, 1)
@@ -119,8 +120,12 @@ class SpectralAMGSolver:
                 num_nodes=(mesh.num_dofs(order) if vdim == 1
                            else mesh.num_dofs(order) * vdim // vdim),
                 coarse_part_override=coarse_part_override)
-        self.precond = VCycleSolver(self.ml.finest.tg_data)
-        self.precond.set_operator(A)
+        if opts.double_cycle:
+            from saamge_tpu.solve.double_cycle import DoubleCycle
+            self.precond = DoubleCycle(A, self.ml)
+        else:
+            self.precond = VCycleSolver(self.ml.finest.tg_data)
+            self.precond.set_operator(A)
 
     def update_operator(self, A: sp.csr_matrix,
                         resmooth_interp: bool = True) -> None:

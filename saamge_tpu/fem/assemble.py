@@ -155,6 +155,9 @@ def _eval_coefficient(coef: Coefficient, mesh: Mesh,
     if matrix:
         if vals.ndim == 1:
             out = np.einsum("e,ij->eij", vals, np.eye(d))
+        elif vals.shape == (d, d):
+            # constant matrix coefficient (anisotropic tensor)
+            out = np.broadcast_to(vals, (NE, d, d)).copy()
         else:
             out = vals.reshape(NE, d, d)
         return out
@@ -194,6 +197,8 @@ def diffusion_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
                                matrix_coef: bool = False) -> np.ndarray:
     """(NE, nd, nd) stiffness batch for -div(c grad u)."""
     pts, wts, N, detJ, gradN = element_geometry(mesh, order)
+    if not callable(coef) and np.asarray(coef).ndim >= 2:
+        matrix_coef = True
     if matrix_coef or (callable(coef) and
                        np.asarray(coef(mesh.elem_centers()[0])).ndim == 2):
         C = _eval_coefficient(coef, mesh, matrix=True)   # (NE, d, d)

@@ -65,6 +65,43 @@ def adapt_approx_xbad(A: sp.csr_matrix, tg_data, maxiter: int,
         i += 1
 
 
+def tg_adapt(A: sp.csr_matrix, tg_data, rels, elem_data,
+             probe_iters: int = 10, readapting: bool = False,
+             tol: float = 1e-3, rng=None,
+             avoid_ess_bdr_dofs: bool = True) -> dict:
+    """One adaptive enrichment step (the xbad path of
+    interp_compute_vectors, interp.cpp:430-497 + spectral.cpp:151-166):
+
+      1. probe the current two-grid cycle on A x = 0 from a random start to
+         expose the slowest-converging error ("bad guy"),
+      2. orthogonalize it into each AE's basis and re-solve the local
+         eigenproblems in the enriched subspace (or just append it when
+         ``readapting``),
+      3. rebuild the tentative prolongator, re-smooth, re-RAP.
+
+    Returns stats including the probed convergence factor and whether any
+    AE enriched its basis."""
+    from saamge_tpu.setup import interp as interp_mod
+    from saamge_tpu.solve.coarse import make_coarse_solver
+
+    rng = rng or np.random.default_rng(0)
+    xbad = rng.standard_normal(A.shape[0])
+    # respect essential BCs (helpers_random_vect semantics)
+    ess = (rels.agg_flags & 1) != 0
+    xbad[ess] = 0.0
+    reason, stats = adapt_approx_xbad(A, tg_data, probe_iters, xbad,
+                                      normalize=True)
+    tg_data.ltent_interp = interp_mod.sparse_tent_build(
+        rels, tg_data.interp_data, elem_data, tg_data.theta,
+        avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
+        xbad=xbad, transf=True, readapting=readapting, tol=tol)
+    tg_mod.tg_assemble_and_smooth(A, tg_data, rels)
+    tg_data.Ac = tg_mod.tg_coarse_matr(A, tg_data.interp)
+    tg_data.coarse_solver = make_coarse_solver(tg_data.Ac, "direct")
+    stats["reason"] = reason
+    return stats
+
+
 def adapt_update_operators_tg(A: sp.csr_matrix, tg_data,
                               resmooth_interp: bool = True) -> None:
     """adapt_update_operators for one level (adapt.cpp:171)."""

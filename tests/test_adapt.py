@@ -1,0 +1,61 @@
+"""Adaptivity: xbad probing, subspace enrichment, and double cycle."""
+
+import numpy as np
+import pytest
+
+from saamge_tpu.api import SpectralAMGSolver, checkerboard_coef
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import quad_mesh
+from saamge_tpu.setup.adapt import adapt_approx_xbad, tg_adapt
+
+
+def _anisotropic_problem(n=24, eps=1e-3):
+    """Strongly anisotropic diffusion — hard for a small coarse space."""
+    mesh = quad_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    mat = np.array([[1.0, 0.0], [0.0, eps]])
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=mat, rhs=1.0, ess_attr_marker=ess)
+    return mesh, ess, A, b, em
+
+
+def test_tg_adapt_enrichment_improves_cf():
+    mesh, ess, A, b, em = _anisotropic_problem()
+    # deliberately weak coarse space: tiny theta
+    opts = SolverOptions(theta=1e-5, num_levels=2, correct_nulspace=False,
+                         first_elems_per_agg=32)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    level = s.ml.finest
+    tg = level.tg_data
+
+    xbad = np.random.default_rng(3).standard_normal(A.shape[0])
+    _, pre = adapt_approx_xbad(A, tg, 8, xbad.copy(), normalize=True)
+
+    dim_before = tg.interp.shape[1]
+    stats = tg_adapt(A, tg, level.rels, tg.elem_data, probe_iters=8)
+    dim_after = tg.interp.shape[1]
+    assert dim_after >= dim_before
+
+    xbad2 = np.random.default_rng(3).standard_normal(A.shape[0])
+    _, post = adapt_approx_xbad(A, tg, 8, xbad2, normalize=True)
+    # enrichment must improve the asymptotic convergence factor
+    assert post["acf"] <= pre["acf"] + 1e-12
+    assert post["acf"] < 0.995
+
+
+def test_double_cycle_converges():
+    mesh = quad_mesh(40)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=3, correct_nulspace=True,
+                         double_cycle=True, first_elems_per_agg=32,
+                         elems_per_agg=8)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    res = s.solve(b)
+    assert res.converged
+    assert res.iterations <= 20
+    import scipy.sparse.linalg as spla
+    err = np.linalg.norm(res.x - spla.spsolve(A.tocsc(), b))
+    assert err < 1e-5
