@@ -19,6 +19,30 @@ Architecture (TPU-first, not a port):
     multi-chip runs (replacing the reference's hypre ParCSR + MPI).
 """
 
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """TPU compile times for the batched setup eigensolves are minutes per
+    shape while cached runs are milliseconds; a persistent on-disk XLA cache
+    makes them one-time.  Opt out with SAAMGE_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("SAAMGE_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "SAAMGE_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "saamge_tpu", "jax_cache"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
+
 from saamge_tpu.config import GlobalConfig, TGConfig, CONFIG
 from saamge_tpu.fem.mesh import Mesh
 from saamge_tpu.api import SpectralAMGSolver, SAAMGePC, SAAMGeAlgPC

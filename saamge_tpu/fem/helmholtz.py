@@ -1,0 +1,140 @@
+"""First-order-system least-squares (FOSLS) Helmholtz block system.
+
+Reference: LSHelmholtzProblem.{hpp,cpp} + SecondOrderEllipticIntegrator
+(amg/src/LSHelmholtzProblem.cpp:36-160, SecondOrderEllipticIntegrator.cpp):
+for the scalar field u (H1, order 2) and the flux field q (H1^d, order 2),
+the least-squares system
+
+    | M  B^T | |u|   |f_u|         M = (grad u, grad v) + c^2 (u, v)
+    | B  G   | |q| = |f_q|         G = (div q, div p) + (q, p)
+                                       + beta (curl q, curl p)
+                                   B = c (u, div p) + (grad u, p)
+    f_u = (c f, v),  f_q = (f, div p),  c = k (may be negative), f = 0.5
+
+with homogeneous essential BCs on u eliminated from the monolithic matrix
+(EliminateBCDOFs, LSHelmholtzProblem.cpp).  The ctest baselines
+(amg/CMakeLists.txt:236-250): 2D, 8x8 quad mesh (2x2 refined twice), order
+2: 803 eliminated dofs; PCG+SAAMGeAlgPC converges in 56 iterations at
+k=-20 and 115 at k=-50 (abs tol 1e-10).
+
+All element matrices are assembled as one (NE, nd, nd) einsum batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+from saamge_tpu.fem import assemble as asm
+from saamge_tpu.fem.mesh import Mesh, quad_mesh
+
+
+@dataclasses.dataclass
+class LSHelmholtzSystem:
+    A: sp.csr_matrix            # eliminated monolithic matrix (SPD)
+    b: np.ndarray
+    mesh: Mesh
+    nU: int                     # scalar dofs before elimination
+    nW: int                     # vector dofs
+    keep: np.ndarray            # kept (non-essential) monolithic dof ids
+    full_n: int
+
+    def recover(self, x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """RecoverSolution: scatter back eliminated dofs (zero BC)."""
+        full = np.zeros(self.full_n)
+        full[self.keep] = x
+        return full[:self.nU], full[self.nU:].reshape(2, -1)
+
+
+def _q2_quad_geometry(mesh: Mesh):
+    pts, wts, N, detJ, gradN = asm.element_geometry(mesh, order=2)
+    return pts, wts, N, detJ, gradN
+
+
+def ls_helmholtz_system(k: float = -20.0, beta: float = 0.99,
+                        n_refs: int = 2, f_val: float = 0.5,
+                        mesh: Optional[Mesh] = None,
+                        eliminate_bc: bool = True) -> LSHelmholtzSystem:
+    """Build the monolithic FOSLS Helmholtz system (2D quads, order 2)."""
+    if mesh is None:
+        mesh = quad_mesh(2 * (2 ** n_refs))
+    c = float(k)
+    pts, wts, N, detJ, gradN = _q2_quad_geometry(mesh)
+    NE = mesh.num_elements
+    nd = N.shape[1]                     # scalar dofs per element (9 for Q2)
+
+    w = wts[None, :] * detJ             # (NE, nq)
+
+    # scalar block M = (grad u, grad v) + c^2 (u, v)
+    M_el = np.einsum("eq,eqak,eqbk->eab", w, gradN, gradN) \
+        + c * c * np.einsum("eq,qa,qb->eab", w, N, N)
+
+    # vector-space per-element quantities; dof layout (d, i) -> d*nd + i
+    # (CalcVShape, SecondOrderEllipticIntegrator.cpp:40-54)
+    div_ = np.concatenate([gradN[:, :, :, 0], gradN[:, :, :, 1]],
+                          axis=2)       # (NE, nq, 2nd)
+    curl_ = np.concatenate([-gradN[:, :, :, 1], gradN[:, :, :, 0]], axis=2)
+
+    G_el = np.einsum("eq,eqa,eqb->eab", w, div_, div_) \
+        + beta * np.einsum("eq,eqa,eqb->eab", w, curl_, curl_)
+    mass = np.einsum("eq,qa,qb->eab", w, N, N)       # (NE, nd, nd)
+    for d in range(2):
+        G_el[:, d * nd:(d + 1) * nd, d * nd:(d + 1) * nd] += mass
+
+    # mixed block B (test = vector (2nd), trial = scalar (nd)):
+    # c (u, div p) + (grad u, p)
+    B_el = c * np.einsum("eq,eqa,qb->eab", w, div_, N)
+    for d in range(2):
+        # (grad u, p): test (d, i) picks component d of grad u
+        B_el[:, d * nd:(d + 1) * nd, :] += np.einsum(
+            "eq,qa,eqb->eab", w, N, gradN[:, :, :, d])
+
+    # rhs
+    fU_el = (f_val * c) * np.einsum("eq,qa->ea", w, N)
+    fW_el = f_val * np.einsum("eq,eqa->ea", w, div_)
+
+    # global numbering: U scalar Q2 nodes; W = component-major blocks
+    e2dU = mesh.elem_to_dof(2)
+    nU = mesh.num_dofs(2)
+    nW = 2 * nU
+    n = nU + nW
+
+    rowsU = np.repeat(np.arange(NE), nd)
+    dofU = e2dU.indices.reshape(NE, nd)
+
+    def scatter(el_mats, rows_dofs, cols_dofs, shape):
+        nr = rows_dofs.shape[1]
+        nc = cols_dofs.shape[1]
+        r = np.repeat(rows_dofs, nc, axis=1).ravel()
+        cidx = np.tile(cols_dofs, (1, nr)).ravel()
+        return sp.coo_matrix((el_mats.ravel(), (r, cidx)),
+                             shape=shape).tocsr()
+
+    # W global numbering component-major after the U block, matching the
+    # element-local (d, i) layout
+    dofW_g = np.concatenate([dofU + nU, dofU + 2 * nU], axis=1)
+
+    M = scatter(M_el, dofU, dofU, (n, n))
+    G = scatter(G_el, dofW_g, dofW_g, (n, n))
+    B = scatter(B_el, dofW_g, dofU, (n, n))
+    A = (M + G + B + B.T).tocsr()
+
+    b = np.zeros(n)
+    np.add.at(b, dofU.ravel(), fU_el.ravel())
+    np.add.at(b, dofW_g.ravel(), fW_el.ravel())
+
+    keep = np.arange(n)
+    if eliminate_bc:
+        ess_attr = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+        essU = asm.ess_dofs_from_attrs(mesh, ess_attr, order=2, vdim=1)
+        mask = np.ones(n, dtype=bool)
+        mask[essU] = False              # only u has essential BCs
+        keep = np.flatnonzero(mask)
+        A = A[np.ix_(keep, keep)].tocsr()
+        b = b[keep]                     # homogeneous BC: no rhs correction
+
+    return LSHelmholtzSystem(A=A, b=b, mesh=mesh, nU=nU, nW=nW, keep=keep,
+                             full_n=n)

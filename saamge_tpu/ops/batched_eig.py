@@ -42,6 +42,17 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _bucket_size(n: int, multiple: int) -> int:
+    """Pad to the next power of two (>= multiple): few distinct shapes means
+    few XLA compilations — TPU eigh compile time grows steeply with n, while
+    cached runs are milliseconds, so shape reuse (plus the persistent
+    compilation cache) dominates total setup cost."""
+    m = max(multiple, 16)
+    while m < n:
+        m *= 2
+    return m
+
+
 @jax.jit
 def _eigh_batched(Mstack: jnp.ndarray):
     """Batched standard sym-eig; Mstack is the pre-scaled, pre-padded
@@ -77,6 +88,7 @@ def batched_spectral_cut(
         truncated_threshold: int = 64,
         max_vectors: int = 10,
         dtype=None,
+        device_max_n: int = 1024,
 ) -> Tuple[List[np.ndarray], List[float], List[np.ndarray]]:
     """Device-batched replacement for per-AE Eigensolver.solve loops.
 
@@ -94,13 +106,27 @@ def batched_spectral_cut(
     nae = len(mats)
     # bucket indices by padded size
     buckets: Dict[int, List[int]] = {}
+    host_idxs: List[int] = []
     for i, m in enumerate(mats):
-        nmax = _round_up(max(m.shape[0], 1), bucket_multiple)
-        buckets.setdefault(nmax, []).append(i)
+        nmax = _bucket_size(max(m.shape[0], 1), bucket_multiple)
+        if nmax > device_max_n:
+            # XLA's TPU eigh compile time grows steeply with n; very large
+            # AEs (rare: only badly unbalanced or tiny-nparts levels) go to
+            # the host LAPACK path instead
+            host_idxs.append(i)
+        else:
+            buckets.setdefault(nmax, []).append(i)
 
     cut: List[Optional[np.ndarray]] = [None] * nae
     skipped: List[float] = [0.0] * nae
     bdiags: List[Optional[np.ndarray]] = [None] * nae
+
+    if host_idxs:
+        from saamge_tpu.setup.spectral import Eigensolver
+        eig = Eigensolver(use_truncated=use_truncated,
+                          max_vectors=max_vectors)
+        for i in host_idxs:
+            cut[i], skipped[i], bdiags[i] = eig.solve(mats[i], theta)
 
     for nmax, idxs in sorted(buckets.items()):
         # host (f64): weighted-l1 diagonals + the B^{-1/2} A B^{-1/2}
@@ -120,10 +146,20 @@ def batched_spectral_cut(
             dhalf[k, :n] = dh
             M[k, :n, :n] = dh[:, None] * stack[k, :n, :n] * dh[None, :]
 
+        # pad the batch dim to a power of two as well (each (B, n, n) is a
+        # distinct XLA compilation); identity padding gives trivial results
+        Bpad = 1
+        while Bpad < B:
+            Bpad *= 2
+        if Bpad > B:
+            pad = np.zeros((Bpad - B, nmax, nmax))
+            pad[:, np.arange(nmax), np.arange(nmax)] = 1.0
+            M = np.concatenate([M, pad], axis=0)
+
         # device: the batched eigensolve itself
         evals_d, Y_d = _eigh_batched(jnp.asarray(M, dtype=dtype))
-        evals = np.asarray(evals_d, dtype=np.float64)
-        Y = np.asarray(Y_d, dtype=np.float64)
+        evals = np.asarray(evals_d, dtype=np.float64)[:B]
+        Y = np.asarray(Y_d, dtype=np.float64)[:B]
 
         for k, i in enumerate(idxs):
             n = int(sizes[k])
