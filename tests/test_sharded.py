@@ -1,0 +1,75 @@
+"""Multi-device sharded solve path (the reference's pmltest invariant:
+rank/device count must not change convergence)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax.sharding import Mesh as JaxMesh
+
+from saamge_tpu.api import SpectralAMGSolver, checkerboard_coef
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import quad_mesh
+from saamge_tpu.parallel.sharded import (make_sharded_pcg,
+                                         make_sharded_vcycle,
+                                         shard_hierarchy)
+from saamge_tpu.solve import compiled
+
+
+@pytest.fixture(scope="module")
+def problem():
+    mesh = quad_mesh(24)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                         first_elems_per_agg=32)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    return A, b, s
+
+
+def _devices(n):
+    devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} devices")
+    return np.array(devs[:n])
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_vcycle_matches_single_device(problem, ndev):
+    A, b, s = problem
+    mesh = JaxMesh(_devices(ndev), axis_names=("dp",))
+    h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
+    vc = make_sharded_vcycle(h)
+    bpad = np.zeros(h.n0_pad)
+    bpad[:h.n0] = b
+    z = np.asarray(vc(jnp.asarray(bpad)))[:h.n0]
+
+    h1 = compiled.compile_hierarchy(s.ml, dtype=jnp.float64)
+    z1 = np.asarray(compiled.vcycle_apply(h1, jnp.asarray(b)))
+    np.testing.assert_allclose(z, z1, rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_pcg_iteration_parity(problem):
+    """Same iteration count on 8 virtual devices as the host PCG —
+    the pmltest serial/parallel equivalence baseline."""
+    A, b, s = problem
+    res_host = s.solve(b)
+
+    mesh = JaxMesh(_devices(8), axis_names=("dp",))
+    h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
+    solve = make_sharded_pcg(h, rel_tol=1e-6, max_iter=100)
+    bpad = np.zeros(h.n0_pad)
+    bpad[:h.n0] = b
+    x, iters = solve(jnp.asarray(bpad))
+    assert iters == res_host.iterations
+    x = np.asarray(x)[:h.n0]
+    rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert rel < 1e-5
