@@ -54,7 +54,7 @@ def main():
         mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
     num_levels = args.levels if A.shape[0] > 5000 else 2
     opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
-                         first_elems_per_agg=128, elems_per_agg=64)
+                         first_elems_per_agg=256, elems_per_agg=256)
     s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
     setup_s = time.perf_counter() - t0
 
@@ -64,14 +64,18 @@ def main():
     h = compile_hierarchy(s.ml, dtype=dtype)
     bdev = jnp.asarray(b, dtype=dtype)
 
-    # compile + warmup
+    # compile + warmup (forced fetch so async queues are drained)
     z = vcycle_apply(h, bdev)
-    z.block_until_ready()
+    float(jnp.sum(z))
 
+    # serialized chain; the final scalar fetch forces real completion
+    # (block_until_ready alone is not trustworthy on tunneled backends)
     t0 = time.perf_counter()
+    acc = jnp.zeros_like(bdev)
     for _ in range(args.reps):
-        z = vcycle_apply(h, z)
-    z.block_until_ready()
+        z = vcycle_apply(h, bdev + 1e-30 * acc)
+        acc = acc + z
+    float(jnp.sum(acc))
     dt = (time.perf_counter() - t0) / args.reps
 
     ndof = A.shape[0]
