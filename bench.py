@@ -64,18 +64,24 @@ def main():
     h = compile_hierarchy(s.ml, dtype=dtype)
     bdev = jnp.asarray(b, dtype=dtype)
 
-    # compile + warmup (forced fetch so async queues are drained)
-    z = vcycle_apply(h, bdev)
-    float(jnp.sum(z))
+    # The whole rep loop runs inside ONE jitted call (serialized through the
+    # carried value) and the scalar fetch forces real completion — this
+    # measures device time free of both async-queue lies and per-dispatch
+    # RPC overhead on tunneled backends.
+    from saamge_tpu.solve.compiled import precond
 
-    # serialized chain; the final scalar fetch forces real completion
-    # (block_until_ready alone is not trustworthy on tunneled backends)
+    @jax.jit
+    def chain(hier, b0, reps_arr):
+        def body(y, _):
+            y = precond(hier, b0 + 1e-30 * y)
+            return y, ()
+        y, _ = jax.lax.scan(body, jnp.zeros_like(b0), reps_arr)
+        return jnp.sum(y)
+
+    reps_arr = jnp.zeros(args.reps)
+    float(chain(h, bdev, reps_arr))          # compile + warmup
     t0 = time.perf_counter()
-    acc = jnp.zeros_like(bdev)
-    for _ in range(args.reps):
-        z = vcycle_apply(h, bdev + 1e-30 * acc)
-        acc = acc + z
-    float(jnp.sum(acc))
+    float(chain(h, bdev, reps_arr))
     dt = (time.perf_counter() - t0) / args.reps
 
     ndof = A.shape[0]

@@ -92,9 +92,34 @@ class Eigensolver:
 
     def _solve_truncated(self, A, B, theta):
         """ARPACK-mode semantics (spectral.cpp:271-296): <= max_vectors
-        smallest pairs, keep while eval < theta strictly, at least one."""
-        evals, X = self._eig_all(A, B)
-        k = min(self.max_vectors, A.shape[0])
+        smallest pairs, keep while eval < theta strictly, at least one.
+
+        Computed iteratively with LOBPCG on the scaled operator
+        M = B^-1/2 A B^-1/2 (the ARPACK shift-invert analog; tol 1e-4 and
+        iteration cap follow spectral.cpp:272-274), falling back to the
+        dense path for small/ill-posed cases."""
+        n = A.shape[0]
+        k = min(self.max_vectors, n)
+        evals = X = None
+        if n >= 4 * k:
+            import scipy.sparse.linalg as spla
+            dhalf = 1.0 / np.sqrt(B)
+            M = dhalf[:, None] * A * dhalf[None, :]
+            M = 0.5 * (M + M.T)
+            rng = np.random.default_rng(n)
+            V0 = rng.standard_normal((n, k))
+            try:
+                with np.errstate(all="ignore"):
+                    w, V = spla.lobpcg(M, V0, largest=False, tol=1e-4,
+                                       maxiter=200)
+                order = np.argsort(w)
+                evals = w[order]
+                X = dhalf[:, None] * V[:, order]
+            except Exception:
+                evals = None
+        if evals is None:
+            evals_full, X_full = self._eig_all(A, B)
+            evals, X = evals_full[:k], X_full[:, :k]
         got = 1
         for ev in range(1, k):
             if evals[ev] < theta:

@@ -118,18 +118,20 @@ def coarse_solve(h: CompiledHierarchy, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def vcycle(h: CompiledHierarchy, b: jnp.ndarray, x: jnp.ndarray,
-           level: int = 0) -> jnp.ndarray:
-    """tg_cycle_atb, unrolled over levels at trace time."""
+           level: int = 0, mu: int = 1) -> jnp.ndarray:
+    """tg_cycle_atb, unrolled over levels at trace time; mu=2 gives the
+    W-cycle (each coarse visit recurses mu times)."""
     lv = h.levels[level]
     x = smooth(lv, b, x)
-    res = b - lv.A.matvec(x)
-    resc = lv.R.matvec(res)
-    if level + 1 < len(h.levels):
-        xc = jnp.zeros(h.levels[level + 1].A.shape[0], dtype=b.dtype)
-        xc = vcycle(h, resc, xc, level + 1)
-    else:
-        xc = coarse_solve(h, resc)
-    x = x + lv.P.matvec(xc)
+    for cycle in range(mu):
+        res = b - lv.A.matvec(x)
+        resc = lv.R.matvec(res)
+        if level + 1 < len(h.levels):
+            xc = jnp.zeros(h.levels[level + 1].A.shape[0], dtype=b.dtype)
+            xc = vcycle(h, resc, xc, level + 1, mu)
+        else:
+            xc = coarse_solve(h, resc)
+        x = x + lv.P.matvec(xc)
     x = smooth(lv, b, x)
     return x
 

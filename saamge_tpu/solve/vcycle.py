@@ -15,24 +15,29 @@ from saamge_tpu.solve import smoothers
 
 
 def tg_cycle(A: sp.csr_matrix, tg_data, b: np.ndarray,
-             x: np.ndarray) -> None:
-    """One V-cycle of ``tg_data`` applied in place to x."""
+             x: np.ndarray, mu: int = 1) -> None:
+    """One mu-cycle of ``tg_data`` applied in place to x: mu=1 the V-cycle
+    (tg_cycle_atb, tg.cpp:91-131), mu=2 the W-cycle (solve_spd_Wcycle,
+    solve.cpp:339-360): the coarse correction is applied mu times with a
+    residual update in between."""
     pd = tg_data.poly_data
     x[:] = smoothers.sym_poly(A, b, x, pd)
-    res = b - A @ x
-    resc = tg_data.restr @ res
-    xc = np.zeros(tg_data.Ac.shape[0])
-    tg_data.coarse_solver.mult(resc, xc)
-    x += tg_data.interp @ xc
+    for cycle in range(mu):
+        res = b - A @ x
+        resc = tg_data.restr @ res
+        xc = np.zeros(tg_data.Ac.shape[0])
+        tg_data.coarse_solver.mult(resc, xc)
+        x += tg_data.interp @ xc
     x[:] = smoothers.sym_poly(A, b, x, pd)
 
 
 class VCycleSolver:
     """mfem::Solver-style wrapper (solve.cpp:291-325)."""
 
-    def __init__(self, tg_data, iterative_mode: bool = False):
+    def __init__(self, tg_data, iterative_mode: bool = False, mu: int = 1):
         self.tg_data = tg_data
         self.iterative_mode = iterative_mode
+        self.mu = mu                       # 1 = V-cycle, 2 = W-cycle
         self.A = None
 
     def set_operator(self, A: sp.csr_matrix) -> None:
@@ -41,7 +46,7 @@ class VCycleSolver:
     def mult(self, b: np.ndarray, x: np.ndarray) -> None:
         if not self.iterative_mode:
             x[:] = 0.0
-        tg_cycle(self.A, self.tg_data, b, x)
+        tg_cycle(self.A, self.tg_data, b, x, self.mu)
 
 
 def tg_solve_stationary(A, tg_data, b, x, maxiter=100, rtol=1e-12, atol=0.0,

@@ -59,3 +59,28 @@ def test_double_cycle_converges():
     import scipy.sparse.linalg as spla
     err = np.linalg.norm(res.x - spla.spsolve(A.tocsc(), b))
     assert err < 1e-5
+
+
+def test_w_cycle_converges_at_least_as_fast():
+    from saamge_tpu.solve.pcg import pcg
+    from saamge_tpu.solve.vcycle import VCycleSolver
+    mesh = quad_mesh(40)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=3, correct_nulspace=False,
+                         first_elems_per_agg=32, elems_per_agg=8)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    res_v = s.solve(b)
+
+    w = VCycleSolver(s.ml.finest.tg_data, mu=2)
+    w.set_operator(A)
+
+    def mult(r):
+        z = np.zeros_like(r)
+        w.mult(r, z)
+        return z
+
+    res_w = pcg(A, b, mult, rel_tol=1e-6, max_iter=100)
+    assert res_w.converged
+    assert res_w.iterations <= res_v.iterations
