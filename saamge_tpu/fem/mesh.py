@@ -126,27 +126,27 @@ class Mesh:
 
     def elem_to_elem(self) -> Table:
         """Dual graph: elements sharing a full face (mfem
-        ElementToElementTable analog; no self loops)."""
-        faces: Dict[Tuple[int, ...], int] = {}
-        pairs = []
-        face_defs = _GEOM[self.elem_type]["faces"]
-        for e, verts in enumerate(self.elements):
-            for f in face_defs:
-                key = tuple(sorted(int(verts[i]) for i in f))
-                other = faces.pop(key, None)
-                if other is None:
-                    faces[key] = e
-                else:
-                    pairs.append((other, e))
-                    pairs.append((e, other))
-        if not pairs:
-            return Table.from_rows([[] for _ in range(self.num_elements)],
-                                   self.num_elements)
-        pr = np.asarray(pairs, dtype=np.int64)
+        ElementToElementTable analog; no self loops).  Vectorized: all
+        element faces are canonicalized by sorting their vertex tuples,
+        then matching faces are found with one lexsort."""
+        face_defs = np.asarray(_GEOM[self.elem_type]["faces"], dtype=np.int64)
+        NE = self.num_elements
+        nf, fv = face_defs.shape
+        # (NE*nf, fv) vertex tuples, sorted within each face
+        fverts = self.elements[:, face_defs].reshape(NE * nf, fv)
+        fverts = np.sort(fverts, axis=1)
+        owner = np.repeat(np.arange(NE, dtype=np.int64), nf)
+        order = np.lexsort(fverts.T[::-1])
+        fs = fverts[order]
+        os_ = owner[order]
+        same = np.all(fs[1:] == fs[:-1], axis=1)   # interior faces pair up
+        a, b = os_[:-1][same], os_[1:][same]
+        if len(a) == 0:
+            return Table.from_rows([[] for _ in range(NE)], NE)
+        pr = np.concatenate([np.stack([a, b], 1), np.stack([b, a], 1)])
         order = np.lexsort((pr[:, 1], pr[:, 0]))
         pr = pr[order]
-        return Table.from_pairs(pr[:, 0], pr[:, 1], self.num_elements,
-                                self.num_elements)
+        return Table.from_pairs(pr[:, 0], pr[:, 1], NE, NE)
 
     def boundary_vertex_attrs(self) -> Dict[int, np.ndarray]:
         """attribute -> unique vertex ids on boundary faces of that attr."""

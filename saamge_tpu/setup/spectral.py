@@ -52,10 +52,17 @@ class Eigensolver:
     """Dispatches direct (small) vs truncated (large) local eigensolves
     (spectral.cpp:89-116)."""
 
+    # Above this size the iterative path is used even when the caller asked
+    # for direct solves: a dense eigh here costs minutes and the reference's
+    # own design bounds local-solve cost with ARPACK (interp.hpp:104).
+    AUTO_TRUNCATE_SIZE = 1024
+
     def __init__(self, threshold: int = ARPACK_SIZE_THRESHOLD,
                  use_truncated: bool = True,
                  max_vectors: int = MAX_ARPACK_VECTORS):
-        self.threshold = threshold if use_truncated else np.iinfo(np.int32).max
+        self.threshold = min(threshold if use_truncated
+                             else np.iinfo(np.int32).max,
+                             self.AUTO_TRUNCATE_SIZE)
         self.max_vectors = max_vectors
         self.stats = EigensolverStats()
 
