@@ -101,6 +101,33 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         interp_data.rhs_matrices_arr = bdiags
         sa_print(5, "eigensolver: %d batched device solves", rels.nparts)
         return False
+    if not transf:
+        # plain setup: assembly loop + per-AE eigensolves.  LAPACK releases
+        # the GIL, so the independent local eigensolves run on a thread
+        # pool (the reference's per-AE loop is serial per rank;
+        # SURVEY §2.2 item 5 makes this the batching opportunity).
+        with TIMERS.phase("setup.ae_assembly"):
+            for i in range(rels.nparts):
+                interp_data.AEs_stiffm[i] = elem_data.build_AE_stiff(i)
+        with TIMERS.phase("setup.local_eigensolves"):
+            import concurrent.futures as cf
+            import os
+
+            def solve_one(i):
+                return eig.solve(interp_data.AEs_stiffm[i], theta)
+
+            if rels.nparts >= 8:
+                workers = min(os.cpu_count() or 1, 16)
+                with cf.ThreadPoolExecutor(workers) as ex:
+                    results = list(ex.map(solve_one, range(rels.nparts)))
+            else:
+                results = [solve_one(i) for i in range(rels.nparts)]
+            for i, (evects, skipped, B) in enumerate(results):
+                interp_data.cut_evects_arr[i] = evects
+                interp_data.rhs_matrices_arr[i] = B
+        sa_print(5, "eigensolver: %d solves (%d direct)",
+                 eig.stats.count_solves, eig.stats.count_direct_solves)
+        return False
     with TIMERS.phase("setup.local_eigensolves"):
         for i in range(rels.nparts):
             if not readapting:
