@@ -38,9 +38,19 @@ class MultilevelParameters:
     use_double_cycle: bool = False
     coarse_direct: bool = False
     smooth_drop_tol: float = 0.0
+    # upper bound on dofs per agglomerate: keeps local eigenproblems
+    # bounded (the reference's design invariant, SURVEY §5) and prevents
+    # a degenerate final coarsening (nparts=1 -> 1 giant AE whose
+    # truncated eigensolve yields a useless 1-10 dim coarsest space)
+    max_ae_dofs: int = 1024
 
     def get_nparts(self, j):
         return self.nparts_arr[j]
+
+    def get_nparts_capped(self, j, fine_dim):
+        """nparts adjusted so agglomerates stay under max_ae_dofs."""
+        return max(self.nparts_arr[j],
+                   -(-int(fine_dim) // self.max_ae_dofs))
 
     def get_nu_pro(self, j):
         return self.first_nu_pro if j == 0 else self.nu_pro
@@ -135,7 +145,8 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
             override = coarse_part_override(i)
         rels, offsets = create_partitioning_coarse(
             A, finer.rels, finer.tg_data.interp_data.mis_numcoarsedof,
-            finer.tg_data.tent_interp, mlp.get_nparts(i),
+            finer.tg_data.tent_interp,
+            mlp.get_nparts_capped(i, A.shape[0]),
             do_aggregates=do_aggregates, partitioning=override)
         finer.tg_data.interp_data.mis_coarsedofoffsets = offsets
         tg = tg_mod.tg_init_data(
