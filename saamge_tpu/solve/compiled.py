@@ -63,15 +63,29 @@ class CompiledHierarchy:
         return cls(children[0], children[1], aux)
 
 
-def compile_hierarchy(ml, dtype=jnp.float32,
-                      prefer_dia: bool = True) -> CompiledHierarchy:
-    """Convert a host MLData (setup product) into device arrays."""
-    from saamge_tpu.solve.smoothers import weighted_l1_dinv
+def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
+                      use_block_row: bool = True) -> CompiledHierarchy:
+    """Convert a host MLData (setup product) into device arrays.
+
+    Coarse-level operators use the MIS-block-row format when the finer
+    level's mis_coarsedofoffsets are available (coarse dofs are
+    MIS-contiguous, so Ac has dense row blocks — ops/blockrow.py);
+    otherwise DIA/banded/ELL by structure."""
     levels = []
-    for level in ml.levels:
+    for i, level in enumerate(ml.levels):
         tg = level.tg_data
+        A_dev = None
+        if use_block_row and i > 0:
+            finer = ml.levels[i - 1].tg_data
+            offs = getattr(finer.interp_data, "mis_coarsedofoffsets", None)
+            if offs is not None and offs[-1] == level.A.shape[0]:
+                from saamge_tpu.ops.blockrow import DeviceBlockRow
+                groups = np.asarray(offs, dtype=np.int64)
+                A_dev = DeviceBlockRow.from_csr(level.A, groups, dtype)
+        if A_dev is None:
+            A_dev = device_matrix(level.A, dtype, prefer_dia)
         levels.append(CompiledLevel(
-            A=device_matrix(level.A, dtype, prefer_dia),
+            A=A_dev,
             P=DeviceELL.from_csr(tg.interp, dtype),
             R=DeviceELL.from_csr(tg.restr, dtype),
             dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),

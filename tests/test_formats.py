@@ -73,3 +73,54 @@ def test_bcsr_interpret_matches_scipy():
     x = np.random.default_rng(2).standard_normal(150).astype(np.float32)
     y = np.asarray(B.matvec(jnp.asarray(x)))
     np.testing.assert_allclose(y, (A @ x).astype(np.float32), atol=1e-4)
+
+
+def test_blockrow_matches_scipy():
+    from saamge_tpu.ops.blockrow import DeviceBlockRow
+    rng = np.random.default_rng(0)
+    # build a block matrix with contiguous row groups sharing column sets
+    n = 90
+    offsets = np.array([0, 5, 5, 17, 30, 58, 90])
+    rows, cols, vals = [], [], []
+    for g in range(len(offsets) - 1):
+        r0, r1 = offsets[g], offsets[g + 1]
+        if r1 == r0:
+            continue
+        colset = rng.choice(n, size=rng.integers(3, 25), replace=False)
+        for r in range(r0, r1):
+            for c in colset:
+                rows.append(r); cols.append(c)
+                vals.append(rng.standard_normal())
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    B = DeviceBlockRow.from_csr(A, offsets, dtype=jnp.float64)
+    x = rng.standard_normal(n)
+    y = np.asarray(B.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A @ x, rtol=1e-12, atol=1e-12)
+
+
+def test_compiled_hierarchy_blockrow_matches_plain():
+    from saamge_tpu.api import SpectralAMGSolver, checkerboard_coef
+    from saamge_tpu.config import SolverOptions
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import quad_mesh
+    from saamge_tpu.solve import compiled
+
+    mesh = quad_mesh(24)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    s = SpectralAMGSolver(A, mesh, em,
+                          SolverOptions(num_levels=3, correct_nulspace=False,
+                                        first_elems_per_agg=32,
+                                        elems_per_agg=8),
+                          ess_attr_marker=ess)
+    h_plain = compiled.compile_hierarchy(s.ml, dtype=jnp.float64,
+                                         use_block_row=False)
+    h_block = compiled.compile_hierarchy(s.ml, dtype=jnp.float64,
+                                         use_block_row=True)
+    from saamge_tpu.ops.blockrow import DeviceBlockRow
+    assert any(isinstance(lv.A, DeviceBlockRow) for lv in h_block.levels[1:])
+    bdev = jnp.asarray(b)
+    z1 = np.asarray(compiled.vcycle_apply(h_plain, bdev))
+    z2 = np.asarray(compiled.vcycle_apply(h_block, bdev))
+    np.testing.assert_allclose(z2, z1, rtol=1e-9, atol=1e-11)
