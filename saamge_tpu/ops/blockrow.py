@@ -126,6 +126,46 @@ class DeviceBlockRow:
         flat = jnp.concatenate(parts)
         return jnp.take(flat, self.gather_rows, axis=0)
 
+    def rmatvec(self, y: jnp.ndarray) -> jnp.ndarray:
+        """x = A^T y using the same block storage: per block, gather the
+        (contiguous) rows of y, contract with the transposed block, and
+        scatter-add into the column positions.  With MIS-blocked tentative
+        restrictions this is the prolongator application (column sets
+        partition the fine dofs, so the scatter has unique indices)."""
+        n, m = self.shape
+        out = jnp.zeros(m + 1, dtype=y.dtype)            # + zero slot
+        yp = jnp.concatenate([y, jnp.zeros(1, dtype=y.dtype)])
+        for b in self.buckets:
+            ridx = b.row0[:, None] + jnp.arange(b.r)[None, :]
+            ridx = jnp.where(ridx < n, ridx, n)          # pad rows -> 0
+            yg = jnp.take(yp, ridx, axis=0)              # (B, r)
+            xg = jnp.einsum("brc,br->bc", b.blocks, yg)  # (B, c)
+            out = out.at[b.colidx.reshape(-1)].add(xg.reshape(-1))
+        return out[:m]
+
     def nbytes(self) -> int:
         return sum(int(b.blocks.size) * 4 + int(b.colidx.size) * 4
                    for b in self.buckets)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TransposedBlockRow:
+    """A^T view sharing the block storage (prolongator = restriction^T)."""
+
+    base: DeviceBlockRow
+
+    def tree_flatten(self):
+        return (self.base,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        n, m = self.base.shape
+        return (m, n)
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.base.rmatvec(x)

@@ -84,10 +84,22 @@ def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
                 A_dev = DeviceBlockRow.from_csr(level.A, groups, dtype)
         if A_dev is None:
             A_dev = device_matrix(level.A, dtype, prefer_dia)
+        P_dev = R_dev = None
+        if use_block_row and not tg.smooth_interp:
+            # tentative P/R have dense MIS row blocks too (R row group m =
+            # MIS m's coarse dofs, columns = MIS m's fine dofs)
+            offs = getattr(tg.interp_data, "mis_coarsedofoffsets", None)
+            if offs is not None and offs[-1] == tg.restr.shape[0]:
+                from saamge_tpu.ops.blockrow import (DeviceBlockRow,
+                                                     TransposedBlockRow)
+                Rb = DeviceBlockRow.from_csr(
+                    tg.restr, np.asarray(offs, dtype=np.int64), dtype)
+                R_dev, P_dev = Rb, TransposedBlockRow(Rb)
+        if P_dev is None:
+            P_dev = DeviceELL.from_csr(tg.interp, dtype)
+            R_dev = DeviceELL.from_csr(tg.restr, dtype)
         levels.append(CompiledLevel(
-            A=A_dev,
-            P=DeviceELL.from_csr(tg.interp, dtype),
-            R=DeviceELL.from_csr(tg.restr, dtype),
+            A=A_dev, P=P_dev, R=R_dev,
             dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
             roots=jnp.asarray(tg.poly_data.roots, dtype=dtype)))
     Ac = ml.levels[-1].tg_data.Ac.toarray()
