@@ -22,9 +22,6 @@ fast paths when they apply.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Tuple
-
 import numpy as np
 import scipy.sparse as sp
 

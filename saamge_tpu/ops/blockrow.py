@@ -21,7 +21,7 @@ operators (SURVEY §2.3, §7: "blocked formats with precomputed sparsity").
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import scipy.sparse as sp

@@ -16,8 +16,6 @@ local block, so the whole smoother is gather-free AND all-gather-free.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import scipy.sparse as sp
 

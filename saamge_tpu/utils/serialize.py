@@ -14,7 +14,7 @@ hierarchy (more levels / adaptivity), not to apply it.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import scipy.sparse as sp
