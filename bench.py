@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--host-setup", action="store_true",
+                    help="force the host (numpy f64) setup path")
     args = ap.parse_args()
 
     import jax
@@ -47,14 +49,24 @@ def main():
     from saamge_tpu.fem.mesh import hex_mesh
     from saamge_tpu.solve.compiled import compile_hierarchy, vcycle_apply
 
+    device_setup = platform != "cpu" and not args.host_setup
     t0 = time.perf_counter()
     mesh = hex_mesh(n)
     ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
-    A, b, em, _, _ = assemble.build_discrete_problem(
-        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    if device_setup:
+        from saamge_tpu.fem import assemble_jax
+        A, b, em, _, _ = assemble_jax.build_discrete_problem(
+            mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    else:
+        A, b, em, _, _ = assemble.build_discrete_problem(
+            mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
     num_levels = args.levels if A.shape[0] > 5000 else 2
+    # device assembly is a single cheap kernel; the batched device
+    # eigensolves pay a per-bucket-shape XLA compile that only amortizes
+    # across repeated runs (persistent cache), so they stay off by default
     opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
-                         first_elems_per_agg=256, elems_per_agg=256)
+                         first_elems_per_agg=256, elems_per_agg=256,
+                         device_setup=False)
     s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
     setup_s = time.perf_counter() - t0
 

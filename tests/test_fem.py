@@ -82,3 +82,20 @@ def test_q2_dof_count():
     mesh = quad_mesh(3)
     # Q2 on n x n quads: (2n+1)^2 dofs
     assert mesh.num_dofs(2) == 7 * 7
+
+
+def test_device_assembly_matches_host():
+    from saamge_tpu.fem import assemble, assemble_jax
+    from saamge_tpu.fem.mesh import hex_mesh
+    mesh = hex_mesh(6)
+    em_h = assemble.diffusion_element_matrices(mesh, 1.0)
+    em_d = assemble_jax.diffusion_element_matrices(mesh, 1.0)
+    assert np.abs(em_h - em_d).max() / np.abs(em_h).max() < 1e-5
+
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A1, b1, _, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    A2, b2, _, _, _ = assemble_jax.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    assert abs(A1 - A2).max() < 1e-5
+    np.testing.assert_allclose(b1, b2, atol=1e-12)
