@@ -137,3 +137,24 @@ def sym_poly(A, b, x, pd: PolyData):
         y = compute_poly(A, b, y, pd.roots2, pd.dinv)
         return pd.weightfirst * x + (1.0 - pd.weightfirst) * y
     return compute_poly(A, b, x, pd.roots, pd.dinv)
+
+
+def gauss_seidel_l1(A: sp.csr_matrix, b: np.ndarray, x: np.ndarray,
+                    sweeps: int = 1, symmetric: bool = True) -> np.ndarray:
+    """Hybrid l1 Gauss-Seidel (smpr_gauss_seidel, smpr.cpp:195 — hypre's
+    l1GS relaxation): forward/backward triangular sweeps with the weighted
+    l1 diagonal added for robustness.  Host-side alternative smoother; the
+    polynomial smoothers remain the TPU-friendly default (triangular
+    sweeps are inherently sequential)."""
+    import scipy.sparse.linalg as spla
+    n = A.shape[0]
+    dl1 = 1.0 / weighted_l1_dinv(A)          # the l1 diagonal itself
+    L = sp.tril(A, k=-1, format="csr")
+    M_fwd = (L + sp.diags(dl1)).tocsr()
+    U = sp.triu(A, k=1, format="csr")
+    M_bwd = (U + sp.diags(dl1)).tocsr()
+    for _ in range(sweeps):
+        x += spla.spsolve_triangular(M_fwd, b - A @ x, lower=True)
+        if symmetric:
+            x += spla.spsolve_triangular(M_bwd, b - A @ x, lower=False)
+    return x

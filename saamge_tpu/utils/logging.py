@@ -47,3 +47,46 @@ class PhaseTimers:
 
 
 TIMERS = PhaseTimers()
+
+
+def agg_print_stats(rels, level: int = 1) -> None:
+    """agg_print_data (aggregates.hpp:698-762): AE / MIS size statistics."""
+    import numpy as np
+    ae_sizes = np.asarray([rels.AE_to_dof.row_size(i)
+                           for i in range(rels.nparts)])
+    sa_print(level, "Agglomerates: %d; dofs per AE min/avg/max: %d/%.1f/%d",
+             rels.nparts, ae_sizes.min(), ae_sizes.mean(), ae_sizes.max())
+    if getattr(rels, "mis_to_dof", None) is not None:
+        mis_sizes = np.asarray([rels.mis_to_dof.row_size(i)
+                                for i in range(rels.num_mises)])
+        sa_print(level, "MISes: %d; dofs per MIS min/avg/max: %d/%.1f/%d",
+                 rels.num_mises, mis_sizes.min(), mis_sizes.mean(),
+                 mis_sizes.max())
+
+
+class device_trace:
+    """jax profiler trace context (the SA_TIMERS/jax-profiler analog):
+    ``with device_trace('/tmp/trace'): ...`` writes a TensorBoard-viewable
+    trace of the device work; no-op if the profiler is unavailable."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            import jax
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        except Exception:
+            pass
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                import jax
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+        return False

@@ -86,3 +86,20 @@ def test_smoother_contracts_in_energy():
     x = smoothers.sym_poly(A, np.zeros_like(x), x, pd)
     e1 = x @ (A @ x)
     assert e1 < e0
+
+
+def test_gauss_seidel_l1_smooths():
+    import scipy.sparse as sp
+    from saamge_tpu.solve.smoothers import gauss_seidel_l1
+    n = 40
+    A = sp.diags([-np.ones(n - 1), 2.01 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1], format="csr")
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    x = np.zeros(n)
+    e0 = np.sqrt((x - x_true) @ (A @ (x - x_true)))
+    for _ in range(5):
+        x = gauss_seidel_l1(A, b, x)
+    e1 = np.sqrt((x - x_true) @ (A @ (x - x_true)))
+    assert e1 < 0.5 * e0
