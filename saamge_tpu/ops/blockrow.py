@@ -37,6 +37,16 @@ def _pow2_at_least(x: int, lo: int) -> int:
     return m
 
 
+def _quantize(x: int, lo: int, step: int = 4) -> int:
+    """Pad to the next power of `step`: coarser classes mean fewer buckets
+    — each bucket is a separate gather+einsum op and small ops pay a fixed
+    per-op latency, so fewer-but-fuller buckets win."""
+    m = lo
+    while m < x:
+        m *= step
+    return m
+
+
 @dataclasses.dataclass
 class _Bucket:
     blocks: jnp.ndarray      # (B, r, c)
@@ -91,9 +101,12 @@ class DeviceBlockRow:
             raw.append((r0, r1 - r0, cols, dense))
 
         # bucket by padded (rows, cols)
+        # padding classes: rows to multiples of 8 (sublane), columns to
+        # multiples of 16 — measured best against pow2 and coarser classes
+        # (fill volume dominates; per-bucket op latency is secondary)
         groups = {}
         for r0, nr, cols, dense in raw:
-            key = (_pow2_at_least(nr, 1), _pow2_at_least(max(len(cols), 1), 8))
+            key = (-(-nr // 8) * 8, -(-max(len(cols), 1) // 16) * 16)
             groups.setdefault(key, []).append((r0, nr, cols, dense))
 
         buckets = []
