@@ -61,12 +61,12 @@ def main():
         A, b, em, _, _ = assemble.build_discrete_problem(
             mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
     num_levels = args.levels if A.shape[0] > 5000 else 2
-    # device assembly is a single cheap kernel; the batched device
-    # eigensolves pay a per-bucket-shape XLA compile that only amortizes
-    # across repeated runs (persistent cache), so they stay off by default
+    # batched device eigensolves: per-bucket-shape XLA compiles are
+    # one-time (persistent cache under ~/.cache/saamge_tpu); warm runs are
+    # immune to host-CPU noise
     opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
                          first_elems_per_agg=256, elems_per_agg=256,
-                         device_setup=False)
+                         device_setup=device_setup)
     s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
     setup_s = time.perf_counter() - t0
 

@@ -139,3 +139,43 @@ class Eigensolver:
             self.stats.smallest_eigenvalue_skipped = min(
                 self.stats.smallest_eigenvalue_skipped, float(skipped))
         return X[:, :got], float(max(skipped, 0.0)), B
+
+
+def schur_eigensolve(A_AE: np.ndarray, agg_ids: np.ndarray, theta: float,
+                     max_vectors: int = 0):
+    """Legacy aggregate Schur-complement eigensolve with minimal-energy
+    extension (spect_schur_local_prob_solve_sparse, spectral.cpp:405 +
+    spect_schur_augment_transf, spectral.cpp:325): partition the AE
+    stiffness into aggregate ('a') and rest ('r') dofs,
+
+        S = A_aa - A_ar A_rr^{-1} A_ra,
+
+    solve S w = lambda B_S w (B_S the weighted-l1 diagonal of S), keep
+    lambda <= theta (at least one), and extend each eigenvector into the
+    full AE by the minimal-energy (harmonic) extension
+    w_r = -A_rr^{-1} A_ra w_a.
+
+    Returns (n_AE, m) full-AE vectors."""
+    n = A_AE.shape[0]
+    a = np.asarray(agg_ids, dtype=np.int64)
+    mask = np.zeros(n, dtype=bool)
+    mask[a] = True
+    r = np.flatnonzero(~mask)
+    Aaa = A_AE[np.ix_(a, a)]
+    if len(r):
+        Aar = A_AE[np.ix_(a, r)]
+        Arr = A_AE[np.ix_(r, r)]
+        Ext = -np.linalg.solve(Arr, Aar.T)          # (r, a)
+        S = Aaa + Aar @ Ext
+        S = 0.5 * (S + S.T)
+    else:
+        Ext = None
+        S = Aaa
+    eig = Eigensolver(use_truncated=max_vectors > 0,
+                      max_vectors=max_vectors or MAX_ARPACK_VECTORS)
+    wa, skipped, _ = eig.solve(S, theta)
+    out = np.zeros((n, wa.shape[1]))
+    out[a] = wa
+    if Ext is not None:
+        out[r] = Ext @ wa
+    return out, skipped

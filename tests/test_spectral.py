@@ -103,3 +103,23 @@ def test_gauss_seidel_l1_smooths():
         x = gauss_seidel_l1(A, b, x)
     e1 = np.sqrt((x - x_true) @ (A @ (x - x_true)))
     assert e1 < 0.5 * e0
+
+
+def test_schur_eigensolve_minimal_energy():
+    from saamge_tpu.setup.spectral import schur_eigensolve
+    rng = np.random.default_rng(5)
+    n = 30
+    M = rng.standard_normal((n, n))
+    A = M @ M.T + n * np.eye(n)
+    agg = np.arange(0, 12)
+    V, skipped = schur_eigensolve(A, agg, theta=0.5)
+    assert V.shape[0] == n and V.shape[1] >= 1
+    # harmonic extension: rest-block residual of A V must vanish
+    rest = np.arange(12, n)
+    res = A[np.ix_(rest, np.arange(n))] @ V
+    assert np.abs(res).max() < 1e-8
+    # extension is minimal-energy: energy <= any other extension (spot check)
+    V2 = V.copy()
+    V2[rest] += 0.1 * rng.standard_normal(V2[rest].shape)
+    for j in range(V.shape[1]):
+        assert V[:, j] @ (A @ V[:, j]) <= V2[:, j] @ (A @ V2[:, j]) + 1e-12
