@@ -61,12 +61,13 @@ def main():
         A, b, em, _, _ = assemble.build_discrete_problem(
             mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
     num_levels = args.levels if A.shape[0] > 5000 else 2
-    # batched device eigensolves: per-bucket-shape XLA compiles are
-    # one-time (persistent cache under ~/.cache/saamge_tpu); warm runs are
-    # immune to host-CPU noise
+    # device assembly is a single cheap kernel; the batched device
+    # eigensolves are NOT used here — their per-bucket eigh compiles run
+    # through remote compilation on tunneled backends and cost far more
+    # than the host solves save (measured: 210-560s vs ~40s host)
     opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
                          first_elems_per_agg=256, elems_per_agg=256,
-                         device_setup=device_setup)
+                         device_setup=False)
     s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
     setup_s = time.perf_counter() - t0
 
