@@ -89,6 +89,7 @@ def batched_spectral_cut(
         max_vectors: int = 10,
         dtype=None,
         device_max_n: int = 1024,
+        mesh=None,
 ) -> Tuple[List[np.ndarray], List[float], List[np.ndarray]]:
     """Device-batched replacement for per-AE Eigensolver.solve loops.
 
@@ -147,17 +148,30 @@ def batched_spectral_cut(
             M[k, :n, :n] = dh[:, None] * stack[k, :n, :n] * dh[None, :]
 
         # pad the batch dim to a power of two as well (each (B, n, n) is a
-        # distinct XLA compilation); identity padding gives trivial results
+        # distinct XLA compilation); identity padding gives trivial results.
+        # With a device mesh the batch is also padded to the device count
+        # and row-sharded: the per-AE solves are independent, so the batch
+        # dimension is the natural data-parallel axis (SURVEY §2.2 item 5).
         Bpad = 1
         while Bpad < B:
             Bpad *= 2
+        if mesh is not None:
+            ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            Bpad = max(Bpad, ndev)
         if Bpad > B:
             pad = np.zeros((Bpad - B, nmax, nmax))
             pad[:, np.arange(nmax), np.arange(nmax)] = 1.0
             M = np.concatenate([M, pad], axis=0)
 
         # device: the batched eigensolve itself
-        evals_d, Y_d = _eigh_batched(jnp.asarray(M, dtype=dtype))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            spec = PartitionSpec(mesh.axis_names[0])
+            M_dev = jax.device_put(M.astype(np.dtype(dtype)),
+                                   NamedSharding(mesh, spec))
+        else:
+            M_dev = jnp.asarray(M, dtype=dtype)
+        evals_d, Y_d = _eigh_batched(M_dev)
         evals = np.asarray(evals_d, dtype=np.float64)[:B]
         Y = np.asarray(Y_d, dtype=np.float64)[:B]
 

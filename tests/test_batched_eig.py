@@ -89,3 +89,23 @@ def test_end_to_end_same_iterations():
         assert res.converged
         iters[device_setup] = res.iterations
     assert abs(iters[True] - iters[False]) <= 1, iters
+
+
+def test_batched_cut_sharded_over_mesh(mats):
+    """Distributed setup: AE batches row-sharded over the device mesh give
+    the same spectral cuts."""
+    import jax
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < 4:
+        devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 devices")
+    mesh = Mesh(np.array(devs[:4]), axis_names=("dp",))
+    theta = 0.05
+    cut0, skip0, b0 = batched_spectral_cut(mats, theta)
+    cut1, skip1, b1 = batched_spectral_cut(mats, theta, mesh=mesh)
+    for i in range(len(mats)):
+        assert cut0[i].shape == cut1[i].shape
+        np.testing.assert_allclose(b0[i], b1[i], rtol=1e-12)
+        np.testing.assert_allclose(abs(cut0[i]), abs(cut1[i]), atol=1e-5)
