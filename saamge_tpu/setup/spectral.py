@@ -89,7 +89,26 @@ class Eigensolver:
         evals, Y = np.linalg.eigh(M)
         return evals, dhalf[:, None] * Y
 
+    # For AEs above this size the direct path computes only the lowest
+    # SUBSET_K eigenpairs (dsyevr range mode — exactly the reference's
+    # xpacks_calc_lower_eigens_dense, xpacks.hpp:120) and falls back to the
+    # full solve in the rare case the theta cut wants them all.
+    SUBSET_MIN_N = 128
+    SUBSET_K = 24
+
     def _solve_direct(self, A, B, theta):
+        n = A.shape[0]
+        if n > self.SUBSET_MIN_N:
+            import scipy.linalg as sla
+            dhalf = 1.0 / np.sqrt(B)
+            M = dhalf[:, None] * A * dhalf[None, :]
+            M = 0.5 * (M + M.T)
+            k = min(self.SUBSET_K, n)
+            evals, Y = sla.eigh(M, subset_by_index=[0, k - 1])
+            if evals[-1] > theta:            # cut is inside the subset
+                X = dhalf[:, None] * Y
+                m = max(int(np.searchsorted(evals, theta, side="right")), 1)
+                return X[:, :m], float(evals[m] if m < k else evals[-1]), B
         evals, X = self._eig_all(A, B)
         lmax = 1.0
         m = int(np.searchsorted(evals, theta * lmax, side="right"))

@@ -262,18 +262,31 @@ def build_AE_stiffm_with_global(A: sp.csr_matrix, part: int,
         loc = loc_of[edofs]
         A_loc[np.ix_(loc, loc)] += elem_mats[e]
     # global submatrix values + pattern (incl. stored zeros: the reference
-    # iterates the assembled CSR pattern, which keeps eliminated entries)
+    # iterates the assembled CSR pattern, which keeps eliminated entries).
+    # The membership mask is a reusable ND scratch (allocating per AE would
+    # cost O(nparts * ND)).
     A_sub = np.zeros((n, n))
     in_pattern = np.zeros((n, n), dtype=bool)
-    in_ae = np.zeros(rels.ND, dtype=bool)
+    in_ae = getattr(rels, "_in_ae_scratch", None)
+    if in_ae is None:
+        in_ae = np.zeros(rels.ND, dtype=bool)
+        object.__setattr__(rels, "_in_ae_scratch", in_ae)
     in_ae[dofs] = True
-    for i, d in enumerate(dofs):
-        lo, hi = A.indptr[d], A.indptr[d + 1]
-        cols = A.indices[lo:hi]
-        keep = in_ae[cols]
-        lc = loc_of[cols[keep]]
-        A_sub[i, lc] = A.data[lo:hi][keep]
-        in_pattern[i, lc] = True
+    rows_lo = A.indptr[dofs]
+    rows_hi = A.indptr[dofs + 1]
+    all_cols = np.concatenate([A.indices[a:b]
+                               for a, b in zip(rows_lo, rows_hi)]) \
+        if n else np.zeros(0, dtype=A.indices.dtype)
+    all_vals = np.concatenate([A.data[a:b]
+                               for a, b in zip(rows_lo, rows_hi)]) \
+        if n else np.zeros(0)
+    all_rows = np.repeat(np.arange(n), rows_hi - rows_lo)
+    keep = in_ae[all_cols]
+    li = all_rows[keep]
+    lc = loc_of[all_cols[keep]]
+    A_sub[li, lc] = all_vals[keep]
+    in_pattern[li, lc] = True
+    in_ae[dofs] = False                      # reset scratch
 
     between = (rels.agg_flags[dofs] & FLAG_BETWEEN_AES) != 0
     ess = (rels.agg_flags[dofs] & FLAG_ESS_BDR) != 0
