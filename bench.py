@@ -49,17 +49,13 @@ def main():
     from saamge_tpu.fem.mesh import hex_mesh
     from saamge_tpu.solve.compiled import compile_hierarchy, vcycle_apply
 
-    device_setup = platform != "cpu" and not args.host_setup
     t0 = time.perf_counter()
     mesh = hex_mesh(n)
     ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
-    if device_setup:
-        from saamge_tpu.fem import assemble_jax
-        A, b, em, _, _ = assemble_jax.build_discrete_problem(
-            mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
-    else:
-        A, b, em, _, _ = assemble.build_discrete_problem(
-            mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    # generator meshes are uniform: host assembly integrates one element
+    # and broadcasts (assemble_jax covers unstructured meshes on device)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
     num_levels = args.levels if A.shape[0] > 5000 else 2
     # device assembly is a single cheap kernel; the batched device
     # eigensolves are NOT used here — their per-bucket eigh compiles run

@@ -231,10 +231,29 @@ def element_geometry(mesh: Mesh, order: int = 1):
     return pts2, wts2, N2, detJ, gradN
 
 
+def _uniform_submesh(mesh: Mesh) -> Mesh:
+    import dataclasses as _dc
+    sub = _dc.replace(mesh, elements=mesh.elements[:1],
+                      elem_attr=mesh.elem_attr[:1])
+    sub.uniform = False
+    return sub
+
+
 def diffusion_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
                                order: int = 1,
                                matrix_coef: bool = False) -> np.ndarray:
     """(NE, nd, nd) stiffness batch for -div(c grad u)."""
+    if (getattr(mesh, "uniform", False) and not matrix_coef
+            and not (callable(coef)
+                     and np.asarray(
+                         coef(mesh.elem_centers()[0])).ndim == 2)
+            and not (not callable(coef) and np.asarray(coef).ndim >= 2)):
+        # all elements congruent: integrate ONE element, scale by the
+        # per-element scalar coefficient
+        em0 = diffusion_element_matrices(_uniform_submesh(mesh), 1.0,
+                                         order)[0]
+        c = _eval_coefficient(coef, mesh)
+        return c[:, None, None] * em0[None, :, :]
     pts, wts, N, detJ, gradN = element_geometry(mesh, order)
     if not callable(coef) and np.asarray(coef).ndim >= 2:
         matrix_coef = True
@@ -298,9 +317,17 @@ def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
 def domain_lf(mesh: Mesh, rhs: Coefficient = 1.0, order: int = 1,
               vdim: int = 1) -> np.ndarray:
     """Assembled load vector for (rhs, v) (DomainLFIntegrator)."""
-    pts, wts, N, detJ, gradN = element_geometry(mesh, order)
-    r = _eval_coefficient(rhs, mesh)
-    be = np.einsum("q,eq,e,qa->ea", wts, detJ, r, N, optimize=True)  # (NE, nd)
+    if getattr(mesh, "uniform", False):
+        pts, wts, N, detJ, gradN = element_geometry(_uniform_submesh(mesh),
+                                                    order)
+        r = _eval_coefficient(rhs, mesh)
+        be0 = np.einsum("q,q,qa->a", wts, detJ[0], N, optimize=True)
+        be = r[:, None] * be0[None, :]
+    else:
+        pts, wts, N, detJ, gradN = element_geometry(mesh, order)
+        r = _eval_coefficient(rhs, mesh)
+        be = np.einsum("q,eq,e,qa->ea", wts, detJ, r, N,
+                       optimize=True)  # (NE, nd)
     e2d = mesh.elem_to_dof(order, vdim)
     nd_total = e2d.ncols
     b = np.zeros(nd_total)

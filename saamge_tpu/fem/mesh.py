@@ -42,6 +42,9 @@ class Mesh:
     elem_attr: np.ndarray      # (NE,) int64
     boundary: np.ndarray       # (NB, nbv) int64 vertex lists of bdr faces
     bdr_attr: np.ndarray       # (NB,) int64
+    # all elements congruent up to translation (structured generators set
+    # this): assembly can integrate ONE element and broadcast
+    uniform: bool = False
 
     @property
     def num_vertices(self) -> int:
@@ -229,7 +232,7 @@ def quad_mesh(nx: int, ny: int = None, sx: float = 1.0,
     return Mesh(2, vertices, np.asarray(elems, dtype=np.int64), "quad",
                 np.ones(len(elems), dtype=np.int64),
                 np.asarray(bdry, dtype=np.int64),
-                np.asarray(battr, dtype=np.int64))
+                np.asarray(battr, dtype=np.int64), uniform=True)
 
 
 def hex_mesh(nx: int, ny: int = None, nz: int = None, sx: float = 1.0,
@@ -275,7 +278,7 @@ def hex_mesh(nx: int, ny: int = None, nz: int = None, sx: float = 1.0,
     return Mesh(3, vertices, np.asarray(elems, dtype=np.int64), "hex",
                 np.ones(len(elems), dtype=np.int64),
                 np.asarray(bdry, dtype=np.int64),
-                np.asarray(battr, dtype=np.int64))
+                np.asarray(battr, dtype=np.int64), uniform=True)
 
 
 # ---------------------------------------------------------------------------
