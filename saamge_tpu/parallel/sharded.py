@@ -250,3 +250,84 @@ def make_sharded_pcg(h: ShardedHierarchy, rel_tol: float = 1e-6,
         return x, it
 
     return solve
+
+
+def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
+                         max_iter: int = 100):
+    """Fully-jitted sharded PCG: the vcycle+SpMV run through shard_map and
+    the iteration is a lax.while_loop — ONE XLA computation end-to-end,
+    dot products local on replicated vectors (psum-free because vectors are
+    replicated; in a fully distributed-vector variant they become
+    local-dot + psum).  Returns solve(b) -> (x, iters)."""
+    axis = h.mesh.axis_names[0]
+    from jax.experimental.shard_map import shard_map
+
+    lv0 = h.levels[0]
+    spmv = shard_map(
+        lambda c, v, x: _spmv_local(c, v, x, axis),
+        mesh=h.mesh, in_specs=(P(axis, None), P(axis, None), P()),
+        out_specs=P(), check_rep=False)
+
+    def vcycle_once(levels, chol, b):
+        def body(levels, chol, r):
+            def vcycle(levels, chol, bb, x, depth):
+                lv = levels[depth]
+                x = _smooth(lv, bb, x, axis)
+                Ax = _spmv_local(lv.A_cols, lv.A_vals, x, axis)
+                res = bb - Ax
+                resc = _spmv_local(lv.R_cols, lv.R_vals, res, axis)
+                if depth + 1 < len(levels):
+                    xc = vcycle(levels, chol, resc, jnp.zeros_like(resc),
+                                depth + 1)
+                else:
+                    y = jax.scipy.linalg.solve_triangular(chol, resc,
+                                                          lower=True)
+                    xc = jax.scipy.linalg.solve_triangular(chol.T, y,
+                                                           lower=False)
+                x = x + _spmv_local(lv.P_cols, lv.P_vals, xc, axis)
+                x = _smooth(lv, bb, x, axis)
+                return x
+            return vcycle(levels, chol, r, jnp.zeros_like(r), 0)
+        return shard_map(body, mesh=h.mesh,
+                         in_specs=(_level_specs(h), P(), P()),
+                         out_specs=P(), check_rep=False)(levels, chol, b)
+
+    @jax.jit
+    def solve(b):
+        z = vcycle_once(h.levels, h.chol, b)
+        nom0 = z @ b
+        lim = nom0 * rel_tol * rel_tol
+
+        def cond(st):
+            x, r, d, Ad, nom, it = st
+            return jnp.logical_and(nom > lim, it < max_iter)
+
+        def body(st):
+            x, r, d, Ad, nom, it = st
+            alpha = nom / (d @ Ad)
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = vcycle_once(h.levels, h.chol, r)
+            betanom = r @ z
+            d = z + (betanom / nom) * d
+            Ad = spmv(lv0.A_cols, lv0.A_vals, d)
+            return (x, r, d, Ad, betanom, it + 1)
+
+        st = (jnp.zeros_like(b), b, z,
+              spmv(lv0.A_cols, lv0.A_vals, z), nom0, jnp.int32(0))
+        x, r, d, Ad, nom, it = jax.lax.while_loop(cond, body, st)
+        return x, it
+
+    return solve
+
+
+def _level_specs(h: ShardedHierarchy):
+    axis = h.mesh.axis_names[0]
+    specs = []
+    for lv in h.levels:
+        specs.append(ShardedLevel(
+            A_cols=P(axis, None), A_vals=P(axis, None),
+            P_cols=P(axis, None), P_vals=P(axis, None),
+            R_cols=P(axis, None), R_vals=P(axis, None),
+            dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc))
+    return specs

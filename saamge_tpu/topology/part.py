@@ -190,3 +190,26 @@ def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
     sa_print(3, "Desired number of partitions: %d", nparts)
     sa_print(3, "Actual number of partitions: %d", ncc)
     return part
+
+
+def partition_cartesian_2d(elem_centers: np.ndarray, nx: int, ny: int,
+                           bbox=None) -> np.ndarray:
+    """fem_partition_cartesian_2d analog (fem.cpp:560): assign elements to
+    an nx x ny Cartesian grid of boxes by element center."""
+    c = np.asarray(elem_centers)
+    if bbox is None:
+        lo, hi = c.min(axis=0), c.max(axis=0)
+    else:
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+    span = np.maximum(hi - lo, 1e-300)
+    ix = np.minimum((nx * (c[:, 0] - lo[0]) / span[0]).astype(np.int64),
+                    nx - 1)
+    iy = np.minimum((ny * (c[:, 1] - lo[1]) / span[1]).astype(np.int64),
+                    ny - 1)
+    return iy * nx + ix
+
+
+def partition_identity(n: int) -> np.ndarray:
+    """Identity partitioning: every element its own agglomerate
+    (fem_create_partitioning_identity, fem.cpp:648)."""
+    return np.arange(n, dtype=np.int64)

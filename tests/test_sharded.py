@@ -73,3 +73,29 @@ def test_sharded_pcg_iteration_parity(problem):
     x = np.asarray(x)[:h.n0]
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel < 1e-5
+
+
+def test_sharded_pcg_jit_matches(problem):
+    from saamge_tpu.parallel.sharded import make_sharded_pcg_jit
+    A, b, s = problem
+    res_host = s.solve(b)
+    mesh = JaxMesh(_devices(8), axis_names=("dp",))
+    h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
+    solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
+    bpad = np.zeros(h.n0_pad)
+    bpad[:h.n0] = b
+    x, iters = solve(jnp.asarray(bpad))
+    assert int(iters) == res_host.iterations
+    x = np.asarray(x)[:h.n0]
+    rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+    assert rel < 1e-5
+
+
+def test_cartesian_partitioner():
+    from saamge_tpu.fem.mesh import quad_mesh
+    from saamge_tpu.topology.part import (partition_cartesian_2d,
+                                          partition_identity)
+    mesh = quad_mesh(8)
+    part = partition_cartesian_2d(mesh.elem_centers(), 2, 2)
+    assert part.max() == 3 and np.bincount(part).tolist() == [16] * 4
+    assert (partition_identity(5) == np.arange(5)).all()
