@@ -36,13 +36,16 @@ class CompiledLevel:
     R: DeviceELL                # restriction  (n_c, n_f)
     dinv: jnp.ndarray           # weighted-l1 D^{-1} for the smoother
     roots: jnp.ndarray          # SAS relaxation roots (degree 3 nu + 1)
+    # fused Pallas smoother (stencil levels, f32): all roots in ONE kernel
+    fused_smooth: object = None
 
     def tree_flatten(self):
-        return (self.A, self.P, self.R, self.dinv, self.roots), None
+        return ((self.A, self.P, self.R, self.dinv, self.roots),
+                self.fused_smooth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, fused_smooth=aux)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -98,10 +101,23 @@ def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
         if P_dev is None:
             P_dev = DeviceELL.from_csr(tg.interp, dtype)
             R_dev = DeviceELL.from_csr(tg.restr, dtype)
+        fused = None
+        if dtype == jnp.float32:
+            from saamge_tpu.ops.sparse import DeviceDIA
+            if isinstance(A_dev, DeviceDIA):
+                from saamge_tpu.ops.pallas_smoother import (fits_vmem,
+                                                            fused_dia_smoother)
+                if fits_vmem(A_dev.shape[0], len(A_dev.offsets)):
+                    fused = fused_dia_smoother(
+                        A_dev, jnp.asarray(tg.poly_data.dinv,
+                                           dtype=jnp.float32),
+                        tg.poly_data.roots,
+                        interpret=jax.devices()[0].platform == "cpu")
         levels.append(CompiledLevel(
             A=A_dev, P=P_dev, R=R_dev,
             dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
-            roots=jnp.asarray(tg.poly_data.roots, dtype=dtype)))
+            roots=jnp.asarray(tg.poly_data.roots, dtype=dtype),
+            fused_smooth=fused))
     Ac = ml.levels[-1].tg_data.Ac.toarray()
     chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
     return CompiledHierarchy(levels, chol, Ac.shape[0])
@@ -129,8 +145,11 @@ def smooth(level: CompiledLevel, b: jnp.ndarray,
            x: jnp.ndarray) -> jnp.ndarray:
     """smpr_compute_poly: x += (1/tau) D^{-1} (b - A x), per root.
 
-    The roots array has static length, so this unrolls into degree
-    SpMV+fma stages that XLA fuses aggressively."""
+    Stencil levels that fit VMEM use the fused Pallas kernel (all roots in
+    one dispatch, operator resident in VMEM); otherwise the roots scan
+    unrolls into SpMV+fma stages that XLA fuses."""
+    if level.fused_smooth is not None:
+        return level.fused_smooth(b, x)
     def body(x, tau):
         x = x + (level.dinv * (b - level.A.matvec(x))) / tau
         return x, None
