@@ -74,7 +74,7 @@ class Mesh:
             raise NotImplementedError(
                 f"order {order} for {self.elem_type}")
         if vdim == 1:
-            return Table.from_rows(list(e2d), self.num_dofs(order))
+            return Table.from_rows(np.asarray(e2d), self.num_dofs(order))
         # Vector-valued flattening, byVDIM global numbering with
         # component-major local order (fem.cpp:478 vector_valued_elem_to_dof).
         rows = []
@@ -249,36 +249,43 @@ def hex_mesh(nx: int, ny: int = None, nz: int = None, sx: float = 1.0,
     xs = np.linspace(0.0, sx, nx + 1)
     ys = np.linspace(0.0, sy, ny + 1)
     zs = np.linspace(0.0, sz, nz + 1)
-    vertices = np.array([(x, y, z) for x in xs for y in ys for z in zs])
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    vertices = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+    sI = (ny + 1) * (nz + 1)
+    sJ = nz + 1
 
     def vid(i, j, k):
-        return i * (ny + 1) * (nz + 1) + j * (nz + 1) + k
+        # vectorized: i/j/k may be arrays
+        return i * sI + j * sJ + k
 
-    elems, bdry, battr = [], [], []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                v000 = vid(i, j, k); v001 = vid(i, j, k + 1)
-                v010 = vid(i, j + 1, k); v011 = vid(i, j + 1, k + 1)
-                v100 = vid(i + 1, j, k); v101 = vid(i + 1, j, k + 1)
-                v110 = vid(i + 1, j + 1, k); v111 = vid(i + 1, j + 1, k + 1)
-                elems.append([v000, v100, v110, v010, v001, v101, v111, v011])
-                if i == 0:
-                    bdry.append([v000, v001, v011, v010]); battr.append(1)
-                if i == nx - 1:
-                    bdry.append([v100, v110, v111, v101]); battr.append(2)
-                if j == 0:
-                    bdry.append([v000, v001, v101, v100]); battr.append(3)
-                if j == ny - 1:
-                    bdry.append([v010, v011, v111, v110]); battr.append(4)
-                if k == 0:
-                    bdry.append([v000, v100, v110, v010]); battr.append(5)
-                if k == nz - 1:
-                    bdry.append([v001, v101, v111, v011]); battr.append(6)
-    return Mesh(3, vertices, np.asarray(elems, dtype=np.int64), "hex",
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
+    v000 = vid(I, J, K); v001 = vid(I, J, K + 1)
+    v010 = vid(I, J + 1, K); v011 = vid(I, J + 1, K + 1)
+    v100 = vid(I + 1, J, K); v101 = vid(I + 1, J, K + 1)
+    v110 = vid(I + 1, J + 1, K); v111 = vid(I + 1, J + 1, K + 1)
+    elems = np.stack([v000, v100, v110, v010, v001, v101, v111, v011],
+                     axis=1)
+
+    bdry_parts, battr_parts = [], []
+
+    def face(mask, quad, attr):
+        faces = np.stack([q[mask] for q in quad], axis=1)
+        bdry_parts.append(faces)
+        battr_parts.append(np.full(len(faces), attr, dtype=np.int64))
+
+    face(I == 0, (v000, v001, v011, v010), 1)
+    face(I == nx - 1, (v100, v110, v111, v101), 2)
+    face(J == 0, (v000, v001, v101, v100), 3)
+    face(J == ny - 1, (v010, v011, v111, v110), 4)
+    face(K == 0, (v000, v100, v110, v010), 5)
+    face(K == nz - 1, (v001, v101, v111, v011), 6)
+    return Mesh(3, vertices, elems.astype(np.int64), "hex",
                 np.ones(len(elems), dtype=np.int64),
-                np.asarray(bdry, dtype=np.int64),
-                np.asarray(battr, dtype=np.int64), uniform=True)
+                np.concatenate(bdry_parts).astype(np.int64),
+                np.concatenate(battr_parts), uniform=True)
 
 
 # ---------------------------------------------------------------------------

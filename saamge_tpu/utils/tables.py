@@ -44,6 +44,11 @@ class Table:
 
     @staticmethod
     def from_rows(rows, ncols: int) -> "Table":
+        if isinstance(rows, np.ndarray) and rows.ndim == 2:
+            # rectangular fast path (element connectivity arrays)
+            n, k = rows.shape
+            indptr = np.arange(0, (n + 1) * k, k, dtype=np.int64)
+            return Table(indptr, rows.astype(np.int64).ravel(), ncols)
         indptr = np.zeros(len(rows) + 1, dtype=np.int64)
         for i, r in enumerate(rows):
             indptr[i + 1] = indptr[i] + len(r)
