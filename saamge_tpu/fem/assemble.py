@@ -346,10 +346,10 @@ def assemble_global(elem_mats: np.ndarray, elem_to_dof: Table,
     Keeps explicit zeros in the pattern (mfem Finalize(0) semantics) so the
     AE extraction can iterate the full stencil even after BC elimination."""
     NE, nd, _ = elem_mats.shape
-    dofs = elem_to_dof.indices.reshape(NE, nd)
+    dofs = elem_to_dof.indices.reshape(NE, nd).astype(np.int32)
     rows = np.repeat(dofs, nd, axis=1).ravel()
     cols = np.tile(dofs, (1, nd)).ravel()
-    A = sp.coo_matrix((elem_mats.ravel(), (rows, cols)),
+    A = sp.coo_matrix((elem_mats.reshape(-1), (rows, cols)),
                       shape=(ndofs, ndofs)).tocsr()
     A.sort_indices()
     return A
