@@ -124,3 +124,25 @@ def test_compiled_hierarchy_blockrow_matches_plain():
     z1 = np.asarray(compiled.vcycle_apply(h_plain, bdev))
     z2 = np.asarray(compiled.vcycle_apply(h_block, bdev))
     np.testing.assert_allclose(z2, z1, rtol=1e-9, atol=1e-11)
+
+
+def test_fused_pallas_smoother_interpret():
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import quad_mesh
+    from saamge_tpu.ops.pallas_smoother import fused_dia_smoother
+    from saamge_tpu.ops.sparse import DeviceDIA
+    from saamge_tpu.solve import smoothers
+
+    mesh = quad_mesh(12)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    dia = DeviceDIA.try_from_csr(A, dtype=jnp.float32)
+    pd = smoothers.init_poly_data(A, 2, "sas")
+    sm = fused_dia_smoother(dia, jnp.asarray(pd.dinv, dtype=jnp.float32),
+                            pd.roots, interpret=True)
+    x0 = np.zeros(A.shape[0])
+    y = np.asarray(sm(jnp.asarray(b, dtype=jnp.float32),
+                      jnp.asarray(x0, dtype=jnp.float32)))
+    ref = smoothers.compute_poly(A, b, x0.copy(), pd.roots, pd.dinv)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
