@@ -56,7 +56,11 @@ class Mesh:
 
     # ------------------------------------------------------------------
     def elem_centers(self) -> np.ndarray:
-        return self.vertices[self.elements].mean(axis=1)
+        cached = getattr(self, "_elem_centers_cache", None)
+        if cached is None:
+            cached = self.vertices[self.elements].mean(axis=1)
+            object.__setattr__(self, "_elem_centers_cache", cached)
+        return cached
 
     def elem_to_dof(self, order: int = 1, vdim: int = 1) -> Table:
         """H1 element->dof connectivity.
