@@ -389,7 +389,7 @@ std::int64_t saamge_partition_kway(
 
     std::mt19937_64 rng(seed);
 
-    // coarsening ladder
+    // coarsening ladder (shared across restarts)
     std::vector<Graph> ladder;
     ladder.push_back(std::move(g));
     const i64 coarse_target = std::max<i64>(8 * nparts, 128);
@@ -399,30 +399,36 @@ std::int64_t saamge_partition_kway(
         ladder.push_back(std::move(cg));
     }
 
-    // initial partition on coarsest by recursive bisection
-    Graph& cg = ladder.back();
-    std::vector<i64> part(cg.n, 0);
-    std::vector<i64> all(cg.n);
-    std::iota(all.begin(), all.end(), 0);
-    partition_recursive(cg, all, nparts, 0, part, imbalance, rng);
-    refine_kway(cg, part, nparts, imbalance, 8);
-    force_balance(cg, part, nparts, imbalance);
+    // multi-restart: initial partitions are cheap on the coarsest graph;
+    // keep the uncoarsened result with the smallest edge cut
+    const int RESTARTS = 3;
+    std::vector<i64> best;
+    double best_cut = 1e300;
+    for (int rs = 0; rs < RESTARTS; ++rs) {
+        Graph& cg = ladder.back();
+        std::vector<i64> part(cg.n, 0);
+        std::vector<i64> all(cg.n);
+        std::iota(all.begin(), all.end(), 0);
+        partition_recursive(cg, all, nparts, 0, part, imbalance, rng);
+        refine_kway(cg, part, nparts, imbalance, 8);
+        force_balance(cg, part, nparts, imbalance);
 
-    // uncoarsen + refine
-    for (size_t lev = ladder.size() - 1; lev > 0; --lev) {
-        const Graph& fine = ladder[lev - 1];
-        const std::vector<i64>& f2c = ladder[lev].fine_to_coarse;
-        std::vector<i64> fpart(fine.n);
-        for (i64 v = 0; v < fine.n; ++v) fpart[v] = part[f2c[v]];
-        part.swap(fpart);
-        refine_kway(fine, part, nparts, imbalance, 6);
-        force_balance(fine, part, nparts, imbalance);
+        for (size_t lev = ladder.size() - 1; lev > 0; --lev) {
+            const Graph& fine = ladder[lev - 1];
+            const std::vector<i64>& f2c = ladder[lev].fine_to_coarse;
+            std::vector<i64> fpart(fine.n);
+            for (i64 v = 0; v < fine.n; ++v) fpart[v] = part[f2c[v]];
+            part.swap(fpart);
+            refine_kway(fine, part, nparts, imbalance, 6);
+            force_balance(fine, part, nparts, imbalance);
+        }
+        merge_small_parts(ladder.front(), part, nparts, 0.25);
+        const double cut = edge_cut(ladder.front(), part);
+        if (cut < best_cut) { best_cut = cut; best.swap(part); }
     }
-    merge_small_parts(ladder.front(), part, nparts, 0.25);
 
-    const double cut = edge_cut(ladder.front(), part);
-    std::copy(part.begin(), part.end(), part_out);
-    return (std::int64_t)(cut + 0.5);
+    std::copy(best.begin(), best.end(), part_out);
+    return (std::int64_t)(best_cut + 0.5);
 }
 
 }  // extern "C"

@@ -48,10 +48,21 @@ def create_partitioning_from_matrix(A: sp.csr_matrix, nparts: int,
     # TableFromSparseMatrix keeps the diagonal but METIS ignores it)
     coo = A.tocoo()
     off = coo.row != coo.col
-    graph = Table.from_pairs(coo.row[off], coo.col[off], n, n)
+    rows, cols = coo.row[off], coo.col[off]
+    graph = Table.from_pairs(rows, cols, n, n)
+    # edge weights = connection strength |a_ij|/sqrt(a_ii a_jj) so the
+    # partitioner cuts weak couplings (aggregates align with anisotropy;
+    # the same measure the Arbitrator uses, arbitrator.cpp:99).
+    # NOTE: Table.from_pairs preserves within-row input order, so the
+    # strengths computed in the same filtered order stay aligned with
+    # graph.indices.
+    diag = A.diagonal()
+    strengths = np.abs(coo.data[off]) / np.sqrt(
+        np.abs(diag[rows]) * np.abs(diag[cols]) + 1e-300)
     e2d = Table.identity(n)
     return create_partitioning_fine(A, e2d, graph, None, None, nparts,
-                                    do_aggregates=True)
+                                    do_aggregates=True,
+                                    edge_weights=strengths)
 
 
 def extract_submatrices(A: sp.csr_matrix,

@@ -191,12 +191,13 @@ def create_partitioning_fine(
         A: sp.csr_matrix, elem_to_dof: Table, elem_to_elem: Table,
         partitioning: Optional[np.ndarray], bdr_flags: Optional[np.ndarray],
         nparts: int, do_aggregates: bool = False,
-        part_seed: int = 0) -> AggPartRels:
+        part_seed: int = 0,
+        edge_weights: Optional[np.ndarray] = None) -> AggPartRels:
     """agg_create_partitioning_fine (aggregates.cpp:1317)."""
     NE = elem_to_dof.nrows
     if partitioning is None:
         partitioning = partition_kway(elem_to_elem, None, nparts,
-                                      seed=part_seed)
+                                      seed=part_seed, adjwgt=edge_weights)
         nparts = int(partitioning.max()) + 1
     else:
         partitioning = np.asarray(partitioning, dtype=np.int64)

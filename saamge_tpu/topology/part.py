@@ -132,7 +132,9 @@ def _refine(graph: Table, weights: np.ndarray, part: np.ndarray,
 
 
 def _partition_kway_native(graph: Table, weights: np.ndarray,
-                           nparts: int, seed: int) -> Optional[np.ndarray]:
+                           nparts: int, seed: int,
+                           adjwgt: Optional[np.ndarray] = None
+                           ) -> Optional[np.ndarray]:
     """Multilevel k-way via the C++ partitioner (native/partition.cpp) —
     the METIS_PartGraphKway analog.  Returns None if the native library is
     unavailable."""
@@ -156,8 +158,12 @@ def _partition_kway_native(graph: Table, weights: np.ndarray,
     vwgt = np.ascontiguousarray(weights, dtype=np.float64)
     part = np.zeros(n, dtype=np.int64)
     ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))  # noqa: E731
+    aw = None
+    if adjwgt is not None:
+        aw = ptr(np.ascontiguousarray(adjwgt, dtype=np.float64),
+                 ctypes.c_double)
     cut = fn(n, ptr(xadj, ctypes.c_int64), ptr(adjncy, ctypes.c_int64),
-             ptr(vwgt, ctypes.c_double), None, nparts,
+             ptr(vwgt, ctypes.c_double), aw, nparts,
              ctypes.c_double(1.1), ctypes.c_uint64(seed),
              ptr(part, ctypes.c_int64))
     if cut < 0:
@@ -167,7 +173,8 @@ def _partition_kway_native(graph: Table, weights: np.ndarray,
 
 
 def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0,
+                   adjwgt: Optional[np.ndarray] = None) -> np.ndarray:
     """part_generate_partitioning analog (part.cpp:120).
 
     Returns an (n,) part-assignment array; the number of parts actually
@@ -181,7 +188,7 @@ def partition_kway(graph: Table, weights: Optional[np.ndarray], nparts: int,
     if nparts <= 1 or n <= 1:
         return np.zeros(n, dtype=np.int64)
     nparts = min(nparts, n)
-    part = _partition_kway_native(graph, weights, nparts, seed)
+    part = _partition_kway_native(graph, weights, nparts, seed, adjwgt)
     if part is None:
         rng = np.random.default_rng(seed)
         part = _grow_parts(graph, weights, nparts, rng)
