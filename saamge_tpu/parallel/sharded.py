@@ -57,6 +57,14 @@ class ShardedLevel:
     nc: int      # padded coarse size
 
 
+jax.tree_util.register_pytree_node(
+    ShardedLevel,
+    lambda l: ((l.A_cols, l.A_vals, l.P_cols, l.P_vals, l.R_cols,
+                l.R_vals, l.dinv, l.roots), (l.n, l.nc)),
+    lambda aux, ch: ShardedLevel(*ch, n=aux[0], nc=aux[1]),
+)
+
+
 @dataclasses.dataclass
 class ShardedHierarchy:
     levels: List[ShardedLevel]
@@ -186,30 +194,12 @@ def make_sharded_vcycle(h: ShardedHierarchy):
     def apply_fn(levels, chol, b):
         return vcycle(levels, chol, b, jnp.zeros_like(b), 0)
 
-    import dataclasses as dc
-    jax.tree_util.register_pytree_node(
-        ShardedLevel,
-        lambda l: ((l.A_cols, l.A_vals, l.P_cols, l.P_vals, l.R_cols,
-                    l.R_vals, l.dinv, l.roots), (l.n, l.nc)),
-        lambda aux, ch: ShardedLevel(*ch, n=aux[0], nc=aux[1]),
-    ) if not _is_registered(ShardedLevel) else None
-
     smapped = shard_map(
         apply_fn, mesh=h.mesh,
         in_specs=(level_specs, P(), P()),
         out_specs=P(),
         check_rep=False)
     return jax.jit(lambda b: smapped(h.levels, h.chol, b))
-
-
-_REGISTERED = set()
-
-
-def _is_registered(cls):
-    if cls in _REGISTERED:
-        return True
-    _REGISTERED.add(cls)
-    return False
 
 
 def make_sharded_pcg(h: ShardedHierarchy, rel_tol: float = 1e-6,
