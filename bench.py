@@ -4,17 +4,20 @@ metric — DOFs/sec/chip of the solve-phase hot loop, reference tg_cycle_atb).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "dofs/s", "vs_baseline": N}
 
-vs_baseline is computed against a reference-architecture estimate: the
-reference (C++/hypre on one CPU core) streams the CSR operator at memory
-bandwidth; a V-cycle costs ~ (2*(3nu+1)+1) SpMVs + P/R applications per
-level. We take 2e9 dofs*nnz-normalized-ops/sec as the single-CPU-core hypre
-baseline (~12 GB/s effective CSR streaming / 6 bytes-per-nnz-flop), i.e.
-baseline_dofs_per_sec = 2e9 / ops_per_dof for the same hierarchy.
+vs_baseline is MEASURED: the same V-cycle applied through scipy-CSR host
+kernels on this machine (the reference's serial hypre path is the same
+algorithm over the same kind of CSR kernels), i.e.
+vs_baseline = host_vcycle_time / device_vcycle_time.
 """
 
 import argparse
 import json
 import time
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
