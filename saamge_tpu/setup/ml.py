@@ -109,6 +109,8 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
                     coarse_part_override=None) -> MLData:
     """ml_produce_data (ml.cpp:379): finest coarsening then recursion."""
     ml = MLData(coords=coords, sdim=sdim, num_nodes=num_nodes)
+    from saamge_tpu.utils.logging import agg_print_stats
+    agg_print_stats(rels, level=3)
     sa_print(5, "Coarsening: 0 -> 1 ...")
     tg = tg_mod.tg_init_data(
         A, rels, mlp.get_nu_pro(0), mlp.nu_relax, mlp.get_theta(0),

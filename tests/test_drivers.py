@@ -1,0 +1,28 @@
+"""Smoke tests for the reference-mirroring driver scripts."""
+
+import subprocess
+import sys
+
+import pytest
+
+DRIVERS = [
+    ("scripts/run_mltest.py", ["--num-levels", "2"], "converged"),
+    ("scripts/run_algebraic.py", ["--elems-per-agg", "128"], "iterations"),
+    ("scripts/run_leastsquare.py", ["-k", "-20"], "csv_data:2,-20,2,803"),
+    ("scripts/run_upscale.py", ["--n", "16"], "upscaling energy error"),
+    ("scripts/run_encapsulate.py", ["--n", "12"], "converged: True"),
+    ("scripts/run_startfromcoarse.py", ["--n", "24"], '"converged": true'),
+    ("scripts/run_parttest.py", [], "nparts=2"),
+    ("scripts/run_partialsmooth.py", ["--n", "20", "--num-levels", "3"],
+     "converged: True"),
+]
+
+
+@pytest.mark.parametrize("script,args,expect",
+                         DRIVERS, ids=[d[0].split("/")[-1] for d in DRIVERS])
+def test_driver(script, args, expect):
+    out = subprocess.run(
+        [sys.executable, script, *args], capture_output=True, text=True,
+        timeout=240, cwd=".")
+    assert out.returncode == 0, out.stderr[-800:]
+    assert expect in out.stdout, out.stdout[-800:]
