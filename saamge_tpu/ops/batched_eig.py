@@ -26,7 +26,6 @@ levels, adaptivity re-solves) hit the cache.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

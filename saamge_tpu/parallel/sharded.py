@@ -21,16 +21,13 @@ whole cycle.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import List, Optional, Tuple
+from typing import List
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from saamge_tpu.ops.sparse import DeviceELL
 
 
 def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:

@@ -11,8 +11,7 @@ import scipy.sparse as sp
 from saamge_tpu.setup import tg as tg_mod
 from saamge_tpu.setup.elmat import CoarseProvider
 from saamge_tpu.setup.tg import TGData
-from saamge_tpu.solve.coarse import (CorrectNullspace, VCycleCoarseSolver,
-                                     make_coarse_solver)
+from saamge_tpu.solve.coarse import CorrectNullspace, VCycleCoarseSolver
 from saamge_tpu.topology.agglomerate import (AggPartRels,
                                              create_partitioning_coarse)
 from saamge_tpu.utils.logging import sa_print

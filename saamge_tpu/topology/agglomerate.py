@@ -22,7 +22,7 @@ from typing import List, Optional
 import numpy as np
 import scipy.sparse as sp
 
-from saamge_tpu.topology.part import connected_components, partition_kway
+from saamge_tpu.topology.part import partition_kway
 from saamge_tpu.utils.logging import sa_print
 from saamge_tpu.utils.tables import Table
 
