@@ -46,3 +46,27 @@ def test_ls_helmholtz_algebraic_pcg(k, max_iters):
         res.iterations
     x_ref = spla.spsolve(sys.A.tocsc(), sys.b)
     assert np.linalg.norm(res.x - x_ref) / np.linalg.norm(x_ref) < 1e-5
+
+
+def test_ls_helmholtz_compiled_device_solve():
+    """The algebraic preconditioner's two-grid data compiled to the device
+    solve path (jitted PCG on the FOSLS monolithic system)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from saamge_tpu.api import SAAMGeAlgPC
+    from saamge_tpu.solve.compiled import compile_two_level, pcg_solve
+
+    sys_ = ls_helmholtz_system(k=-20.0)
+    opts = SolverOptions(theta=0.003, correct_nulspace=False,
+                         first_elems_per_agg=256, rtol=0.0, maxiter=600)
+    pc = SAAMGeAlgPC(sys_.A, opts, eliminate_dof0=False)
+    h = compile_two_level(sys_.A, pc.tg, dtype=jnp.float64)
+    x, it, nom = pcg_solve(h, jnp.asarray(sys_.b), rel_tol=1e-12,
+                           max_iter=600)
+    x = np.asarray(x)
+    rel = np.linalg.norm(sys_.b - sys_.A @ x) / np.linalg.norm(sys_.b)
+    assert rel < 1e-6
+    assert int(it) <= 60
