@@ -1,0 +1,13 @@
+"""Device operator formats and batched setup kernels."""
+
+from saamge_tpu.ops.sparse import (DeviceBanded, DeviceDIA, DeviceELL,
+                                   device_matrix, rcm_permutation)
+from saamge_tpu.ops.blockrow import DeviceBlockRow, TransposedBlockRow
+from saamge_tpu.ops.bcsr import DeviceBCSR
+from saamge_tpu.ops.batched_eig import batched_spectral_cut
+
+__all__ = [
+    "DeviceBanded", "DeviceDIA", "DeviceELL", "DeviceBCSR",
+    "DeviceBlockRow", "TransposedBlockRow", "device_matrix",
+    "rcm_permutation", "batched_spectral_cut",
+]
