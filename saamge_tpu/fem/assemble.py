@@ -353,9 +353,11 @@ def assemble_global_stencil(elem_mats: np.ndarray, e2d: np.ndarray,
     Returns None when the equivariance check fails."""
     NE, nd, _ = elem_mats.shape
     d0 = e2d[0][None, :] - e2d[0][:, None]
-    dl = e2d[-1][None, :] - e2d[-1][:, None]
-    dm = e2d[NE // 2][None, :] - e2d[NE // 2][:, None]
-    if not (np.array_equal(d0, dl) and np.array_equal(d0, dm)):
+    # verify equivariance for EVERY element (one vectorized comparison,
+    # cheap relative to assembly) so a non-uniform dof layout fails over to
+    # the general path instead of producing a silently wrong matrix
+    diffs = e2d[:, None, :] - e2d[:, :, None]          # (NE, nd, nd)
+    if not np.array_equal(diffs, np.broadcast_to(d0, diffs.shape)):
         return None
     offsets = np.unique(d0)
     pos = {int(o): i for i, o in enumerate(offsets)}

@@ -2,12 +2,15 @@
 
 The reference's host-side native pieces (METIS partitioning; part.cpp) are
 re-provided here as small C++ shared libraries bound through ctypes — no
-pybind11/pip requirements.  Build artifacts are cached next to the sources.
+pybind11/pip requirements.  Build artifacts are cached next to the sources
+and keyed by a source-content hash (a stale or foreign-arch binary — built
+with -march=native elsewhere — is never loaded).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,11 +24,18 @@ _LIBS = {}
 def _build(name: str) -> str:
     src = os.path.join(_DIR, f"{name}.cpp")
     so = os.path.join(_DIR, f"lib{name}.so")
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
-        return so
+    stamp = os.path.join(_DIR, f"lib{name}.so.hash")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if os.path.exists(so) and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == digest:
+                return so
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
            "-o", so, src]
     subprocess.run(cmd, check=True, capture_output=True)
+    with open(stamp, "w") as f:
+        f.write(digest)
     return so
 
 

@@ -33,10 +33,14 @@ def read_hypre_matrix(path: str) -> sp.csr_matrix:
             parts = line.split()
             if len(parts) != 3:
                 continue
-            ii.append(int(parts[0]))
-            jj.append(int(parts[1]))
+            # subtract the base offsets so a nonzero-base slice (any
+            # rank > 0 hypre dump) parses to its local shape instead of a
+            # silently larger shifted matrix
+            ii.append(int(parts[0]) - r0)
+            jj.append(int(parts[1]) - c0)
             vv.append(float(parts[2]))
-    return sp.coo_matrix((vv, (ii, jj)), shape=(r1 + 1, c1 + 1)).tocsr()
+    return sp.coo_matrix(
+        (vv, (ii, jj)), shape=(r1 - r0 + 1, c1 - c0 + 1)).tocsr()
 
 
 def create_partitioning_from_matrix(A: sp.csr_matrix, nparts: int,

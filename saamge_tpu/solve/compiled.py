@@ -36,12 +36,16 @@ class CompiledLevel:
     R: DeviceELL                # restriction  (n_c, n_f)
     dinv: jnp.ndarray           # weighted-l1 D^{-1} for the smoother
     roots: jnp.ndarray          # SAS relaxation roots (degree 3 nu + 1)
+    # invx family second root set + mixing weight (smpr_sym_poly two-branch
+    # path, smpr.cpp:213-234); roots2 has zero length for sa/sas/oneminusx
+    roots2: jnp.ndarray = None
+    weightfirst: jnp.ndarray = None
     # fused Pallas smoother (stencil levels, f32): all roots in ONE kernel
     fused_smooth: object = None
 
     def tree_flatten(self):
-        return ((self.A, self.P, self.R, self.dinv, self.roots),
-                self.fused_smooth)
+        return ((self.A, self.P, self.R, self.dinv, self.roots,
+                 self.roots2, self.weightfirst), self.fused_smooth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -113,10 +117,17 @@ def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
                                            dtype=jnp.float32),
                         tg.poly_data.roots,
                         interpret=jax.devices()[0].platform == "cpu")
+        pd = tg.poly_data
+        roots2 = np.asarray(pd.roots2) if pd.roots2 is not None \
+            else np.zeros(0)
+        if fused is not None and len(roots2):
+            fused = None     # fused kernel implements the one-branch family
         levels.append(CompiledLevel(
             A=A_dev, P=P_dev, R=R_dev,
-            dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
-            roots=jnp.asarray(tg.poly_data.roots, dtype=dtype),
+            dinv=jnp.asarray(pd.dinv, dtype=dtype),
+            roots=jnp.asarray(pd.roots, dtype=dtype),
+            roots2=jnp.asarray(roots2, dtype=dtype),
+            weightfirst=jnp.asarray(pd.weightfirst, dtype=dtype),
             fused_smooth=fused))
     Ac = ml.levels[-1].tg_data.Ac.toarray()
     chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
@@ -126,12 +137,16 @@ def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
 def compile_two_level(A: sp.csr_matrix, tg, dtype=jnp.float32,
                       prefer_dia: bool = True) -> CompiledHierarchy:
     """Compile a bare TGData (two-level / algebraic path)."""
+    pd = tg.poly_data
+    roots2 = np.asarray(pd.roots2) if pd.roots2 is not None else np.zeros(0)
     level = CompiledLevel(
         A=device_matrix(A, dtype, prefer_dia),
         P=DeviceELL.from_csr(tg.interp, dtype),
         R=DeviceELL.from_csr(tg.restr, dtype),
-        dinv=jnp.asarray(tg.poly_data.dinv, dtype=dtype),
-        roots=jnp.asarray(tg.poly_data.roots, dtype=dtype))
+        dinv=jnp.asarray(pd.dinv, dtype=dtype),
+        roots=jnp.asarray(pd.roots, dtype=dtype),
+        roots2=jnp.asarray(roots2, dtype=dtype),
+        weightfirst=jnp.asarray(pd.weightfirst, dtype=dtype))
     Ac = tg.Ac.toarray()
     chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
     return CompiledHierarchy([level], chol, Ac.shape[0])
@@ -143,18 +158,29 @@ def compile_two_level(A: sp.csr_matrix, tg, dtype=jnp.float32,
 
 def smooth(level: CompiledLevel, b: jnp.ndarray,
            x: jnp.ndarray) -> jnp.ndarray:
-    """smpr_compute_poly: x += (1/tau) D^{-1} (b - A x), per root.
+    """smpr_sym_poly/smpr_compute_poly: x += (1/tau) D^{-1} (b - A x) per
+    root; the invx family mixes two root chains with weightfirst
+    (smpr.cpp:213-234).
 
     Stencil levels that fit VMEM use the fused Pallas kernel (all roots in
     one dispatch, operator resident in VMEM); otherwise the roots scan
     unrolls into SpMV+fma stages that XLA fuses."""
     if level.fused_smooth is not None:
         return level.fused_smooth(b, x)
-    def body(x, tau):
-        x = x + (level.dinv * (b - level.A.matvec(x))) / tau
-        return x, None
-    x, _ = jax.lax.scan(body, x, level.roots)
-    return x
+
+    def chain(x0, roots):
+        def body(x, tau):
+            x = x + (level.dinv * (b - level.A.matvec(x))) / tau
+            return x, None
+        x1, _ = jax.lax.scan(body, x0, roots)
+        return x1
+
+    x1 = chain(x, level.roots)
+    if level.roots2 is not None and level.roots2.shape[0]:
+        x2 = chain(x, level.roots2)
+        w = level.weightfirst
+        return w * x1 + (1.0 - w) * x2
+    return x1
 
 
 def coarse_solve(h: CompiledHierarchy, b: jnp.ndarray) -> jnp.ndarray:
