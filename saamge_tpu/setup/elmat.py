@@ -22,14 +22,21 @@ import numpy as np
 import scipy.sparse as sp
 
 from saamge_tpu.topology.agglomerate import (
-    AggPartRels, build_AE_stiffm_local, build_AE_stiffm_with_global)
+    AggPartRels, build_AE_stiffm_all, build_AE_stiffm_local,
+    build_AE_stiffm_with_global)
 
 
 class ElementMatrixProvider:
     is_geometric = False
+    rels: AggPartRels
 
     def build_AE_stiff(self, part: int) -> np.ndarray:
         raise NotImplementedError
+
+    def build_all_AE_stiff(self) -> List[np.ndarray]:
+        """All AE stiffness matrices; providers override with batched
+        builds where the per-AE loop is the setup bottleneck."""
+        return [self.build_AE_stiff(p) for p in range(self.rels.nparts)]
 
     def get_elem_matrix(self, elno: int) -> np.ndarray:
         raise NotImplementedError
@@ -50,6 +57,11 @@ class GeometricProvider(ElementMatrixProvider):
     def build_AE_stiff(self, part: int) -> np.ndarray:
         return build_AE_stiffm_with_global(
             self.A, part, self.rels, self.elem_mats,
+            self.bdr_cond_imposed, self.assemble_ess_diag)
+
+    def build_all_AE_stiff(self) -> List[np.ndarray]:
+        return build_AE_stiffm_all(
+            self.A, self.rels, self.elem_mats,
             self.bdr_cond_imposed, self.assemble_ess_diag)
 
     def get_elem_matrix(self, elno: int) -> np.ndarray:

@@ -91,8 +91,7 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         from saamge_tpu.ops.batched_eig import batched_spectral_cut
         with TIMERS.phase("setup.ae_assembly"):
             if not readapting:
-                for i in range(rels.nparts):
-                    interp_data.AEs_stiffm[i] = elem_data.build_AE_stiff(i)
+                interp_data.AEs_stiffm = elem_data.build_all_AE_stiff()
         with TIMERS.phase("setup.local_eigensolves"):
             cut, _skipped, bdiags = batched_spectral_cut(
                 interp_data.AEs_stiffm, theta,
@@ -107,8 +106,7 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         # pool (the reference's per-AE loop is serial per rank;
         # SURVEY §2.2 item 5 makes this the batching opportunity).
         with TIMERS.phase("setup.ae_assembly"):
-            for i in range(rels.nparts):
-                interp_data.AEs_stiffm[i] = elem_data.build_AE_stiff(i)
+            interp_data.AEs_stiffm = elem_data.build_all_AE_stiff()
         with TIMERS.phase("setup.local_eigensolves"):
             import concurrent.futures as cf
             import os

@@ -65,59 +65,129 @@ class AggPartRels:
 
     def dof_local_id_in_AE(self, dof: int, ae: int) -> int:
         """agg_map_id_glob_to_AE: local index of dof within AE's dof list."""
-        row = self.dof_to_AE.row(dof)
-        pos = np.nonzero(row == ae)[0]
-        if len(pos) == 0:
-            return -1
-        return int(self.dof_id_inAE[self.dof_to_AE.indptr[dof] + pos[0]])
+        return int(ae_local_ids(self, np.array([dof]), np.array([ae]))[0])
 
     def dofs_local_ids_in_AE(self, dofs: np.ndarray, ae: int) -> np.ndarray:
-        return np.array([self.dof_local_id_in_AE(int(d), ae) for d in dofs],
-                        dtype=np.int64)
+        dofs = np.asarray(dofs, dtype=np.int64)
+        return ae_local_ids(self, dofs, np.full(len(dofs), ae,
+                                                dtype=np.int64))
 
     def is_dof_ess(self, dofs) -> np.ndarray:
         return (self.agg_flags[dofs] & FLAG_ESS_BDR) != 0
 
 
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated [starts[i], starts[i]+lens[i]) ranges (vectorized)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(lens)
+    idx = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    return np.repeat(np.asarray(starts, dtype=np.int64), lens) + idx
+
+
 def _build_dof_id_inAE(AE_to_dof: Table, dof_to_AE: Table,
                        nparts: int) -> np.ndarray:
-    """agg_build_glob_to_AE_id_map (aggregates.cpp:1202)."""
-    out = np.full(dof_to_AE.nnz, -1, dtype=np.int64)
-    for ae in range(nparts):
-        dofs = AE_to_dof.row(ae)
-        for j, dof in enumerate(dofs):
-            lo, hi = dof_to_AE.indptr[dof], dof_to_AE.indptr[dof + 1]
-            pos = np.nonzero(dof_to_AE.indices[lo:hi] == ae)[0]
-            out[lo + pos[0]] = j
-    assert (out >= 0).all()
+    """agg_build_glob_to_AE_id_map (aggregates.cpp:1202), vectorized:
+    join the (dof, ae) pairs of dof_to_AE against AE_to_dof's entries
+    (whose within-row position IS the local id) by sorted key."""
+    rs = AE_to_dof.row_sizes()
+    ae_of = np.repeat(np.arange(nparts, dtype=np.int64), rs)
+    j_of = np.arange(AE_to_dof.nnz, dtype=np.int64) \
+        - np.repeat(AE_to_dof.indptr[:-1], rs)
+    key_a = AE_to_dof.indices * np.int64(nparts) + ae_of
+    order = np.argsort(key_a, kind="stable")
+    key_sorted = key_a[order]
+    dof_of = np.repeat(np.arange(dof_to_AE.nrows, dtype=np.int64),
+                       dof_to_AE.row_sizes())
+    key_d = dof_of * np.int64(nparts) + dof_to_AE.indices
+    pos = np.searchsorted(key_sorted, key_d)
+    assert np.array_equal(key_sorted[pos], key_d)
+    return j_of[order[pos]]
+
+
+def ae_local_ids(rels: "AggPartRels", dofs: np.ndarray,
+                 aes: np.ndarray) -> np.ndarray:
+    """Vectorized agg_map_id_glob_to_AE for (dof, ae) pair arrays: the local
+    index of each dof within its AE's dof list (-1 if not a member)."""
+    join = getattr(rels, "_ae_join", None)
+    if join is None:
+        rs = rels.AE_to_dof.row_sizes()
+        ae_of = np.repeat(np.arange(rels.nparts, dtype=np.int64), rs)
+        j_of = np.arange(rels.AE_to_dof.nnz, dtype=np.int64) \
+            - np.repeat(rels.AE_to_dof.indptr[:-1], rs)
+        key = rels.AE_to_dof.indices * np.int64(rels.nparts) + ae_of
+        order = np.argsort(key, kind="stable")
+        join = (key[order], j_of[order])
+        object.__setattr__(rels, "_ae_join", join)
+    key_sorted, j_sorted = join
+    q = np.asarray(dofs, dtype=np.int64) * np.int64(rels.nparts) \
+        + np.asarray(aes, dtype=np.int64)
+    pos = np.searchsorted(key_sorted, q).clip(0, len(key_sorted) - 1)
+    out = np.where(key_sorted[pos] == q, j_sorted[pos], -1)
+    return out
+
+
+def mis_ae_locs(rels: "AggPartRels"):
+    """For every entry p of mis_to_AE (a (mis, ae) pair): the local ids
+    within the AE of the MIS's dofs (in mis_to_dof row order), concatenated.
+    Returns (pair_indptr, locs); cached on rels.
+
+    This is the vectorized core of agg_restrict_to_agg_enforce
+    (aggregates.cpp:1143) shared by the tentative-P build and the coarse
+    element-matrix provider."""
+    cached = getattr(rels, "_mis_ae_locs", None)
+    if cached is not None:
+        return cached
+    pair_mis = np.repeat(np.arange(rels.num_mises, dtype=np.int64),
+                         rels.mis_to_AE.row_sizes())
+    pair_ae = rels.mis_to_AE.indices
+    s = rels.mises_size[pair_mis]
+    pair_indptr = np.zeros(len(pair_mis) + 1, dtype=np.int64)
+    np.cumsum(s, out=pair_indptr[1:])
+    dofs = rels.mis_to_dof.indices[_ranges(rels.mis_to_dof.indptr[pair_mis],
+                                           s)]
+    aes = np.repeat(pair_ae, s)
+    locs = ae_local_ids(rels, dofs, aes)
+    assert (locs >= 0).all()
+    out = (pair_indptr, locs)
+    object.__setattr__(rels, "_mis_ae_locs", out)
     return out
 
 
 def _construct_mises_local(rels: AggPartRels) -> None:
     """Group DoFs by identical AE-membership signature
-    (agg_construct_mises_local, aggregates.cpp:501).
+    (agg_construct_mises_local, aggregates.cpp:501), vectorized: pad each
+    dof's AE list (already in increasing AE order — dof_to_AE is the stable
+    transpose of AE-major AE_to_dof) into a signature matrix and group rows
+    with one np.unique(axis=0) pass.
 
     MIS ids are assigned in order of the lowest-numbered unvisited dof;
     within each MIS, dofs are sorted by (true)dof id — the determinism
     contract SortByTrueDof establishes (aggregates.cpp:271)."""
     ND = rels.ND
     d2ae = rels.dof_to_AE
-    # signature = sorted tuple of AE ids
-    sig_of = {}
-    mises = np.full(ND, -1, dtype=np.int64)
-    rows: List[List[int]] = []
-    for dof in range(ND):
-        sig = tuple(sorted(int(a) for a in d2ae.row(dof)))
-        mis = sig_of.get(sig)
-        if mis is None:
-            mis = len(rows)
-            sig_of[sig] = mis
-            rows.append([])
-        mises[dof] = mis
-        rows[mis].append(dof)
-    rels.num_mises = len(rows)
+    sizes = d2ae.row_sizes()
+    maxm = int(sizes.max()) if ND else 1
+    sig = np.full((ND, maxm), -1, dtype=np.int64)
+    rows_idx = np.repeat(np.arange(ND, dtype=np.int64), sizes)
+    cols_idx = np.arange(d2ae.nnz, dtype=np.int64) \
+        - np.repeat(d2ae.indptr[:-1], sizes)
+    sig[rows_idx, cols_idx] = d2ae.indices
+    uniq, inverse = np.unique(sig, axis=0, return_inverse=True)
+    inverse = inverse.reshape(-1)
+    num = len(uniq)
+    # renumber groups by their lowest-numbered dof (first-encounter order)
+    first_dof = np.full(num, ND, dtype=np.int64)
+    np.minimum.at(first_dof, inverse, np.arange(ND, dtype=np.int64))
+    rank = np.empty(num, dtype=np.int64)
+    rank[np.argsort(first_dof, kind="stable")] = np.arange(num)
+    mises = rank[inverse]
+    rels.num_mises = num
     rels.mises = mises
-    rels.mis_to_dof = Table.from_rows([sorted(r) for r in rows], ND)
+    rels.mis_to_dof = Table.from_pairs(mises, np.arange(ND, dtype=np.int64),
+                                       num, ND)
     rels.mises_size = rels.mis_to_dof.row_sizes()
     rels.mis_master = np.zeros(rels.num_mises, dtype=np.int64)
     rels.mis_to_AE = rels.mis_to_dof.mult(rels.dof_to_AE)
@@ -254,14 +324,27 @@ def build_AE_stiffm_with_global(A: sp.csr_matrix, part: int,
     n = len(dofs)
     loc_of = _loc_scratch(rels)
     loc_of[dofs] = np.arange(n)
-    # local re-assembly over elements of this AE
-    A_loc = np.zeros((n, n))
+    # local re-assembly over elements of this AE (bincount fast path for
+    # rectangular dense element batches; general loop otherwise)
     e2d = rels.elem_to_dof
     elems = rels.AE_to_elem.row(part)
-    for e in elems:
-        edofs = e2d.row(e)
-        loc = loc_of[edofs]
-        A_loc[np.ix_(loc, loc)] += elem_mats[e]
+    e2d_rect = getattr(rels, "_e2d_rect", None)
+    if e2d_rect is None:
+        e2d_rect = _rect(e2d)
+        object.__setattr__(rels, "_e2d_rect", e2d_rect)
+    if isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3 \
+            and e2d_rect:
+        nd = elem_mats.shape[1]
+        loc = loc_of[e2d.indices.reshape(-1, nd)[elems]]
+        flat = (loc[:, :, None] * n + loc[:, None, :]).ravel()
+        A_loc = np.bincount(flat, weights=elem_mats[elems].ravel(),
+                            minlength=n * n).reshape(n, n)
+    else:
+        A_loc = np.zeros((n, n))
+        for e in elems:
+            edofs = e2d.row(e)
+            loc = loc_of[edofs]
+            A_loc[np.ix_(loc, loc)] += elem_mats[e]
     # global submatrix values + pattern (incl. stored zeros: the reference
     # iterates the assembled CSR pattern, which keeps eliminated entries).
     # The membership mask is a reusable ND scratch (allocating per AE would
@@ -275,12 +358,9 @@ def build_AE_stiffm_with_global(A: sp.csr_matrix, part: int,
     in_ae[dofs] = True
     rows_lo = A.indptr[dofs]
     rows_hi = A.indptr[dofs + 1]
-    all_cols = np.concatenate([A.indices[a:b]
-                               for a, b in zip(rows_lo, rows_hi)]) \
-        if n else np.zeros(0, dtype=A.indices.dtype)
-    all_vals = np.concatenate([A.data[a:b]
-                               for a, b in zip(rows_lo, rows_hi)]) \
-        if n else np.zeros(0)
+    sel = _ranges(rows_lo, rows_hi - rows_lo)
+    all_cols = A.indices[sel]
+    all_vals = A.data[sel]
     all_rows = np.repeat(np.arange(n), rows_hi - rows_lo)
     keep = in_ae[all_cols]
     li = all_rows[keep]
@@ -300,6 +380,21 @@ def build_AE_stiffm_with_global(A: sp.csr_matrix, part: int,
     recompute = both_between & ~suppress & in_pattern
     out = np.where(recompute, A_loc, A_sub)
     return out
+
+
+def build_AE_stiffm_all(A: sp.csr_matrix, rels: AggPartRels,
+                        elem_mats: np.ndarray,
+                        bdr_cond_imposed: bool = True,
+                        assemble_ess_diag: bool = True) -> List[np.ndarray]:
+    """All AE stiffness matrices.  Deliberately a per-AE loop: each AE's
+    working set (a few-hundred-row dense block plus its CSR rows) is
+    cache-resident, which on this memory-latency-bound host beats global
+    vectorized joins whose multi-MB lookup tables thrash (measured 1.2s vs
+    13-37s at 68921 dofs).  The per-AE body itself is fully vectorized."""
+    return [build_AE_stiffm_with_global(A, p, rels, elem_mats,
+                                        bdr_cond_imposed,
+                                        assemble_ess_diag)
+            for p in range(rels.nparts)]
 
 
 def build_AE_stiffm_local(part: int, rels: AggPartRels,
