@@ -353,11 +353,11 @@ def assemble_global_stencil(elem_mats: np.ndarray, e2d: np.ndarray,
     Returns None when the equivariance check fails."""
     NE, nd, _ = elem_mats.shape
     d0 = e2d[0][None, :] - e2d[0][:, None]
-    # verify equivariance for EVERY element (one vectorized comparison,
-    # cheap relative to assembly) so a non-uniform dof layout fails over to
-    # the general path instead of producing a silently wrong matrix
-    diffs = e2d[:, None, :] - e2d[:, :, None]          # (NE, nd, nd)
-    if not np.array_equal(diffs, np.broadcast_to(d0, diffs.shape)):
+    # verify equivariance for EVERY element: d[e,a,b] constant over e is
+    # equivalent to (e2d[e] - e2d[e,0]) constant over e — an (NE, nd)
+    # comparison, nd x cheaper than forming all pairwise diffs
+    rel = e2d - e2d[:, :1]
+    if (rel != rel[0]).any():
         return None
     offsets = np.unique(d0)
     pos = {int(o): i for i, o in enumerate(offsets)}
@@ -371,12 +371,13 @@ def assemble_global_stencil(elem_mats: np.ndarray, e2d: np.ndarray,
             np.add.at(data[i], rows, elem_mats[:, a, b])
             touched[i][rows] = True
     # direct CSR: per row the touched offsets in ascending order give
-    # ascending columns — no sort, no duplicate pass
+    # ascending columns — no sort, no duplicate pass.  Gather (row, off)
+    # pairs from the mask instead of materializing transposed copies.
     all_cols = np.arange(ndofs)[:, None] + offsets[None, :]   # (n, k)
     maskT = touched.T & (all_cols >= 0) & (all_cols < ndofs)
-    sel = maskT.ravel()
-    indices = all_cols.ravel()[sel].astype(np.int32)
-    vals = data.T.ravel()[sel]
+    rows_sel, offs_sel = np.nonzero(maskT)
+    indices = (rows_sel + offsets[offs_sel]).astype(np.int32)
+    vals = data[offs_sel, rows_sel]
     indptr = np.zeros(ndofs + 1, dtype=np.int64)
     np.cumsum(maskT.sum(axis=1), out=indptr[1:])
     return sp.csr_matrix((vals, indices, indptr), shape=(ndofs, ndofs))
@@ -429,12 +430,9 @@ def eliminate_essential_bc(A: sp.csr_matrix, ess_dofs: np.ndarray,
 def _diag_positions(A: sp.csr_matrix) -> np.ndarray:
     """Index into A.data of each row's diagonal entry (must exist)."""
     n = A.shape[0]
-    pos = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        lo, hi = A.indptr[i], A.indptr[i + 1]
-        j = np.searchsorted(A.indices[lo:hi], i)
-        assert j < hi - lo and A.indices[lo + j] == i, "missing diagonal"
-        pos[i] = lo + j
+    rows = np.repeat(np.arange(n), np.diff(A.indptr))
+    pos = np.flatnonzero(A.indices == rows)
+    assert len(pos) == n, "missing diagonal"
     return pos
 
 

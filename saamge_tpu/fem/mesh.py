@@ -170,9 +170,16 @@ class Mesh:
         """Vertices on boundary faces whose attribute is marked essential.
 
         ess_attr_marker[a-1] != 0 marks attribute a (mfem ess_bdr Array)."""
+        if len(self.bdr_attr) == 0:
+            return np.zeros(0, dtype=np.int64)
+        bdr = np.asarray(self.boundary, dtype=np.int64)
+        marker = np.asarray(ess_attr_marker)
+        if bdr.ndim == 2:        # rectangular face lists: fully vectorized
+            mask = marker[np.asarray(self.bdr_attr, dtype=np.int64) - 1] != 0
+            return np.unique(bdr[mask])
         marked = []
         for verts, attr in zip(self.boundary, self.bdr_attr):
-            if ess_attr_marker[int(attr) - 1]:
+            if marker[int(attr) - 1]:
                 marked.extend(int(v) for v in verts)
         return np.unique(np.asarray(marked, dtype=np.int64))
 

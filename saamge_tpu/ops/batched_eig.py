@@ -105,14 +105,16 @@ def batched_spectral_cut(
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     nae = len(mats)
     # bucket indices by padded size
+    import scipy.sparse as ssp
     buckets: Dict[int, List[int]] = {}
     host_idxs: List[int] = []
     for i, m in enumerate(mats):
         nmax = _bucket_size(max(m.shape[0], 1), bucket_multiple)
-        if nmax > device_max_n:
+        if nmax > device_max_n or ssp.issparse(m):
             # XLA's TPU eigh compile time grows steeply with n; very large
-            # AEs (rare: only badly unbalanced or tiny-nparts levels) go to
-            # the host LAPACK path instead
+            # AEs (rare: only badly unbalanced or tiny-nparts levels) and
+            # sparse-stored AEs go to the host (LAPACK / sparse-LOBPCG
+            # ARPACK-analog) path instead
             host_idxs.append(i)
         else:
             buckets.setdefault(nmax, []).append(i)

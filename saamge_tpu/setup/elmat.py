@@ -108,7 +108,8 @@ class CoarseProvider(ElementMatrixProvider):
                 [pos_of[int(self.mis_offsets[mis]) + i] for i in range(ncd)],
                 dtype=np.int64)
             local_interp[np.ix_(rows, cols)] += mis_tent_interps[mis][:, :ncd]
-        return local_interp.T @ fine_AE_stiffm @ local_interp
+        # sparse @ dense first: fine AE stiffness is CSR for large AEs
+        return local_interp.T @ (fine_AE_stiffm @ local_interp)
 
 
 class ArrayProvider(ElementMatrixProvider):

@@ -185,7 +185,7 @@ def _subspace_eigensolve(eig: Eigensolver, A_T: np.ndarray, B: np.ndarray,
                          Tt: np.ndarray, theta: float):
     """Transformed eigenproblem T A T^t y = lambda T B T^t y
     (SolveDirect transf path); eigenvectors mapped back by T^t."""
-    Asub = Tt.T @ A_T @ Tt
+    Asub = Tt.T @ (A_T @ Tt)           # sparse-friendly order
     # columns of Tt are B-orthonormal, so the transformed B is the identity
     w, V = np.linalg.eigh(0.5 * (Asub + Asub.T))
     m = max(int(np.searchsorted(w, theta, side="right")), 1)

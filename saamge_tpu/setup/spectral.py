@@ -24,16 +24,23 @@ import dataclasses
 from typing import Optional
 
 import numpy as np
+import scipy.sparse as sp
 
 ARPACK_SIZE_THRESHOLD = 64  # interp.hpp:104
 MAX_ARPACK_VECTORS = 10     # spectral.cpp:56
 
 
-def weighted_l1_diag(A: np.ndarray) -> np.ndarray:
+def weighted_l1_diag(A) -> np.ndarray:
     """d_i = sum_j |a_ij| sqrt(a_ii / a_jj) over the stored pattern.
 
     For dense input all entries participate; entries that are exactly zero
-    contribute nothing either way, so pattern vs dense is immaterial."""
+    contribute nothing either way, so pattern vs dense is immaterial.
+    Accepts dense arrays or sparse CSR (large AEs are stored sparse)."""
+    if sp.issparse(A):
+        diag = A.diagonal()
+        assert (diag > 0).all(), "non-positive diagonal in AE matrix"
+        s = np.sqrt(diag)
+        return (abs(A) @ (1.0 / s)) * s
     diag = np.diagonal(A)
     assert (diag > 0).all(), "non-positive diagonal in AE matrix"
     s = np.sqrt(diag)
@@ -82,7 +89,9 @@ class Eigensolver:
             return self._solve_direct(A, B, theta)
         return self._solve_truncated(A, B, theta)
 
-    def _eig_all(self, A: np.ndarray, B: np.ndarray):
+    def _eig_all(self, A, B: np.ndarray):
+        if sp.issparse(A):
+            A = A.toarray()
         dhalf = 1.0 / np.sqrt(B)
         M = dhalf[:, None] * A * dhalf[None, :]
         M = 0.5 * (M + M.T)
@@ -98,6 +107,8 @@ class Eigensolver:
 
     def _solve_direct(self, A, B, theta):
         n = A.shape[0]
+        if sp.issparse(A):
+            A = A.toarray()
         if n > self.SUBSET_MIN_N:
             import scipy.linalg as sla
             dhalf = 1.0 / np.sqrt(B)
@@ -130,8 +141,13 @@ class Eigensolver:
         if n >= 4 * k:
             import scipy.sparse.linalg as spla
             dhalf = 1.0 / np.sqrt(B)
-            M = dhalf[:, None] * A * dhalf[None, :]
-            M = 0.5 * (M + M.T)
+            if sp.issparse(A):
+                Dh = sp.diags(dhalf)
+                M = (Dh @ A @ Dh).tocsr()
+                M = (0.5 * (M + M.T)).tocsr()
+            else:
+                M = dhalf[:, None] * A * dhalf[None, :]
+                M = 0.5 * (M + M.T)
             rng = np.random.default_rng(n)
             V0 = rng.standard_normal((n, k))
             try:

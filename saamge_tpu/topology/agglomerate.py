@@ -397,23 +397,46 @@ def build_AE_stiffm_all(A: sp.csr_matrix, rels: AggPartRels,
             for p in range(rels.nparts)]
 
 
+# Above this size AE stiffness matrices are kept SPARSE and eigensolves go
+# through the sparse truncated (LOBPCG) path — the analog of the reference
+# solving large agglomerates with ARPACK on sparse AE matrices
+# (agg_build_AE_stiffm returns SparseMatrix; arpacks.cpp:220).  Dense storage
+# and eigh stay for small AEs where they are faster.
+DENSE_AE_LIMIT = 768
+
+
 def build_AE_stiffm_local(part: int, rels: AggPartRels,
-                          elem_mats) -> np.ndarray:
+                          elem_mats, sparse_out: Optional[bool] = None):
     """agg_build_AE_stiffm (aggregates.cpp:959): pure local assembly from
-    per-element matrices (dense or per-element dense arrays/callables)."""
+    per-element matrices (dense or per-element dense arrays/callables).
+    Returns dense for small AEs, CSR above DENSE_AE_LIMIT (or as forced by
+    ``sparse_out``)."""
     dofs = rels.AE_to_dof.row(part)
     n = len(dofs)
     loc_of = _loc_scratch(rels)
     loc_of[dofs] = np.arange(n)
-    A_loc = np.zeros((n, n))
+    if sparse_out is None:
+        sparse_out = n > DENSE_AE_LIMIT
+    rr, cc, vv = [], [], []
     for e in rels.AE_to_elem.row(part):
         edofs = rels.elem_to_dof.row(e)
         loc = loc_of[edofs]
         em = elem_mats(e) if callable(elem_mats) else elem_mats[e]
         if sp.issparse(em):
             em = np.asarray(em.todense())
-        A_loc[np.ix_(loc, loc)] += em
-    return A_loc
+        m = len(loc)
+        rr.append(np.repeat(loc, m))
+        cc.append(np.tile(loc, m))
+        vv.append(np.asarray(em, dtype=np.float64).ravel())
+    if not rr:
+        return sp.csr_matrix((n, n)) if sparse_out else np.zeros((n, n))
+    rows = np.concatenate(rr)
+    cols = np.concatenate(cc)
+    vals = np.concatenate(vv)
+    if sparse_out:
+        return sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    return np.bincount(rows * n + cols, weights=vals,
+                       minlength=n * n).reshape(n, n)
 
 
 def _loc_scratch(rels: AggPartRels) -> np.ndarray:

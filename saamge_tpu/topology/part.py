@@ -22,36 +22,38 @@ from saamge_tpu.utils.tables import Table
 def connected_components(partition: np.ndarray, graph: Table) -> int:
     """Split disconnected parts into separate parts, renumber compactly.
 
-    Same contract as the reference's connectedComponents (part.cpp:56):
-    modifies ``partition`` in place, returns the new number of parts.
-    Vertices with negative part ids are ignored."""
+    Same contract (including the output numbering) as the reference's
+    connectedComponents (part.cpp:56): modifies ``partition`` in place,
+    returns the new number of parts; vertices with negative part ids are
+    ignored.  Components are labeled with scipy's csgraph (C BFS) on the
+    same-part subgraph, then renumbered by (part, lowest node) — identical
+    to the reference's first-visit ordering."""
+    import scipy.sparse as sp2
+    from scipy.sparse.csgraph import connected_components as _cc
+
     n = graph.nrows
-    num_part = int(partition.max()) + 1
-    component = np.full(n, -1, dtype=np.int64)
-    num_comp = np.zeros(num_part, dtype=np.int64)
-    stack = np.zeros(n, dtype=np.int64)
-    for node in range(n):
-        if partition[node] < 0 or component[node] >= 0:
-            continue
-        p = partition[node]
-        component[node] = num_comp[p]
-        num_comp[p] += 1
-        stack[0] = node
-        top = 1
-        ptr = 0
-        while ptr < top:
-            i = stack[ptr]
-            ptr += 1
-            for k in graph.row(i):
-                if partition[k] == partition[i] and component[k] < 0:
-                    component[k] = component[i]
-                    stack[top] = k
-                    top += 1
-    offset = np.zeros(num_part + 1, dtype=np.int64)
-    np.cumsum(num_comp, out=offset[1:])
+    if n == 0:
+        return 0
     mask = partition >= 0
-    partition[mask] = offset[partition[mask]] + component[mask]
-    return int(offset[-1])
+    rows = np.repeat(np.arange(n, dtype=np.int64), graph.row_sizes())
+    cols = graph.indices
+    keep = mask[rows] & mask[cols] & (partition[rows] == partition[cols])
+    g = sp2.csr_matrix(
+        (np.ones(int(keep.sum()), dtype=np.int8),
+         (rows[keep], cols[keep])), shape=(n, n))
+    ncomp, labels = _cc(g, directed=False)
+    lab = labels[mask]
+    nodes = np.flatnonzero(mask)
+    first = np.full(ncomp, n, dtype=np.int64)
+    np.minimum.at(first, lab, nodes)
+    part_of_lab = np.full(ncomp, -1, dtype=np.int64)
+    part_of_lab[lab] = partition[mask]
+    used = np.flatnonzero(part_of_lab >= 0)
+    order = used[np.lexsort((first[used], part_of_lab[used]))]
+    newid = np.full(ncomp, -1, dtype=np.int64)
+    newid[order] = np.arange(len(order), dtype=np.int64)
+    partition[mask] = newid[lab]
+    return len(order)
 
 
 def _grow_parts(graph: Table, weights: np.ndarray, nparts: int,
