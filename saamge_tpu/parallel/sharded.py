@@ -2,26 +2,32 @@
 
 This replaces the reference's MPI/hypre distribution (SPMD domain
 decomposition with overlapped dof/truedof folding + ParCSR halo exchange,
-SURVEY §2.2).  Design:
+SURVEY §2.2, SharedEntityCommunication.hpp:75-220).  Design — the hypre
+ParCSR analog with distributed vectors:
 
-  - Every level's operator rows (and the corresponding vector entries) are
-    sharded over a 1-D ``dp`` mesh axis — the analog of elements->ranks.
-  - SpMV inside shard_map: each device owns a row block of the ELL arrays
-    and holds the full input vector (gathered); it computes its row block,
-    then ``all_gather``s the result.  Dot products are local + ``psum``.
-    This is the dense-halo variant (correct for any sparsity); the
-    halo-restricted exchange is a later optimization.
-  - The coarsest dense Cholesky solve is replicated (tiny by construction).
-
-All levels are padded so row counts divide the mesh size; padded rows carry
-zero matrix values and zero dinv so they stay exactly zero through the
-whole cycle.
+  - Every level's vectors are SHARDED over a 1-D ``dp`` mesh axis: each
+    device owns a contiguous row block of size n_pad/ndev.  Memory per
+    device is O(N/P); nothing is replicated except the tiny coarsest
+    problem and the smoother roots.
+  - Every operator (A, P, R per level) is stored as row-block-local ELL
+    whose column ids are REMAPPED to halo-extended local indices: device d
+    holding rows [lo_d, hi_d) of the row space only ever reads the input
+    vector at [src_lo_d - H, src_hi_d + H), where H (the halo width) is
+    measured from the actual sparsity on host.  The SpMV is then one ring
+    ``ppermute`` exchange of H-wide edge slices (ICI neighbor traffic,
+    exactly hypre's halo exchange) + a local gather-free-ish ELL kernel.
+  - Operators whose sparsity does not fit a bounded halo (H > local block)
+    fall back per-operator to an ``all_gather`` of the input vector — the
+    correct-for-anything path the round-1 code used everywhere.
+  - Dot products in PCG are local dots + ``psum``.
+  - The coarsest dense Cholesky solve gathers the (tiny) coarse residual,
+    solves replicated, and keeps only the local slice.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -39,25 +45,96 @@ def _pad_to(x: np.ndarray, n: int, axis: int = 0) -> np.ndarray:
     return np.pad(x, widths)
 
 
+def _ell_arrays(Acsr, n_to):
+    """Pure-numpy ELL packing padded to n_to rows."""
+    A = Acsr.tocsr()
+    A.sum_duplicates()
+    n = A.shape[0]
+    row_nnz = np.diff(A.indptr)
+    k = max(int(row_nnz.max()) if n else 0, 1)
+    cols = np.zeros((n, k), dtype=np.int64)
+    vals = np.zeros((n, k), dtype=np.float64)
+    rows = np.repeat(np.arange(n), row_nnz)
+    pos = np.arange(len(A.data)) - np.repeat(A.indptr[:-1], row_nnz)
+    cols[rows, pos] = A.indices
+    vals[rows, pos] = A.data
+    # padding entries must keep a VALID column (0) with zero value
+    return _pad_to(cols, n_to), _pad_to(vals, n_to)
+
+
+@dataclasses.dataclass
+class HaloOp:
+    """Row-sharded ELL operator with halo-remapped columns.
+
+    H is the static halo width on the SOURCE (column-space) vector;
+    H < 0 marks the all-gather fallback (cols are then global ids)."""
+
+    cols: jnp.ndarray        # (n_rows_pad, k) int32 — local-extended ids
+    vals: jnp.ndarray        # (n_rows_pad, k)
+    H: int
+    n_rows: int              # padded row count
+    n_src: int               # padded column-space count
+
+
+jax.tree_util.register_pytree_node(
+    HaloOp,
+    lambda o: ((o.cols, o.vals), (o.H, o.n_rows, o.n_src)),
+    lambda aux, ch: HaloOp(ch[0], ch[1], *aux),
+)
+
+
+def _build_halo_op(Acsr, ndev: int, n_rows_pad: int, n_src_pad: int,
+                   dtype, max_halo_frac: float = 3.0) -> HaloOp:
+    """Build a HaloOp from CSR on host: measure the halo width each device
+    needs, remap columns to halo-extended local ids, fall back to
+    all-gather (H=-1, global columns) if the halo exceeds
+    ``max_halo_frac`` local blocks (multi-hop exchange covers H beyond one
+    block, so the cap just bounds wasted traffic on degenerate cases)."""
+    cols, vals = _ell_arrays(Acsr, n_rows_pad)
+    rpd = n_rows_pad // ndev
+    spd = n_src_pad // ndev
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+    row_dev = np.arange(n_rows_pad) // rpd
+    src_lo = row_dev * spd
+    nonpad = vals != 0.0
+    d_lo = src_lo[:, None] - cols                 # >0 means left ghost
+    d_hi = cols - (src_lo[:, None] + spd - 1)     # >0 means right ghost
+    H = 0
+    if nonpad.any():
+        H = max(int(d_lo[nonpad].max(initial=0)),
+                int(d_hi[nonpad].max(initial=0)), 0)
+    if H > int(spd * max_halo_frac):
+        return HaloOp(jnp.asarray(cols.astype(np.int32)),
+                      jnp.asarray(vals.astype(np_dtype)), -1,
+                      n_rows_pad, n_src_pad)
+    local = cols - src_lo[:, None] + H
+    local[~nonpad] = 0
+    return HaloOp(jnp.asarray(local.astype(np.int32)),
+                  jnp.asarray(vals.astype(np_dtype)), H,
+                  n_rows_pad, n_src_pad)
+
+
+def _shard_op(op: HaloOp, mesh: Mesh) -> HaloOp:
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    return HaloOp(jax.device_put(op.cols, sh), jax.device_put(op.vals, sh),
+                  op.H, op.n_rows, op.n_src)
+
+
 @dataclasses.dataclass
 class ShardedLevel:
-    # row-sharded ELL arrays (padded row counts divisible by mesh size)
-    A_cols: jnp.ndarray
-    A_vals: jnp.ndarray
-    P_cols: jnp.ndarray
-    P_vals: jnp.ndarray
-    R_cols: jnp.ndarray
-    R_vals: jnp.ndarray
-    dinv: jnp.ndarray
-    roots: jnp.ndarray
-    n: int       # padded fine size
-    nc: int      # padded coarse size
+    A: HaloOp
+    Pop: HaloOp              # prolongation (n_f, n_c)
+    Rop: HaloOp              # restriction  (n_c, n_f)
+    dinv: jnp.ndarray        # row-sharded
+    roots: jnp.ndarray       # replicated
+    n: int
+    nc: int
 
 
 jax.tree_util.register_pytree_node(
     ShardedLevel,
-    lambda l: ((l.A_cols, l.A_vals, l.P_cols, l.P_vals, l.R_cols,
-                l.R_vals, l.dinv, l.roots), (l.n, l.nc)),
+    lambda l: ((l.A, l.Pop, l.Rop, l.dinv, l.roots), (l.n, l.nc)),
     lambda aux, ch: ShardedLevel(*ch, n=aux[0], nc=aux[1]),
 )
 
@@ -70,251 +147,282 @@ class ShardedHierarchy:
     n0: int          # unpadded fine size
     n0_pad: int
 
+    def device_bytes(self) -> dict:
+        """Per-device memory accounting: sharded bytes are divided by the
+        device count; replicated (chol/roots) are counted in full."""
+        ndev = self.mesh.devices.size
+        sharded = 0
+        for lv in self.levels:
+            for op in (lv.A, lv.Pop, lv.Rop):
+                sharded += op.cols.nbytes + op.vals.nbytes
+            sharded += lv.dinv.nbytes
+        repl = self.chol.nbytes + sum(lv.roots.nbytes for lv in self.levels)
+        return {"per_device": sharded // ndev + repl,
+                "sharded_total": sharded, "replicated": repl}
 
-def _ell_arrays(Acsr, n_to, n_cols_logical, dtype):
-    """Pure-numpy ELL packing (no device placement here)."""
-    A = Acsr.tocsr()
-    A.sum_duplicates()
-    n = A.shape[0]
-    row_nnz = np.diff(A.indptr)
-    k = max(int(row_nnz.max()) if n else 0, 1)
-    cols = np.zeros((n, k), dtype=np.int32)
-    vals = np.zeros((n, k), dtype=np.float64)
-    rows = np.repeat(np.arange(n), row_nnz)
-    pos = np.arange(len(A.data)) - np.repeat(A.indptr[:-1], row_nnz)
-    cols[rows, pos] = A.indices
-    vals[rows, pos] = A.data
-    return _pad_to(cols, n_to), _pad_to(vals, n_to)
+
+def _owner_aligned_numbering(Pcsr, ndev: int, fine_pad: int,
+                             fine_pos: Optional[np.ndarray]):
+    """The coarse-truedof numbering analog (aggregates.cpp:1610-1730):
+    assign each coarse dof to the device owning its lowest referencing fine
+    row, then number coarse dofs contiguously per device block (padding
+    each device block to the max per-device count).  Returns
+    (newpos (nc,), padded coarse size)."""
+    coo = Pcsr.tocoo()
+    nc = Pcsr.shape[1]
+    rpd = fine_pad // ndev
+    rows = coo.row if fine_pos is None else fine_pos[coo.row]
+    minrow = np.full(nc, fine_pad, dtype=np.int64)
+    np.minimum.at(minrow, coo.col, rows)
+    dev = np.clip(minrow // rpd, 0, ndev - 1)
+    counts = np.bincount(dev, minlength=ndev)
+    spd = max(int(counts.max()), 1)
+    # stable numbering: within each device block keep ascending old ids
+    order = np.argsort(dev, kind="stable")
+    within = np.arange(nc, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)
+    newpos = np.empty(nc, dtype=np.int64)
+    newpos[order] = dev[order] * spd + within
+    return newpos, spd * ndev
+
+
+def _permuted_csr(Acsr, row_pos, col_pos, nrows, ncols):
+    """Scatter a CSR's entries to new (row, col) positions (host)."""
+    import scipy.sparse as sp
+    coo = Acsr.tocoo()
+    r = coo.row if row_pos is None else row_pos[coo.row]
+    c = coo.col if col_pos is None else col_pos[coo.col]
+    return sp.coo_matrix((coo.data, (r, c)), shape=(nrows, ncols)).tocsr()
 
 
 def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
-    """Build a ShardedHierarchy from a host MLData over a 1-D mesh."""
+    """Build a ShardedHierarchy from a host MLData over a 1-D mesh.
+
+    Every coarse space is renumbered owner-aligned (each coarse dof lands
+    in the device block owning its MIS's first fine dof — the coarse
+    Dof_TrueDof analog) so that P/R/Ac all take the neighbor-halo path
+    instead of the all-gather fallback."""
     ndev = mesh.devices.size
-    axis = mesh.axis_names[0]
-    levels = []
-    sizes = []
-    for level in ml.levels:
-        n = level.A.shape[0]
-        sizes.append(-(-n // ndev) * ndev)
-    nc_last = ml.levels[-1].tg_data.Ac.shape[0]
-    sizes.append(-(-nc_last // ndev) * ndev)
-
-    shard_rows = NamedSharding(mesh, P(axis))
-    shard_rows2 = NamedSharding(mesh, P(axis, None))
+    shard_rows = NamedSharding(mesh, P(mesh.axis_names[0]))
     repl = NamedSharding(mesh, P())
+    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
 
+    levels = []
+    n0 = ml.levels[0].A.shape[0]
+    cur_pos = None                       # level-row-space renumbering
+    cur_pad = -(-n0 // ndev) * ndev
     for i, level in enumerate(ml.levels):
         tg = level.tg_data
-        npad, ncpad = sizes[i], sizes[i + 1]
-        A_cols, A_vals = _ell_arrays(level.A, npad, npad, dtype)
-        P_cols, P_vals = _ell_arrays(tg.interp, npad, ncpad, dtype)
-        R_cols, R_vals = _ell_arrays(tg.restr, ncpad, npad, dtype)
-        dinv = _pad_to(np.asarray(tg.poly_data.dinv), npad)
-        # NOTE: device_put NUMPY arrays directly with the target sharding.
-        # jnp.asarray would first commit to the default device (on an axon
-        # TPU-tunnel machine that is the remote chip) and then reshard
-        # cross-backend, which is at best slow and can deadlock.
-        np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype")
-                            else dtype)
+        pd = tg.poly_data
+        assert pd.roots2 is None or len(pd.roots2) == 0, \
+            "sharded smoother implements single-root families only"
+        npad = cur_pad
+        next_pos, ncpad = _owner_aligned_numbering(tg.interp, ndev, npad,
+                                                   cur_pos)
+        A_p = _permuted_csr(level.A, cur_pos, cur_pos, npad, npad)
+        P_p = _permuted_csr(tg.interp, cur_pos, next_pos, npad, ncpad)
+        R_p = _permuted_csr(tg.restr, next_pos, cur_pos, ncpad, npad)
+        A = _shard_op(_build_halo_op(A_p, ndev, npad, npad, dtype), mesh)
+        Pop = _shard_op(_build_halo_op(P_p, ndev, npad, ncpad, dtype), mesh)
+        Rop = _shard_op(_build_halo_op(R_p, ndev, ncpad, npad, dtype), mesh)
+        dinv = np.zeros(npad)
+        dsrc = np.asarray(pd.dinv)
+        if cur_pos is None:
+            dinv[:len(dsrc)] = dsrc
+        else:
+            dinv[cur_pos] = dsrc
         levels.append(ShardedLevel(
-            A_cols=jax.device_put(A_cols, shard_rows2),
-            A_vals=jax.device_put(A_vals.astype(np_dtype), shard_rows2),
-            P_cols=jax.device_put(P_cols, shard_rows2),
-            P_vals=jax.device_put(P_vals.astype(np_dtype), shard_rows2),
-            R_cols=jax.device_put(R_cols, shard_rows2),
-            R_vals=jax.device_put(R_vals.astype(np_dtype), shard_rows2),
+            A=A, Pop=Pop, Rop=Rop,
             dinv=jax.device_put(dinv.astype(np_dtype), shard_rows),
-            roots=jax.device_put(
-                np.asarray(tg.poly_data.roots, dtype=np_dtype), repl),
+            roots=jax.device_put(np.asarray(pd.roots, dtype=np_dtype),
+                                 repl),
             n=npad, nc=ncpad))
-    Ac = ml.levels[-1].tg_data.Ac.toarray()
-    Acp = np.eye(sizes[-1])
-    Acp[:Ac.shape[0], :Ac.shape[1]] = Ac
-    np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
+        cur_pos, cur_pad = next_pos, ncpad
+    Ac = ml.levels[-1].tg_data.Ac
+    Acp = _permuted_csr(Ac, cur_pos, cur_pos, cur_pad, cur_pad).toarray()
+    # identity on padded slots keeps the Cholesky nonsingular; P/R are zero
+    # there so the cycle never reads them
+    pad_mask = np.ones(cur_pad, dtype=bool)
+    if cur_pos is not None:
+        pad_mask[cur_pos] = False
+    else:
+        pad_mask[:Ac.shape[0]] = False
+    Acp[pad_mask, pad_mask] = 1.0
     chol = jax.device_put(np.linalg.cholesky(Acp).astype(np_dtype), repl)
-    return ShardedHierarchy(levels, chol, mesh, ml.levels[0].A.shape[0],
-                            sizes[0])
+    return ShardedHierarchy(levels, chol, mesh, n0,
+                            -(-n0 // ndev) * ndev)
 
 
 # ---------------------------------------------------------------------------
-# inside-shard_map kernels.  Vectors passed around REPLICATED; row blocks
-# computed locally then all_gathered (ICI collective).
+# inside-shard_map kernels: vectors are LOCAL BLOCKS (dp-sharded)
 
 
-def _spmv_local(cols_blk, vals_blk, x_full, axis):
-    y_blk = jnp.einsum("nk,nk->n", vals_blk,
-                       jnp.take(x_full, cols_blk, axis=0))
-    return jax.lax.all_gather(y_blk, axis, tiled=True)
+def _halo_extend(x_blk: jnp.ndarray, H: int, axis: str) -> jnp.ndarray:
+    """Concatenate left/right neighbor edge data of width H around the
+    local block.  H <= block: one ring ppermute of H-wide slices (the
+    common production case — neighbor-only ICI traffic).  H > block
+    (tiny test problems where agglomerates span several device blocks):
+    ceil(H/block) full-block hops.  Chain ends receive zeros."""
+    if H == 0:
+        return x_blk
+    ndev = jax.lax.axis_size(axis)
+    i = jax.lax.axis_index(axis)
+    right_of = [(d, (d + 1) % ndev) for d in range(ndev)]
+    left_of = [(d, (d - 1) % ndev) for d in range(ndev)]
+    blk = x_blk.shape[0]
+    if H <= blk:
+        left_halo = jax.lax.ppermute(x_blk[-H:], axis, right_of)
+        right_halo = jax.lax.ppermute(x_blk[:H], axis, left_of)
+        left_halo = jnp.where(i == 0, 0.0, left_halo)
+        right_halo = jnp.where(i == ndev - 1, 0.0, right_halo)
+        return jnp.concatenate([left_halo, x_blk, right_halo])
+    nhops = -(-H // blk)
+    lefts, rights = [], []
+    curl = curr = x_blk
+    for k in range(1, nhops + 1):
+        curl = jax.lax.ppermute(curl, axis, right_of)   # device i: block i-k
+        curr = jax.lax.ppermute(curr, axis, left_of)    # device i: block i+k
+        lefts.insert(0, jnp.where(i - k >= 0, curl, 0.0))
+        rights.append(jnp.where(i + k <= ndev - 1, curr, 0.0))
+    left_cat = jnp.concatenate(lefts)
+    right_cat = jnp.concatenate(rights)
+    return jnp.concatenate([left_cat[-H:], x_blk, right_cat[:H]])
 
 
-def _smooth(lv: ShardedLevel, b, x, axis):
+def _spmv(op: HaloOp, cols_blk, vals_blk, x_blk, axis):
+    """y_blk = (op @ x)_blk with x dp-sharded.  Halo path: one ring
+    exchange + local ELL contraction.  Fallback: all_gather x."""
+    if op.H >= 0:
+        xe = _halo_extend(x_blk, op.H, axis)
+    else:
+        xe = jax.lax.all_gather(x_blk, axis, tiled=True)
+    return jnp.einsum("nk,nk->n", vals_blk, jnp.take(xe, cols_blk, axis=0))
+
+
+def _smooth(lv: ShardedLevel, b_blk, x_blk, axis):
+    """Polynomial smoother on distributed vectors: dinv is local, the only
+    communication is A's halo exchange per root."""
     def body(x, tau):
-        Ax = _spmv_local(lv.A_cols, lv.A_vals, x, axis)
-        # dinv is row-sharded: gather to apply on the replicated vector
-        dinv_full = jax.lax.all_gather(lv.dinv, axis, tiled=True)
-        x = x + dinv_full * (b - Ax) / tau
-        return x, None
-    x, _ = jax.lax.scan(body, x, lv.roots)
+        Ax = _spmv(lv.A, lv.A.cols, lv.A.vals, x, axis)
+        return x + lv.dinv * (b_blk - Ax) / tau, None
+    x, _ = jax.lax.scan(body, x_blk, lv.roots)
     return x
 
 
-def make_sharded_vcycle(h: ShardedHierarchy):
-    """Returns a jitted function b (replicated) -> z = B^{-1} b."""
-    axis = h.mesh.axis_names[0]
-
-    def vcycle(levels, chol, b, x, depth):
-        lv = levels[depth]
-        x = _smooth(lv, b, x, axis)
-        Ax = _spmv_local(lv.A_cols, lv.A_vals, x, axis)
-        res = b - Ax
-        resc = _spmv_local(lv.R_cols, lv.R_vals, res, axis)
-        if depth + 1 < len(levels):
-            xc = jnp.zeros_like(resc)
-            xc = vcycle(levels, chol, resc, xc, depth + 1)
-        else:
-            y = jax.scipy.linalg.solve_triangular(chol, resc, lower=True)
-            xc = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
-        x = x + _spmv_local(lv.P_cols, lv.P_vals, xc, axis)
-        x = _smooth(lv, b, x, axis)
-        return x
-
-    level_specs = []
-    for lv in h.levels:
-        level_specs.append(ShardedLevel(
-            A_cols=P(axis, None), A_vals=P(axis, None),
-            P_cols=P(axis, None), P_vals=P(axis, None),
-            R_cols=P(axis, None), R_vals=P(axis, None),
-            dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc))
-
-    from jax.experimental.shard_map import shard_map
-
-    def apply_fn(levels, chol, b):
-        return vcycle(levels, chol, b, jnp.zeros_like(b), 0)
-
-    smapped = shard_map(
-        apply_fn, mesh=h.mesh,
-        in_specs=(level_specs, P(), P()),
-        out_specs=P(),
-        check_rep=False)
-    return jax.jit(lambda b: smapped(h.levels, h.chol, b))
-
-
-def make_sharded_pcg(h: ShardedHierarchy, rel_tol: float = 1e-6,
-                     max_iter: int = 100):
-    """Full PCG step: returns jitted solve(b) -> (x, iters).
-
-    Dot products are plain jnp dots on the replicated vectors (XLA folds
-    them; in the fully sharded variant they become local dots + psum)."""
-    vc = make_sharded_vcycle(h)
-    A0_cols, A0_vals = h.levels[0].A_cols, h.levels[0].A_vals
-    axis = h.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
-
-    spmv = jax.jit(shard_map(
-        lambda c, v, x: _spmv_local(c, v, x, axis),
-        mesh=h.mesh, in_specs=(P(axis, None), P(axis, None), P()),
-        out_specs=P(), check_rep=False))
-
-    def solve(b, max_iter=max_iter):
-        x = jnp.zeros_like(b)
-        r = b
-        z = vc(r)
-        nom0 = z @ r
-        lim = nom0 * rel_tol * rel_tol
-        d = z
-        nom = nom0
-        it = 0
-        while it < max_iter and float(nom) > float(lim):
-            Ad = spmv(A0_cols, A0_vals, d)
-            alpha = nom / (d @ Ad)
-            x = x + alpha * d
-            r = r - alpha * Ad
-            z = vc(r)
-            betanom = r @ z
-            d = z + (betanom / nom) * d
-            nom = betanom
-            it += 1
-        return x, it
-
-    return solve
-
-
-def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
-                         max_iter: int = 100):
-    """Fully-jitted sharded PCG: the vcycle+SpMV run through shard_map and
-    the iteration is a lax.while_loop — ONE XLA computation end-to-end,
-    dot products local on replicated vectors (psum-free because vectors are
-    replicated; in a fully distributed-vector variant they become
-    local-dot + psum).  Returns solve(b) -> (x, iters)."""
-    axis = h.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
-
-    lv0 = h.levels[0]
-    spmv = shard_map(
-        lambda c, v, x: _spmv_local(c, v, x, axis),
-        mesh=h.mesh, in_specs=(P(axis, None), P(axis, None), P()),
-        out_specs=P(), check_rep=False)
-
-    def vcycle_once(levels, chol, b):
-        def body(levels, chol, r):
-            def vcycle(levels, chol, bb, x, depth):
-                lv = levels[depth]
-                x = _smooth(lv, bb, x, axis)
-                Ax = _spmv_local(lv.A_cols, lv.A_vals, x, axis)
-                res = bb - Ax
-                resc = _spmv_local(lv.R_cols, lv.R_vals, res, axis)
-                if depth + 1 < len(levels):
-                    xc = vcycle(levels, chol, resc, jnp.zeros_like(resc),
-                                depth + 1)
-                else:
-                    y = jax.scipy.linalg.solve_triangular(chol, resc,
-                                                          lower=True)
-                    xc = jax.scipy.linalg.solve_triangular(chol.T, y,
-                                                           lower=False)
-                x = x + _spmv_local(lv.P_cols, lv.P_vals, xc, axis)
-                x = _smooth(lv, bb, x, axis)
-                return x
-            return vcycle(levels, chol, r, jnp.zeros_like(r), 0)
-        return shard_map(body, mesh=h.mesh,
-                         in_specs=(_level_specs(h), P(), P()),
-                         out_specs=P(), check_rep=False)(levels, chol, b)
-
-    @jax.jit
-    def solve(b):
-        z = vcycle_once(h.levels, h.chol, b)
-        nom0 = z @ b
-        lim = nom0 * rel_tol * rel_tol
-
-        def cond(st):
-            x, r, d, Ad, nom, it = st
-            return jnp.logical_and(nom > lim, it < max_iter)
-
-        def body(st):
-            x, r, d, Ad, nom, it = st
-            alpha = nom / (d @ Ad)
-            x = x + alpha * d
-            r = r - alpha * Ad
-            z = vcycle_once(h.levels, h.chol, r)
-            betanom = r @ z
-            d = z + (betanom / nom) * d
-            Ad = spmv(lv0.A_cols, lv0.A_vals, d)
-            return (x, r, d, Ad, betanom, it + 1)
-
-        st = (jnp.zeros_like(b), b, z,
-              spmv(lv0.A_cols, lv0.A_vals, z), nom0, jnp.int32(0))
-        x, r, d, Ad, nom, it = jax.lax.while_loop(cond, body, st)
-        return x, it
-
-    return solve
+def _vcycle_blk(levels, chol, b_blk, x_blk, depth, axis):
+    lv = levels[depth]
+    x = _smooth(lv, b_blk, x_blk, axis)
+    Ax = _spmv(lv.A, lv.A.cols, lv.A.vals, x, axis)
+    res = b_blk - Ax
+    resc = _spmv(lv.Rop, lv.Rop.cols, lv.Rop.vals, res, axis)
+    if depth + 1 < len(levels):
+        xc = _vcycle_blk(levels, chol, resc, jnp.zeros_like(resc),
+                         depth + 1, axis)
+    else:
+        rc_full = jax.lax.all_gather(resc, axis, tiled=True)
+        y = jax.scipy.linalg.solve_triangular(chol, rc_full, lower=True)
+        xc_full = jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+        blk = resc.shape[0]
+        xc = jax.lax.dynamic_slice(
+            xc_full, (jax.lax.axis_index(axis) * blk,), (blk,))
+    x = x + _spmv(lv.Pop, lv.Pop.cols, lv.Pop.vals, xc, axis)
+    x = _smooth(lv, b_blk, x, axis)
+    return x
 
 
 def _level_specs(h: ShardedHierarchy):
     axis = h.mesh.axis_names[0]
     specs = []
     for lv in h.levels:
+        op = lambda o: HaloOp(P(axis, None), P(axis, None), o.H,  # noqa
+                              o.n_rows, o.n_src)
         specs.append(ShardedLevel(
-            A_cols=P(axis, None), A_vals=P(axis, None),
-            P_cols=P(axis, None), P_vals=P(axis, None),
-            R_cols=P(axis, None), R_vals=P(axis, None),
+            A=op(lv.A), Pop=op(lv.Pop), Rop=op(lv.Rop),
             dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc))
     return specs
+
+
+def make_sharded_vcycle(h: ShardedHierarchy):
+    """Returns a jitted z = B^{-1} b on dp-SHARDED vectors (pass b with a
+    P(axis) sharding; the result is sharded the same way)."""
+    axis = h.mesh.axis_names[0]
+    from jax.experimental.shard_map import shard_map
+
+    def body(levels, chol, b_blk):
+        return _vcycle_blk(levels, chol, b_blk, jnp.zeros_like(b_blk), 0,
+                           axis)
+
+    smapped = shard_map(body, mesh=h.mesh,
+                        in_specs=(_level_specs(h), P(), P(axis)),
+                        out_specs=P(axis), check_rep=False)
+    return jax.jit(lambda b: smapped(h.levels, h.chol, b))
+
+
+def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
+                         max_iter: int = 100):
+    """Fully-jitted sharded PCG on distributed vectors: ONE XLA computation;
+    all dot products are local + psum; the only full-vector collective is
+    the coarsest-level gather (tiny by construction).
+
+    Returns solve(b) -> (x, iters) with b and x dp-sharded."""
+    axis = h.mesh.axis_names[0]
+    from jax.experimental.shard_map import shard_map
+    lv0 = h.levels[0]
+
+    def pdot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), axis)
+
+    def body(levels, chol, b_blk):
+        def vc(r):
+            return _vcycle_blk(levels, chol, r, jnp.zeros_like(r), 0, axis)
+
+        def spmv0(x):
+            return _spmv(lv0.A, levels[0].A.cols, levels[0].A.vals, x, axis)
+
+        z = vc(b_blk)
+        nom0 = pdot(z, b_blk)
+        lim = nom0 * rel_tol * rel_tol
+
+        def cond(st):
+            x, r, d, Ad, nom, it = st
+            return jnp.logical_and(nom > lim, it < max_iter)
+
+        def it_body(st):
+            x, r, d, Ad, nom, it = st
+            alpha = nom / pdot(d, Ad)
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = vc(r)
+            betanom = pdot(r, z)
+            d = z + (betanom / nom) * d
+            Ad = spmv0(d)
+            return (x, r, d, Ad, betanom, it + 1)
+
+        st = (jnp.zeros_like(b_blk), b_blk, z, spmv0(z), nom0,
+              jnp.int32(0))
+        x, r, d, Ad, nom, it = jax.lax.while_loop(cond, it_body, st)
+        return x, it
+
+    smapped = shard_map(body, mesh=h.mesh,
+                        in_specs=(_level_specs(h), P(), P(axis)),
+                        out_specs=(P(axis), P()), check_rep=False)
+    return jax.jit(lambda b: smapped(h.levels, h.chol, b))
+
+
+def make_sharded_pcg(h: ShardedHierarchy, rel_tol: float = 1e-6,
+                     max_iter: int = 100):
+    """Host-stepped PCG wrapper around the jitted kernel (kept for
+    API compatibility; delegates to the fully-jitted variant)."""
+    solve = make_sharded_pcg_jit(h, rel_tol, max_iter)
+
+    def run(b, max_iter=max_iter):
+        return solve(b)
+    return run
+
+
+def shard_vector(h: ShardedHierarchy, b: np.ndarray) -> jnp.ndarray:
+    """Pad b to the hierarchy's padded size and place it dp-sharded."""
+    bpad = np.zeros(h.n0_pad, dtype=np.asarray(h.chol).dtype)
+    bpad[:len(b)] = b
+    return jax.device_put(
+        bpad, NamedSharding(h.mesh, P(h.mesh.axis_names[0])))

@@ -1,5 +1,6 @@
 """Multi-device sharded solve path (the reference's pmltest invariant:
-rank/device count must not change convergence)."""
+rank/device count must not change convergence) — now with DISTRIBUTED
+vectors and halo-exchange operators (O(N/P) memory per device)."""
 
 import numpy as np
 import pytest
@@ -17,7 +18,7 @@ from saamge_tpu.fem import assemble
 from saamge_tpu.fem.mesh import quad_mesh
 from saamge_tpu.parallel.sharded import (make_sharded_pcg,
                                          make_sharded_vcycle,
-                                         shard_hierarchy)
+                                         shard_hierarchy, shard_vector)
 from saamge_tpu.solve import compiled
 
 
@@ -48,13 +49,28 @@ def test_sharded_vcycle_matches_single_device(problem, ndev):
     mesh = JaxMesh(_devices(ndev), axis_names=("dp",))
     h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
     vc = make_sharded_vcycle(h)
-    bpad = np.zeros(h.n0_pad)
-    bpad[:h.n0] = b
-    z = np.asarray(vc(jnp.asarray(bpad)))[:h.n0]
+    z = np.asarray(vc(shard_vector(h, b)))[:h.n0]
 
     h1 = compiled.compile_hierarchy(s.ml, dtype=jnp.float64)
     z1 = np.asarray(compiled.vcycle_apply(h1, jnp.asarray(b)))
     np.testing.assert_allclose(z, z1, rtol=1e-10, atol=1e-12)
+
+
+def test_halo_ops_active(problem):
+    """The fine-level operators must take the halo path (H >= 0), not the
+    all-gather fallback — this is the O(N/P)-comm contract."""
+    A, b, s = problem
+    mesh = JaxMesh(_devices(8), axis_names=("dp",))
+    h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
+    lv0 = h.levels[0]
+    assert lv0.A.H >= 0, "fine operator fell back to all_gather"
+    assert lv0.Pop.H >= 0 and lv0.Rop.H >= 0
+    blk = lv0.n // 8
+    assert lv0.A.H <= blk
+    acct = h.device_bytes()
+    # per-device footprint = 1/8 of the sharded bytes + tiny replicated part
+    assert acct["per_device"] < acct["sharded_total"] // 8 \
+        + acct["replicated"] + 1
 
 
 def test_sharded_pcg_iteration_parity(problem):
@@ -66,10 +82,8 @@ def test_sharded_pcg_iteration_parity(problem):
     mesh = JaxMesh(_devices(8), axis_names=("dp",))
     h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
     solve = make_sharded_pcg(h, rel_tol=1e-6, max_iter=100)
-    bpad = np.zeros(h.n0_pad)
-    bpad[:h.n0] = b
-    x, iters = solve(jnp.asarray(bpad))
-    assert iters == res_host.iterations
+    x, iters = solve(shard_vector(h, b))
+    assert int(iters) == res_host.iterations
     x = np.asarray(x)[:h.n0]
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel < 1e-5
@@ -82,13 +96,34 @@ def test_sharded_pcg_jit_matches(problem):
     mesh = JaxMesh(_devices(8), axis_names=("dp",))
     h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
     solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
-    bpad = np.zeros(h.n0_pad)
-    bpad[:h.n0] = b
-    x, iters = solve(jnp.asarray(bpad))
+    x, iters = solve(shard_vector(h, b))
     assert int(iters) == res_host.iterations
     x = np.asarray(x)[:h.n0]
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel < 1e-5
+
+
+def test_device_count_invariance():
+    """Multilevel (3-level) problem: identical iteration counts on 1, 2 and
+    8 devices through the halo path (pmltest with more 'ranks')."""
+    from saamge_tpu.parallel.sharded import make_sharded_pcg_jit
+    mesh = quad_mesh(32)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=3, correct_nulspace=False,
+                         first_elems_per_agg=16, elems_per_agg=16)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    iters = []
+    for ndev in (1, 2, 8):
+        jmesh = JaxMesh(_devices(ndev), axis_names=("dp",))
+        h = shard_hierarchy(s.ml, jmesh, dtype=jnp.float64)
+        solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
+        x, its = solve(shard_vector(h, b))
+        iters.append(int(its))
+        x = np.asarray(x)[:h.n0]
+        assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-4
+    assert iters[0] == iters[1] == iters[2], iters
 
 
 def test_cartesian_partitioner():
