@@ -42,14 +42,20 @@ class CompiledLevel:
     weightfirst: jnp.ndarray = None
     # fused Pallas smoother (stencil levels, f32): all roots in ONE kernel
     fused_smooth: object = None
+    # blocked Pallas stencil path (large DIA levels): haloed dinv + per-
+    # root 1/tau device scalars (see ops/pallas_stencil.py)
+    dinvh: jnp.ndarray = None
+    inv_taus: tuple = None
 
     def tree_flatten(self):
         return ((self.A, self.P, self.R, self.dinv, self.roots,
-                 self.roots2, self.weightfirst), self.fused_smooth)
+                 self.roots2, self.weightfirst, self.dinvh,
+                 self.inv_taus), self.fused_smooth)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, fused_smooth=aux)
+        return cls(*children[:7], fused_smooth=aux, dinvh=children[7],
+                   inv_taus=children[8])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -105,30 +111,38 @@ def compile_hierarchy(ml, dtype=jnp.float32, prefer_dia: bool = True,
         if P_dev is None:
             P_dev = DeviceELL.from_csr(tg.interp, dtype)
             R_dev = DeviceELL.from_csr(tg.restr, dtype)
+        pd = tg.poly_data
+        roots2 = np.asarray(pd.roots2) if pd.roots2 is not None \
+            else np.zeros(0)
         fused = None
-        if dtype == jnp.float32:
+        dinvh = None
+        inv_taus = None
+        if dtype == jnp.float32 and not len(roots2):
             from saamge_tpu.ops.sparse import DeviceDIA
             if isinstance(A_dev, DeviceDIA):
+                interpret = jax.devices()[0].platform == "cpu"
                 from saamge_tpu.ops.pallas_smoother import (fits_vmem,
                                                             fused_dia_smoother)
                 if fits_vmem(A_dev.shape[0], len(A_dev.offsets)):
                     fused = fused_dia_smoother(
-                        A_dev, jnp.asarray(tg.poly_data.dinv,
-                                           dtype=jnp.float32),
-                        tg.poly_data.roots,
-                        interpret=jax.devices()[0].platform == "cpu")
-        pd = tg.poly_data
-        roots2 = np.asarray(pd.roots2) if pd.roots2 is not None \
-            else np.zeros(0)
-        if fused is not None and len(roots2):
-            fused = None     # fused kernel implements the one-branch family
+                        A_dev, jnp.asarray(pd.dinv, dtype=jnp.float32),
+                        pd.roots, interpret=interpret)
+                else:
+                    # large stencil: blocked Pallas passes (stream-rate
+                    # per root) with the haloed vector layout
+                    from saamge_tpu.ops.pallas_stencil import PallasDIA
+                    A_dev = PallasDIA.from_dia(A_dev, interpret=interpret)
+                    dinvh = A_dev.pad(jnp.asarray(pd.dinv, jnp.float32))
+                    inv_taus = tuple(
+                        jnp.asarray([1.0 / float(t)], jnp.float32)
+                        for t in np.asarray(pd.roots))
         levels.append(CompiledLevel(
             A=A_dev, P=P_dev, R=R_dev,
             dinv=jnp.asarray(pd.dinv, dtype=dtype),
             roots=jnp.asarray(pd.roots, dtype=dtype),
             roots2=jnp.asarray(roots2, dtype=dtype),
             weightfirst=jnp.asarray(pd.weightfirst, dtype=dtype),
-            fused_smooth=fused))
+            fused_smooth=fused, dinvh=dinvh, inv_taus=inv_taus))
     Ac = ml.levels[-1].tg_data.Ac.toarray()
     chol = jnp.asarray(np.linalg.cholesky(Ac), dtype=dtype)
     return CompiledHierarchy(levels, chol, Ac.shape[0])
@@ -163,10 +177,17 @@ def smooth(level: CompiledLevel, b: jnp.ndarray,
     (smpr.cpp:213-234).
 
     Stencil levels that fit VMEM use the fused Pallas kernel (all roots in
-    one dispatch, operator resident in VMEM); otherwise the roots scan
-    unrolls into SpMV+fma stages that XLA fuses."""
+    one dispatch, operator resident in VMEM); large stencil levels use the
+    blocked Pallas root passes; otherwise the roots scan unrolls into
+    SpMV+fma stages that XLA fuses."""
     if level.fused_smooth is not None:
         return level.fused_smooth(b, x)
+    if level.inv_taus is not None:
+        A = level.A
+        bh, xh = A.pad(b), A.pad(x)
+        for it in level.inv_taus:
+            xh = A.root_h(it, bh, level.dinvh, xh)
+        return A.unpad(xh, x.dtype)
 
     def chain(x0, roots):
         def body(x, tau):
@@ -193,15 +214,34 @@ def vcycle(h: CompiledHierarchy, b: jnp.ndarray, x: jnp.ndarray,
     """tg_cycle_atb, unrolled over levels at trace time; mu=2 gives the
     W-cycle (each coarse visit recurses mu times)."""
     lv = h.levels[level]
+
+    def coarse_correct(resc):
+        if level + 1 < len(h.levels):
+            xc = jnp.zeros(h.levels[level + 1].A.shape[0], dtype=b.dtype)
+            return vcycle(h, resc, xc, level + 1, mu)
+        return coarse_solve(h, resc)
+
+    if lv.inv_taus is not None:
+        # blocked-stencil level: keep the iterate in the haloed layout
+        # across pre-smooth and the residual (no pad/slice glue)
+        A = lv.A
+        bh, xh = A.pad(b), A.pad(x)
+        for it in lv.inv_taus:
+            xh = A.root_h(it, bh, lv.dinvh, xh)
+        for cycle in range(mu):
+            res = A.unpad(A.residual_h(bh, xh), b.dtype)
+            xc = coarse_correct(lv.R.matvec(res))
+            corr = lv.P.matvec(xc)
+            xh = xh + A.pad(corr)
+        for it in lv.inv_taus:
+            xh = A.root_h(it, bh, lv.dinvh, xh)
+        return A.unpad(xh, b.dtype)
+
     x = smooth(lv, b, x)
     for cycle in range(mu):
         res = b - lv.A.matvec(x)
         resc = lv.R.matvec(res)
-        if level + 1 < len(h.levels):
-            xc = jnp.zeros(h.levels[level + 1].A.shape[0], dtype=b.dtype)
-            xc = vcycle(h, resc, xc, level + 1, mu)
-        else:
-            xc = coarse_solve(h, resc)
+        xc = coarse_correct(resc)
         x = x + lv.P.matvec(xc)
     x = smooth(lv, b, x)
     return x
