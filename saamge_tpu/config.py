@@ -56,11 +56,13 @@ class TGConfig:
 class SolverOptions:
     """Per-run knobs shared by drivers (mirrors mltest.cpp:315-421 surface)."""
 
-    theta: float = 0.003
+    # theta and nu_relax accept a scalar or a per-coarsening list (the
+    # reference's per-level MultilevelParameters arrays, ml.cpp:54-108)
+    theta: object = 0.003
     first_theta: Optional[float] = None
     nu_pro: int = 0
     first_nu_pro: Optional[int] = None
-    nu_relax: int = 3
+    nu_relax: object = 3
     num_levels: int = 2
     elems_per_agg: int = 256
     first_elems_per_agg: Optional[int] = None
@@ -80,7 +82,9 @@ class SolverOptions:
     def resolved(self) -> "SolverOptions":
         out = dataclasses.replace(self)
         if out.first_theta is None:
-            out.first_theta = out.theta
+            t = out.theta
+            out.first_theta = float(t[0]) if isinstance(
+                t, (list, tuple)) else t
         if out.first_nu_pro is None:
             out.first_nu_pro = out.nu_pro
         if out.first_elems_per_agg is None:

@@ -183,9 +183,11 @@ class PallasDIA:
 
     @staticmethod
     def block_rows(k: int, vmem_budget: int = 8 << 20) -> int:
-        """Pick block rows so vals blocks double-buffer within budget."""
+        """Pick block rows so vals blocks double-buffer within budget
+        (many-diagonal operators — e.g. the padded brick-major coarse
+        DIA with hundreds of offsets — need small row blocks)."""
         br = 512
-        while br > 64 and 2 * (k + 3) * br * LANES * 4 > vmem_budget:
+        while br > 8 and 2 * (k + 3) * br * LANES * 4 > vmem_budget:
             br //= 2
         return br
 

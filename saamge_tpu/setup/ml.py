@@ -25,9 +25,11 @@ class MultilevelParameters:
     nparts_arr: List[int]
     first_nu_pro: int = 0
     nu_pro: int = 0
-    nu_relax: int = 3
+    # scalar, or a per-coarsening list (the reference's per-level arrays,
+    # ml.cpp:54-108: nu_relax[], theta[] per level)
+    nu_relax: object = 3
     first_theta: float = 0.003
-    theta: float = 0.003
+    theta: object = 0.003
     polynomial_coarse_space: int = -1
     use_correct_nullspace: bool = True
     use_truncated_eigensolver: bool = False
@@ -55,7 +57,15 @@ class MultilevelParameters:
         return self.first_nu_pro if j == 0 else self.nu_pro
 
     def get_theta(self, j):
+        if isinstance(self.theta, (list, tuple, np.ndarray)):
+            return self.first_theta if j == 0 else \
+                self.theta[min(j, len(self.theta) - 1)]
         return self.first_theta if j == 0 else self.theta
+
+    def get_nu_relax(self, j):
+        if isinstance(self.nu_relax, (list, tuple, np.ndarray)):
+            return int(self.nu_relax[min(j, len(self.nu_relax) - 1)])
+        return int(self.nu_relax)
 
     def get_smooth_interp(self, j):
         return self.get_nu_pro(j) > 0
@@ -112,7 +122,7 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
     agg_print_stats(rels, level=3)
     sa_print(5, "Coarsening: 0 -> 1 ...")
     tg = tg_mod.tg_init_data(
-        A, rels, mlp.get_nu_pro(0), mlp.nu_relax, mlp.get_theta(0),
+        A, rels, mlp.get_nu_pro(0), mlp.get_nu_relax(0), mlp.get_theta(0),
         mlp.get_smooth_interp(0), mlp.smooth_drop_tol,
         mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
     tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(0)
@@ -151,7 +161,7 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
             do_aggregates=do_aggregates, partitioning=override)
         finer.tg_data.interp_data.mis_coarsedofoffsets = offsets
         tg = tg_mod.tg_init_data(
-            A, rels, mlp.get_nu_pro(i), mlp.nu_relax, mlp.get_theta(i),
+            A, rels, mlp.get_nu_pro(i), mlp.get_nu_relax(i), mlp.get_theta(i),
             mlp.get_smooth_interp(i), mlp.smooth_drop_tol,
             mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
         tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(i)

@@ -1,0 +1,399 @@
+"""Gather-free structured hierarchy: the production TPU solve path for
+structured hex meshes with brick agglomeration.
+
+TPU element gathers run ~50x slower than streamed reads (measured 0.14
+Gelem/s vs ~950 GB/s stream on v5e), so the generic ELL formats that are
+natural on CPUs (hypre CSR SpMV, interp_global_tent_assemble products —
+reference tg.cpp:91-131, interp.cpp:761) are the wrong shape for this
+hardware.  With a Cartesian brick partitioning (topology/part.py
+partition_cartesian_3d) the whole solve phase becomes gather-free:
+
+ - FINE level: 27-point stencil -> blocked Pallas DIA passes
+   (ops/pallas_stencil.py).
+ - TENTATIVE P/R: every MIS is a face/edge/corner/interior box of the
+   brick grid and lies inside its MASTER brick's closed dof box (master =
+   lowest containing AE, the reference's lowest-owner-rank rule,
+   aggregates.cpp:271-299).  Restriction is therefore
+   strided-window extraction (conv_general_dilated_patches — pure
+   strided copies) + one batched dense (MXU) contraction per brick;
+   prolongation is the transposed contraction + an 8-piece static-slice
+   overlap assembly (upper-half-open tiling: dof plane g = k*b belongs to
+   brick k-1, so pieces are disjoint static slices — no scatter).
+ - COARSE dofs live in a brick-major PADDED layout: brick p's coarse dofs
+   occupy slots [p*bs, p*bs + count_p), zero-padded to a common bs.  The
+   Galerkin operator then has entries only at flat offsets
+   (brick-neighbor offset)*bs + slot deltas — a plain DIA matrix with a
+   few hundred static diagonals, which reuses the SAME blocked Pallas
+   stencil kernels as the fine level.
+ - COARSEST: dense inverse applied as a matvec (triangular solves are
+   serial and measured 4-8 ms at 8-16k on TPU; an inverse matvec is one
+   streamed GEMV at <1 ms, and exactness only affects preconditioner
+   quality, cf. the reference's UMFPACK/BoomerAMG coarse solve,
+   tg.cpp:991-1012).
+
+Reference counterparts: tg_cycle_atb (tg.cpp:91), interp tent blocks
+(contrib.cpp:551-716), coarse Dof_TrueDof block offsets
+(aggregates.cpp:1693-1702).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.ops.pallas_stencil import PallasDIA
+from saamge_tpu.ops.sparse import DeviceDIA
+
+MAX_STRUCT_DIAGS = 4096
+
+
+# ---------------------------------------------------------------------------
+# host-side builders
+
+
+@dataclasses.dataclass
+class BrickGeometry:
+    """Static geometry of a brick-partitioned structured hex mesh.
+
+    Nodes per dim are (BX*bx+1, BY*by+1, BZ*bz+1); fine dof id is
+    x-major lexicographic (fem/mesh.py hex_mesh vid)."""
+
+    bricks: Tuple[int, int, int]      # (BX, BY, BZ)
+    brick_elems: Tuple[int, int, int]  # (bx, by, bz)
+
+    @property
+    def nodes(self):
+        (BX, BY, BZ), (bx, by, bz) = self.bricks, self.brick_elems
+        return (BX * bx + 1, BY * by + 1, BZ * bz + 1)
+
+    @property
+    def num_bricks(self):
+        return int(np.prod(self.bricks))
+
+    @property
+    def box(self):
+        bx, by, bz = self.brick_elems
+        return (bx + 1) * (by + 1) * (bz + 1)
+
+
+def coarse_brick_numbering(rels, mis_numcoarsedof: np.ndarray):
+    """Group coarse dofs by the master brick of their MIS (master = min
+    containing AE) and assign slots; returns (brick, slot, bs) per coarse
+    dof plus counts.  This is the coarse Dof_TrueDof block structure of
+    the reference (aggregates.cpp:1610-1730) specialized to bricks."""
+    nm = rels.num_mises
+    ncd = np.asarray(mis_numcoarsedof, dtype=np.int64)
+    # master AE per MIS = min of the containing AEs
+    m2a = rels.mis_to_AE
+    sizes = m2a.row_sizes()
+    master = np.full(nm, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(master, np.repeat(np.arange(nm), sizes), m2a.indices)
+    cd_mis = np.repeat(np.arange(nm), ncd)
+    cd_brick = master[cd_mis]
+    counts = np.bincount(cd_brick, minlength=rels.nparts)
+    bs = int(counts.max())
+    # slot = position within brick, coarse dofs in ascending c order
+    order = np.argsort(cd_brick, kind="stable")
+    slot = np.empty(len(cd_mis), dtype=np.int64)
+    starts = np.zeros(rels.nparts + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot[order] = np.arange(len(cd_mis)) - starts[cd_brick[order]]
+    return cd_brick, slot, bs, counts
+
+
+def build_structured_interp(rels, P: sp.csr_matrix,
+                            mis_numcoarsedof: np.ndarray,
+                            geo: BrickGeometry):
+    """Dense per-brick tentative interpolation blocks.
+
+    Returns (Rst, cd_brick, slot, bs): Rst (NB, bs, box) with
+    Rst[p, s, boxpos] = P[fine dof at boxpos of brick p's closed box,
+    coarse dof (p, s)] — the per-MIS tent interps regrouped by master
+    brick (contrib.cpp mis_tent_interps)."""
+    (BX, BY, BZ) = geo.bricks
+    (bx, by, bz) = geo.brick_elems
+    NXn, NYn, NZn = geo.nodes
+    NB, box = geo.num_bricks, geo.box
+    cd_brick, slot, bs, _ = coarse_brick_numbering(rels, mis_numcoarsedof)
+
+    Pc = P.tocsc()
+    n_c = Pc.shape[1]
+    assert len(cd_brick) == n_c, (len(cd_brick), n_c)
+    rows = Pc.indices
+    vals = Pc.data
+    col_of = np.repeat(np.arange(n_c), np.diff(Pc.indptr))
+    # fine dof -> grid coords (x-major lex: ix*NYn*NZn + iy*NZn + iz)
+    ix, rem = np.divmod(rows, NYn * NZn)
+    iy, iz = np.divmod(rem, NZn)
+    pb = cd_brick[col_of]
+    pz = pb % BZ
+    py = (pb // BZ) % BY
+    px = pb // (BY * BZ)
+    u = ix - px * bx
+    v = iy - py * by
+    w = iz - pz * bz
+    ok = ((u >= 0) & (u <= bx) & (v >= 0) & (v <= by)
+          & (w >= 0) & (w <= bz))
+    if not np.all(ok):
+        raise ValueError(
+            "tent column escapes its master brick's closed box — "
+            "partitioning is not brick-structured")
+    boxpos = (u * (by + 1) + v) * (bz + 1) + w
+    Rst = np.zeros((NB, bs, box), dtype=np.float32)
+    Rst[pb, slot[col_of], boxpos] = vals
+    return Rst, cd_brick, slot, bs
+
+
+def padded_dia_from_csr(Ac: sp.csr_matrix, flat_id: np.ndarray,
+                        n_flat: int) -> DeviceDIA:
+    """Map a coarse CSR operator into the brick-major padded layout and
+    store as DIA with the (static) set of flat-offset diagonals."""
+    coo = Ac.tocoo()
+    rf = flat_id[coo.row]
+    cf = flat_id[coo.col]
+    offs = cf - rf
+    uoff = np.unique(offs)
+    if len(uoff) > MAX_STRUCT_DIAGS:
+        raise ValueError(f"{len(uoff)} structured diagonals (> "
+                         f"{MAX_STRUCT_DIAGS}); brick layout too irregular")
+    oidx = np.searchsorted(uoff, offs)
+    vals = np.zeros((len(uoff), n_flat), dtype=np.float64)
+    vals[oidx, rf] = coo.data
+    return DeviceDIA(jnp.asarray(vals, jnp.float32),
+                     tuple(int(o) for o in uoff), (n_flat, n_flat))
+
+
+# ---------------------------------------------------------------------------
+# device-side structured hierarchy
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class StructuredHierarchy:
+    """3-level (or 2-level) gather-free hierarchy.
+
+    Level 0: blocked Pallas stencil; level 1 (optional): padded-brick DIA
+    through the same kernels; coarsest: dense inverse matvec.  All coarse
+    vectors live in the brick-major padded layout."""
+
+    A0: PallasDIA
+    dinv0h: jnp.ndarray
+    taus0: tuple                  # (1,) f32 device scalars (1/tau)
+    Rst: jnp.ndarray              # (NB, bs, box)
+    # level 1 (None for two-level)
+    A1: Optional[PallasDIA]
+    dinv1h: Optional[jnp.ndarray]
+    taus1: Optional[tuple]
+    R1: Optional[jnp.ndarray]     # (n2, n_flat) dense restriction
+    Ainv: jnp.ndarray             # dense inverse of the coarsest operator
+    geo: BrickGeometry            # static
+    n_fine: int                   # static
+    n_flat: int                   # static (NB * bs)
+
+    def tree_flatten(self):
+        return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1,
+                 self.dinv1h, self.taus1, self.R1, self.Ainv),
+                (self.geo, self.n_fine, self.n_flat))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux[0], aux[1], aux[2])
+
+    # -- structured tentative P/R apply ---------------------------------
+    def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
+        """coarse = R res: strided window extraction + batched MXU
+        contraction; output in the brick-major padded layout."""
+        (BX, BY, BZ) = self.geo.bricks
+        (bx, by, bz) = self.geo.brick_elems
+        r3 = res_flat.reshape(self.geo.nodes)
+        p = jax.lax.conv_general_dilated_patches(
+            r3[None, None], filter_shape=(bx + 1, by + 1, bz + 1),
+            window_strides=(bx, by, bz), padding="VALID")[0]
+        # (box, BX, BY, BZ) -> (NB, box)
+        boxes = p.reshape(self.geo.box, -1).T
+        yc = jnp.einsum("pcb,pb->pc", self.Rst, boxes,
+                        preferred_element_type=jnp.float32)
+        return yc.reshape(-1)
+
+    def apply_P(self, xc_flat: jnp.ndarray) -> jnp.ndarray:
+        """fine = P^T-style prolongation: batched contraction + 8-piece
+        static-slice overlap assembly (pieces are disjoint because dof
+        plane g = k*b belongs to brick k-1 — the master/minimum rule)."""
+        (BX, BY, BZ) = self.geo.bricks
+        (bx, by, bz) = self.geo.brick_elems
+        bs = self.Rst.shape[1]
+        xc = xc_flat.reshape(-1, bs)
+        C = jnp.einsum("pcb,pc->pb", self.Rst, xc,
+                       preferred_element_type=jnp.float32)
+        C = C.reshape(BX, BY, BZ, bx + 1, by + 1, bz + 1)
+        y3 = jnp.zeros(self.geo.nodes, dtype=jnp.float32)
+
+        def interleave(piece, dims):
+            # piece (B_d..., b_d...) -> transpose to (B,b) pairs, flatten
+            nd = len(dims)
+            permute = []
+            for d in range(nd):
+                permute += [d, nd + d]
+            out = piece.transpose(permute)
+            return out.reshape([piece.shape[d] * piece.shape[nd + d]
+                                for d in range(nd)])
+
+        # S = set of dims pinned at global plane 0
+        y3 = y3.at[1:, 1:, 1:].set(
+            interleave(C[:, :, :, 1:, 1:, 1:], (0, 1, 2)))
+        y3 = y3.at[0, 1:, 1:].set(
+            interleave(C[0, :, :, 0, 1:, 1:], (0, 1)))
+        y3 = y3.at[1:, 0, 1:].set(
+            interleave(C[:, 0, :, 1:, 0, 1:], (0, 1)))
+        y3 = y3.at[1:, 1:, 0].set(
+            interleave(C[:, :, 0, 1:, 1:, 0], (0, 1)))
+        y3 = y3.at[0, 0, 1:].set(interleave(C[0, 0, :, 0, 0, 1:], (0,)))
+        y3 = y3.at[0, 1:, 0].set(interleave(C[0, :, 0, 0, 1:, 0], (0,)))
+        y3 = y3.at[1:, 0, 0].set(interleave(C[:, 0, 0, 1:, 0, 0], (0,)))
+        y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
+        return y3.reshape(-1)
+
+    # -- cycle ----------------------------------------------------------
+    def _smooth_h(self, A, taus, dinvh, bh, xh):
+        for it in taus:
+            xh = A.root_h(it, bh, dinvh, xh)
+        return xh
+
+    def vcycle(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """tg_cycle_atb (tg.cpp:91) on the structured formats."""
+        A0 = self.A0
+        bh, xh = A0.pad(b), A0.pad(x)
+        xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
+        res = A0.unpad(A0.residual_h(bh, xh))
+        rc = self.apply_R(res)
+        if self.A1 is not None:
+            A1 = self.A1
+            b1h = A1.pad(rc)
+            x1h = self._smooth_h(A1, self.taus1, self.dinv1h, b1h,
+                                 A1.pad(jnp.zeros_like(rc)))
+            r1 = A1.unpad(A1.residual_h(b1h, x1h))
+            y2 = self.Ainv @ (self.R1 @ r1)
+            x1h = x1h + A1.pad(self.R1.T @ y2)
+            x1h = self._smooth_h(A1, self.taus1, self.dinv1h, b1h, x1h)
+            xc = A1.unpad(x1h)
+        else:
+            xc = self.Ainv @ rc
+        xh = xh + A0.pad(self.apply_P(xc))
+        xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
+        return A0.unpad(xh)
+
+
+@jax.jit
+def struct_vcycle_apply(h: StructuredHierarchy, b: jnp.ndarray):
+    return h.vcycle(b, jnp.zeros_like(b))
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def struct_pcg_solve(h: StructuredHierarchy, b: jnp.ndarray,
+                     rel_tol: float = 1e-6, abs_tol: float = 0.0,
+                     max_iter: int = 200):
+    """MFEM-CGSolver-semantics PCG on the structured hierarchy; the
+    tolerances are runtime values (no retrace per tolerance)."""
+    A = h.A0
+
+    def matvec(x):
+        return A.matvec(x)
+
+    z = h.vcycle(b, jnp.zeros_like(b))
+    nom0 = z @ b
+    lim = jnp.maximum(nom0 * rel_tol * rel_tol, abs_tol * abs_tol)
+    Ad0 = matvec(z)
+
+    def cond(state):
+        x, r, d, Ad, nom, it = state
+        return jnp.logical_and(nom > lim, it < max_iter)
+
+    def body(state):
+        x, r, d, Ad, nom, it = state
+        alpha = nom / (d @ Ad)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = h.vcycle(r, jnp.zeros_like(r))
+        betanom = r @ z
+        d = z + (betanom / nom) * d
+        return (x, r, d, matvec(d), betanom, it + 1)
+
+    state = (jnp.zeros_like(b), b, z, Ad0, nom0, jnp.int32(0))
+    x, r, d, Ad, nom, it = jax.lax.while_loop(cond, body, state)
+    return x, it, nom
+
+
+# ---------------------------------------------------------------------------
+# compiler: host MLData -> StructuredHierarchy
+
+
+def compile_structured(ml, geo: BrickGeometry,
+                       interpret: Optional[bool] = None
+                       ) -> StructuredHierarchy:
+    """Build the structured device hierarchy from a host setup product.
+
+    ``ml`` must come from a brick partitioning (partition_cartesian_3d)
+    with an unsmoothed tentative P on the finest coarsening; supports 2
+    or 3 host levels (3rd-level partitioning may be unstructured — its
+    operator only appears through the dense R1/coarsest inverse)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform == "cpu"
+    lv0 = ml.levels[0]
+    tg0 = lv0.tg_data
+    assert not tg0.smooth_interp, "structured path needs the tent P"
+
+    dia0 = DeviceDIA.try_from_csr(lv0.A, jnp.float32, max_diags=64)
+    assert dia0 is not None, "finest operator is not stencil-structured"
+    A0 = PallasDIA.from_dia(dia0, interpret=interpret)
+    pd0 = tg0.poly_data
+    dinv0h = A0.pad(jnp.asarray(pd0.dinv, jnp.float32))
+    taus0 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
+                  for t in np.asarray(pd0.roots))
+
+    Rst, cd_brick, slot, bs = build_structured_interp(
+        lv0.rels, tg0.tent_interp, tg0.interp_data.mis_numcoarsedof, geo)
+    n_flat = geo.num_bricks * bs
+    flat_id = cd_brick * bs + slot
+
+    Ac1 = tg0.Ac.tocsr()
+    if len(ml.levels) >= 2:
+        tg1 = ml.levels[1].tg_data
+        dia1 = padded_dia_from_csr(Ac1, flat_id, n_flat)
+        A1 = PallasDIA.from_dia(dia1, interpret=interpret)
+        pd1 = tg1.poly_data
+        dinv1 = np.zeros(n_flat)
+        dinv1[flat_id] = pd1.dinv
+        dinv1h = A1.pad(jnp.asarray(dinv1, jnp.float32))
+        taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
+                      for t in np.asarray(pd1.roots))
+        # dense restriction to the coarsest, columns mapped to flat ids
+        Rcsr = tg1.restr.tocsr()
+        n2 = Rcsr.shape[0]
+        R1 = np.zeros((n2, n_flat), dtype=np.float32)
+        coo = Rcsr.tocoo()
+        R1[coo.row, flat_id[coo.col]] = coo.data
+        Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
+        Ainv = np.linalg.inv(Ac2)
+        return StructuredHierarchy(
+            A0, dinv0h, taus0, jnp.asarray(Rst),
+            A1, dinv1h, taus1, jnp.asarray(R1),
+            jnp.asarray(Ainv, jnp.float32), geo, lv0.A.shape[0], n_flat)
+
+    # two-level: coarsest = padded Ac with unit dummy diagonal
+    Acp = np.eye(n_flat)
+    coo = Ac1.tocoo()
+    Acp[flat_id[coo.row], flat_id[coo.col]] = coo.data
+    dummy = np.setdiff1d(np.arange(n_flat), flat_id)
+    Acp[dummy, dummy] = 1.0
+    Ainv = np.linalg.inv(Acp)
+    return StructuredHierarchy(
+        A0, dinv0h, taus0, jnp.asarray(Rst),
+        None, None, None, None,
+        jnp.asarray(Ainv, jnp.float32), geo, lv0.A.shape[0], n_flat)

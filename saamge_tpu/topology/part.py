@@ -218,6 +218,33 @@ def partition_cartesian_2d(elem_centers: np.ndarray, nx: int, ny: int,
     return iy * nx + ix
 
 
+def partition_cartesian_3d(elem_centers: np.ndarray, nx: int, ny: int,
+                           nz: int, bbox=None) -> np.ndarray:
+    """3D extension of the reference's Cartesian partitioner
+    (fem_partition_cartesian_2d, fem.cpp:560): assign elements to an
+    nx x ny x nz grid of bricks by element center.  On structured hex
+    meshes this produces regular brick agglomerates — the structured
+    fast path's partitioner (perfectly balanced, connected by
+    construction, and the AE/MIS topology becomes a regular grid that
+    the gather-free device formats exploit).
+
+    Part numbering is brick-lexicographic with x slowest (matching
+    hex_mesh element order): part = bx * ny * nz + by * nz + bz."""
+    c = np.asarray(elem_centers)
+    if bbox is None:
+        lo, hi = c.min(axis=0), c.max(axis=0)
+    else:
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+    span = np.maximum(hi - lo, 1e-300)
+    ix = np.minimum((nx * (c[:, 0] - lo[0]) / span[0]).astype(np.int64),
+                    nx - 1)
+    iy = np.minimum((ny * (c[:, 1] - lo[1]) / span[1]).astype(np.int64),
+                    ny - 1)
+    iz = np.minimum((nz * (c[:, 2] - lo[2]) / span[2]).astype(np.int64),
+                    nz - 1)
+    return (ix * ny + iy) * nz + iz
+
+
 def partition_identity(n: int) -> np.ndarray:
     """Identity partitioning: every element its own agglomerate
     (fem_create_partitioning_identity, fem.cpp:648)."""

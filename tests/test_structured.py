@@ -1,0 +1,104 @@
+"""Structured (brick) gather-free hierarchy vs the generic compiled path.
+
+The structured path re-expresses tent P/R as per-brick dense blocks and
+the coarse operator as padded brick-major DIA (solve/structured.py); it
+must reproduce the generic V-cycle exactly (same preconditioner, same
+PCG iteration counts)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.api import SpectralAMGSolver
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import hex_mesh
+from saamge_tpu.topology.part import partition_cartesian_3d
+from saamge_tpu.solve import compiled as C
+from saamge_tpu.solve.structured import (BrickGeometry, compile_structured,
+                                         struct_pcg_solve,
+                                         struct_vcycle_apply)
+
+
+def _setup(n=8, nb=2, num_levels=2, coef=1.0):
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=coef, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+    opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
+                         elems_per_agg=4, device_setup=False)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                         partitioning=part)
+    geo = BrickGeometry((nb, nb, nb), (n // nb,) * 3)
+    return s, b, geo
+
+
+@pytest.mark.parametrize("num_levels", [2, 3])
+def test_struct_matches_generic_vcycle(num_levels):
+    s, b, geo = _setup(8, 2, num_levels)
+    h_gen = C.compile_hierarchy(s.ml)
+    h_st = compile_structured(s.ml, geo)
+    bdev = jnp.asarray(b, jnp.float32)
+    y_gen = np.asarray(C.vcycle_apply(h_gen, bdev))
+    y_st = np.asarray(struct_vcycle_apply(h_st, bdev))
+    # same cycle up to the coarsest-solve difference (Cholesky vs dense
+    # inverse) and f32 arithmetic order
+    ref = np.abs(y_gen).max()
+    assert np.abs(y_gen - y_st).max() <= 5e-4 * ref
+
+
+@pytest.mark.parametrize("num_levels", [2, 3])
+def test_struct_pcg_iteration_parity(num_levels):
+    s, b, geo = _setup(8, 2, num_levels)
+    h_gen = C.compile_hierarchy(s.ml)
+    h_st = compile_structured(s.ml, geo)
+    bdev = jnp.asarray(b, jnp.float32)
+    x1, it1, _ = C.pcg_solve(h_gen, bdev, max_iter=60)
+    x2, it2, _ = struct_pcg_solve(h_st, bdev, max_iter=60)
+    assert int(it2) == int(it1)
+    assert np.allclose(np.asarray(x1), np.asarray(x2),
+                       atol=1e-3 * np.abs(np.asarray(x1)).max())
+
+
+def test_struct_pcg_runtime_tolerance_no_retrace():
+    s, b, geo = _setup(8, 2, 2)
+    h_st = compile_structured(s.ml, geo)
+    bdev = jnp.asarray(b, jnp.float32)
+    _, it_loose, _ = struct_pcg_solve(h_st, bdev, rel_tol=1e-2,
+                                      max_iter=60)
+    _, it_tight, _ = struct_pcg_solve(h_st, bdev, rel_tol=1e-8,
+                                      max_iter=60)
+    assert int(it_tight) > int(it_loose)
+
+
+def test_struct_R_P_match_tent(num_levels=2):
+    """apply_R / apply_P against the host tent CSR directly."""
+    s, b, geo = _setup(8, 2, num_levels)
+    h_st = compile_structured(s.ml, geo)
+    tg0 = s.ml.levels[0].tg_data
+    P = tg0.tent_interp.tocsr()
+    from saamge_tpu.solve.structured import coarse_brick_numbering
+    cd_brick, slot, bs, _ = coarse_brick_numbering(
+        s.ml.levels[0].rels, tg0.interp_data.mis_numcoarsedof)
+    flat_id = cd_brick * bs + slot
+
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(P.shape[0]).astype(np.float32)
+    rc_ref = P.T @ r
+    rc = np.asarray(h_st.apply_R(jnp.asarray(r)))
+    assert np.allclose(rc[flat_id], rc_ref, atol=1e-4 * max(
+        1.0, np.abs(rc_ref).max()))
+    # padded slots stay zero
+    mask = np.ones(len(rc), bool)
+    mask[flat_id] = False
+    assert np.all(rc[mask] == 0)
+
+    xc = rng.standard_normal(P.shape[1]).astype(np.float32)
+    xc_flat = np.zeros(h_st.n_flat, dtype=np.float32)
+    xc_flat[flat_id] = xc
+    y_ref = P @ xc
+    y = np.asarray(h_st.apply_P(jnp.asarray(xc_flat)))
+    assert np.allclose(y, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max()))
