@@ -92,7 +92,8 @@ def build_tentative(rels: AggPartRels,
                     cut_evects_arr: Optional[List[np.ndarray]],
                     avoid_ess_bdr_dofs: bool = True,
                     scaling_P: bool = False,
-                    extra_vectors=None) -> TentativeInterp:
+                    extra_vectors=None,
+                    svd_eps: float = SVD_EPS) -> TentativeInterp:
     """contrib_mises + SVDInsert (contrib.cpp:551-716), batched: per-MIS
     eigenvector blocks are gathered with one flat index computation, bucketed
     by padded (rows, cols) shape, and factored with ONE batched SVD per
@@ -158,7 +159,7 @@ def build_tentative(rels: AggPartRels,
         _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active,
                            sizes, c_m, pair_mis, pair_ae, pair_m,
                            avoid_ess_bdr_dofs, mis_tent_interps,
-                           mis_numcoarsedof)
+                           mis_numcoarsedof, svd_eps)
 
     # assemble P from the per-MIS bases (exact-zero entries dropped, as in
     # contrib_tent_insert_simple)
@@ -201,7 +202,8 @@ def build_tentative(rels: AggPartRels,
 
 def _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active, sizes,
                        c_m, pair_mis, pair_ae, pair_m, avoid_ess_bdr_dofs,
-                       mis_tent_interps, mis_numcoarsedof) -> None:
+                       mis_tent_interps, mis_numcoarsedof,
+                       svd_eps: float = SVD_EPS) -> None:
     """Fill mis_tent_interps/mis_numcoarsedof for the active MISes via
     bucketed batched SVD."""
     from saamge_tpu.topology.agglomerate import _ranges, mis_ae_locs
@@ -290,7 +292,7 @@ def _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active, sizes,
 
         U, S, _ = np.linalg.svd(M, full_matrices=False)
         s0 = S[:, :1]
-        k_arr = ((S > SVD_EPS * s0) & (s0 > 0.0)).sum(axis=1)
+        k_arr = ((S > svd_eps * s0) & (s0 > 0.0)).sum(axis=1)
         for b, m in enumerate(mis_arr):
             k = int(k_arr[b])
             n = int(sizes[m])

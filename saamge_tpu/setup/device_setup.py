@@ -1,0 +1,281 @@
+"""Device-side setup pipeline for translation-invariant agglomerations.
+
+The reference's setup hot loop (interp_compute_vectors, interp.cpp:342)
+assembles one AE stiffness matrix and solves one dense generalized
+eigenproblem per agglomerate.  On a uniform structured mesh with a
+Cartesian brick partitioning all AEs share ONE local assembly pattern
+(same local dof map, same element layout — only the per-element
+coefficients differ), so the whole per-AE pipeline collapses to batched
+device kernels:
+
+  1. assembly as a matmul: A_flat = COEF @ PAT, where PAT (E_loc, n^2)
+     scatters the reference element matrix into the brick-local dense
+     pattern (built once, on host) and COEF holds the per-element scalar
+     coefficients (elem matrix = c_e * ref, verified numerically);
+  2. essential-BC masking (zero ess rows/cols, keep the re-assembled
+     diagonal — agg_build_AE_stiffm_with_global semantics,
+     aggregates.cpp:855 with assemble_ess_diag);
+  3. weighted-l1 rhs diagonal (mbox_snd_D_sparse_from_sparse,
+     mbox.cpp:913), the B^{-1/2} A B^{-1/2} reduction, identity padding;
+  4. ONE batched eigh per chunk (MXU), eigenvectors mapped back by
+     B^{-1/2} on device, only the lowest ``kmax`` columns fetched;
+  5. the theta cut on host from the eigenvalues (xpack_cut_evects_small
+     semantics: keep lambda <= theta, at least one).
+
+Sparse per-AE stiffness matrices (shared CSR structure, per-AE values
+from one small matmul) are returned as well so deeper levels
+(CoarseProvider local RAP, elmat.cpp:105-195) and adaptivity keep
+working.  Returns None when the agglomeration is not translation
+invariant — callers fall back to the generic batched/host paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+import scipy.linalg as sla
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.topology.agglomerate import FLAG_ESS_BDR
+from saamge_tpu.utils.logging import sa_print
+
+
+def _bucket(n: int) -> int:
+    m = 32
+    while m < n:
+        m *= 2
+    return m
+
+
+@dataclasses.dataclass
+class UniformPlan:
+    n: int                      # dofs per AE
+    e_loc: int                  # elements per AE
+    elems: np.ndarray           # (NB, E_loc) element ids, template order
+    loc: np.ndarray             # (E_loc, nd_el) local dof ids (shared)
+    coef: np.ndarray            # (NB, E_loc) scalar coefficients
+    ref: np.ndarray             # (nd_el, nd_el) reference element matrix
+    essmask: np.ndarray         # (NB, n) bool
+    ae_dofs_sorted: bool
+
+
+def analyze_uniform(rels, elem_mats, sample: int = 8,
+                    rtol: float = 1e-9) -> Optional[UniformPlan]:
+    """Detect the translation-invariant structure or return None."""
+    if not (isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3):
+        return None
+    nparts = rels.nparts
+    if nparts < 2:
+        return None
+    sizes = rels.AE_to_dof.row_sizes()
+    esz = rels.AE_to_elem.row_sizes()
+    if sizes.min() != sizes.max() or esz.min() != esz.max():
+        return None
+    n = int(sizes[0])
+    e_loc = int(esz[0])
+    nd_el = elem_mats.shape[1]
+    e2d = rels.elem_to_dof
+    if len(e2d.indices) != e2d.nrows * nd_el:
+        return None                       # ragged element dofs
+    e2d_rect = e2d.indices.reshape(-1, nd_el)
+
+    elems = np.empty((nparts, e_loc), dtype=np.int64)
+    for p in range(nparts):
+        elems[p] = np.sort(rels.AE_to_elem.row(p))
+
+    # canonical local numbering = AE_to_dof row order (first-encounter,
+    # the dof_id_inAE convention used by the host AE assembly and the
+    # tent build)
+    loc_of = np.full(rels.ND, -1, dtype=np.int64)
+
+    def local_map(p):
+        dofs = rels.AE_to_dof.row(p)
+        loc_of[dofs] = np.arange(len(dofs))
+        out = loc_of[e2d_rect[elems[p]]]
+        loc_of[dofs] = -1
+        return out
+
+    loc0 = local_map(0)
+    rng = np.random.default_rng(0)
+    for p in rng.choice(nparts, size=min(sample, nparts), replace=False):
+        if not np.array_equal(local_map(int(p)), loc0):
+            return None
+
+    # scalar-multiple element matrices: em_e = c_e * ref
+    ref = elem_mats[elems[0, 0]].astype(np.float64)
+    pivot = np.unravel_index(np.argmax(np.abs(ref)), ref.shape)
+    if ref[pivot] == 0.0:
+        return None
+    coef_all = elem_mats[:, pivot[0], pivot[1]] / ref[pivot]
+    check = rng.choice(elem_mats.shape[0],
+                       size=min(4 * sample, elem_mats.shape[0]),
+                       replace=False)
+    for e in check:
+        if not np.allclose(elem_mats[e], coef_all[e] * ref,
+                           rtol=1e-7, atol=rtol * np.abs(ref).max()):
+            return None
+    coef = coef_all[elems]
+
+    ess = np.zeros((nparts, n), dtype=bool)
+    for p in range(nparts):
+        dofs = rels.AE_to_dof.row(p)
+        ess[p] = (rels.agg_flags[dofs] & FLAG_ESS_BDR) != 0
+    return UniformPlan(n, e_loc, elems, loc0, coef, ref, ess, False)
+
+
+@lru_cache(maxsize=8)
+def _chunk_fn(n: int, nmax: int, kmax: int):
+    """Jitted per-(shape) device pipeline: assembly matmul -> BC mask ->
+    weighted-l1 scale -> padded batched eigh -> B^{-1/2}-mapped lowest
+    kmax eigenvectors."""
+
+    @jax.jit
+    def run(coefs, pat, ess):
+        # (Pc, E_loc) @ (E_loc, n*n) -> (Pc, n, n)
+        Aflat = jnp.dot(coefs, pat, preferred_element_type=jnp.float32)
+        A = Aflat.reshape(coefs.shape[0], n, n)
+        A = 0.5 * (A + jnp.swapaxes(A, 1, 2))
+        diag = jnp.diagonal(A, axis1=1, axis2=2)
+        keep = ~ess
+        A = A * (keep[:, :, None] & keep[:, None, :])
+        ar = jnp.arange(n)
+        A = A.at[:, ar, ar].set(diag)
+        # weighted l1 rhs diagonal
+        s = jnp.sqrt(diag)
+        bd = jnp.einsum("pij,pj->pi", jnp.abs(A), 1.0 / s) * s
+        dh = 1.0 / jnp.sqrt(bd)
+        M = dh[:, :, None] * A * dh[:, None, :]
+        # identity padding -> padding eigenvalues exactly 1
+        Pc = coefs.shape[0]
+        Mp = jnp.zeros((Pc, nmax, nmax), jnp.float32)
+        arm = jnp.arange(nmax)
+        Mp = Mp.at[:, arm, arm].set(1.0)
+        Mp = Mp.at[:, :n, :n].set(M)
+        evals, Y = jnp.linalg.eigh(Mp)
+        # back to generalized evects on device; fetch only kmax columns
+        X = dh[:, :, None] * Y[:, :n, :kmax]
+        return evals, X, bd
+
+    return run
+
+
+def uniform_spectral_cut(elem_data, theta: float,
+                         use_truncated: bool = False,
+                         truncated_threshold: int = 64,
+                         max_vectors: int = 10,
+                         kmax: int = 64, chunk: int = 512,
+                         want_sparse_aes: bool = True):
+    """Full device setup for a GeometricProvider on a uniform brick
+    agglomeration.  Returns (cut_evects, skipped, bdiags, aes_sparse)
+    or None when not applicable."""
+    rels = getattr(elem_data, "rels", None)
+    elem_mats = getattr(elem_data, "elem_mats", None)
+    if rels is None or elem_mats is None:
+        return None
+    plan = analyze_uniform(rels, elem_mats)
+    if plan is None:
+        return None
+    assert theta < 1.0
+    n, e_loc = plan.n, plan.e_loc
+    nmax = _bucket(n)
+    kmax = min(kmax, n)
+    nparts = rels.nparts
+
+    # dense pattern PAT (E_loc, n^2): scatter ref elmat through the local
+    # dof map (one bincount)
+    nd_el = plan.loc.shape[1]
+    rows = plan.loc[:, :, None] * n + plan.loc[:, None, :]
+    flat = (np.arange(e_loc)[:, None, None] * (n * n) + rows).ravel()
+    pat = np.bincount(flat,
+                      weights=np.broadcast_to(
+                          plan.ref, (e_loc, nd_el, nd_el)).ravel(),
+                      minlength=e_loc * n * n).reshape(e_loc, n * n)
+    pat_dev = jnp.asarray(pat, jnp.float32)
+
+    # shared sparse structure for per-AE CSR export: union pattern over
+    # local (r, c) positions; per-AE values come from one small matmul
+    upos = np.unique(rows.ravel())
+    w_nnz = np.zeros((e_loc, len(upos)))
+    pos_idx = np.searchsorted(upos, rows.reshape(e_loc, -1))
+    np.add.at(w_nnz, (np.repeat(np.arange(e_loc), nd_el * nd_el),
+                      pos_idx.ravel()),
+              np.broadcast_to(plan.ref, (e_loc, nd_el, nd_el)).ravel())
+    ur, uc = np.divmod(upos, n)
+
+    run = _chunk_fn(n, nmax, kmax)
+    cut: List[np.ndarray] = [None] * nparts
+    skipped = [0.0] * nparts
+    bdiags: List[np.ndarray] = [None] * nparts
+    aes: List[sp.csr_matrix] = [None] * nparts
+
+    truncated = use_truncated and n > truncated_threshold
+    host_fallback = []
+    for c0 in range(0, nparts, chunk):
+        idx = np.arange(c0, min(c0 + chunk, nparts))
+        coefs = jnp.asarray(plan.coef[idx], jnp.float32)
+        essd = jnp.asarray(plan.essmask[idx])
+        evals_d, X_d, bd_d = run(coefs, pat_dev, essd)
+        evals = np.asarray(evals_d, np.float64)
+        X = np.asarray(X_d, np.float64)
+        bd = np.asarray(bd_d, np.float64)
+        vals_nnz = plan.coef[idx] @ w_nnz               # (Pc, nnz_u)
+        essb = plan.essmask[idx]
+        off_mask = (ur != uc)
+        kill = (essb[:, ur] | essb[:, uc]) & off_mask[None, :]
+        vals_nnz = np.where(kill, 0.0, vals_nnz)
+        for k, p in enumerate(idx):
+            ev = evals[k]
+            if truncated:
+                kk = min(max_vectors, n)
+                m = 1 + int((ev[1:kk] < theta).sum())
+            else:
+                m = max(int(np.searchsorted(ev, theta, side="right")), 1)
+            if m > kmax:
+                host_fallback.append(int(p))
+                m = kmax
+            bdiags[p] = bd[k].copy()
+            A_sp = sp.csr_matrix((vals_nnz[k], (ur, uc)), shape=(n, n))
+            if want_sparse_aes:
+                aes[p] = A_sp
+            # f64 Rayleigh-Ritz refinement: the f32 device eigenvectors
+            # carry ~1e-3 noise that defeats the MIS-SVD dedup tolerance
+            # (contrib svd_eps=1e-10 assumes f64 inputs); projecting the
+            # span onto the f64 operator restores host-grade vectors and
+            # eigenvalues, then the theta cut is re-applied in f64
+            mm = min((kk if truncated else m) + 4, kmax, n)
+            Xk = X[k][:, :mm]
+            Bv = bdiags[p]
+            G = Xk.T @ (Bv[:, None] * Xk)
+            W = Xk.T @ (A_sp @ Xk)
+
+            lam, Z = sla.eigh(0.5 * (W + W.T), 0.5 * (G + G.T))
+            if truncated:
+                kk2 = min(max_vectors, mm)
+                m = 1 + int((lam[1:kk2] < theta).sum())
+                skip = float(lam[kk2 - 1] if m == kk2
+                             else max(lam[m], 0.0))
+            else:
+                m = max(int(np.searchsorted(lam, theta, side="right")), 1)
+                m = min(m, mm)
+                skip = float(lam[m] if m < mm else lam[mm - 1])
+            cut[p] = Xk @ Z[:, :m]
+            skipped[p] = skip
+    if host_fallback:
+        from saamge_tpu.setup.spectral import Eigensolver
+        eig = Eigensolver(use_truncated=use_truncated,
+                          max_vectors=max_vectors)
+        for p in host_fallback:
+            A_T = np.asarray(aes[p].todense()) if aes[p] is not None \
+                else None
+            if A_T is None:
+                continue
+            cut[p], skipped[p], bdiags[p] = eig.solve(A_T, theta)
+    sa_print(5, "device setup: %d uniform-brick eigensolves "
+             "(n=%d padded %d, kmax=%d)", nparts, n, nmax, kmax)
+    return cut, skipped, bdiags, (aes if want_sparse_aes else None)

@@ -38,6 +38,10 @@ class InterpData:
     # batch the per-AE eigensolves on device (ops.batched_eig) instead of
     # the host per-AE LAPACK loop
     use_batched_eigensolver: bool = False
+    # MIS-SVD dedup tolerance (contrib.cpp:61 svd_eps=1e-10 for f64
+    # LAPACK vectors); the device pipeline raises it to match the f32+
+    # Rayleigh-Ritz eigenvector accuracy, else noise defeats the dedup
+    svd_eps: float = 1e-10
     scaling_P: bool = False
     # per-AE caches
     cut_evects_arr: Optional[List[np.ndarray]] = None
@@ -87,6 +91,23 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
     eig = Eigensolver(use_truncated=interp_data.use_truncated_eigensolver)
     vector_added = False
     if interp_data.use_batched_eigensolver and not transf:
+        # uniform-brick fast path: assembly + eigensolves entirely on
+        # device (setup/device_setup.py); falls through when the
+        # agglomeration is not translation invariant
+        if not readapting:
+            from saamge_tpu.setup.device_setup import uniform_spectral_cut
+            with TIMERS.phase("setup.device_pipeline"):
+                out = uniform_spectral_cut(
+                    elem_data, theta,
+                    use_truncated=interp_data.use_truncated_eigensolver)
+            if out is not None:
+                cut, skipped, bdiags, aes = out
+                interp_data.cut_evects_arr = cut
+                interp_data.rhs_matrices_arr = bdiags
+                interp_data.svd_eps = 1e-5
+                if aes is not None:
+                    interp_data.AEs_stiffm = aes
+                return False
         # device path: one padded batched eigensolve per size bucket
         from saamge_tpu.ops.batched_eig import batched_spectral_cut
         with TIMERS.phase("setup.ae_assembly"):
@@ -212,7 +233,8 @@ def sparse_tent_assemble(rels: AggPartRels, interp_data: InterpData,
             interp_data.cut_evects_arr if use_spectral else None,
             avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
             scaling_P=interp_data.scaling_P,
-            extra_vectors=extra_vectors)
+            extra_vectors=extra_vectors,
+            svd_eps=interp_data.svd_eps)
     interp_data.tent = tent
     offsets = np.zeros(rels.num_mises + 1, dtype=np.int64)
     np.cumsum(tent.mis_numcoarsedof, out=offsets[1:])

@@ -1,0 +1,112 @@
+"""Uniform-brick device setup pipeline (setup/device_setup.py) vs the
+host per-AE path: same AE stiffness, same spectral cuts, same hierarchy.
+"""
+
+import numpy as np
+import pytest
+
+from saamge_tpu.api import SpectralAMGSolver
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import hex_mesh
+from saamge_tpu.topology.part import partition_cartesian_3d
+from saamge_tpu.setup.device_setup import analyze_uniform, \
+    uniform_spectral_cut
+from saamge_tpu.setup.elmat import GeometricProvider
+from saamge_tpu.api import geometric_partitioning, bdr_dof_flags
+
+
+def _mk(n=8, nb=2, coef=None):
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    if coef is None:
+        rng = np.random.default_rng(0)
+        cvals = 10.0 ** rng.uniform(-2, 2, mesh.num_elements)
+        centers = mesh.elem_centers()
+
+        def coef_fn(x):
+            # piecewise-constant random high-contrast coefficient
+            i = np.argmin(np.abs(centers - x).sum(axis=1))
+            return cvals[i]
+        coef = coef_fn
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=coef, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+    flags = bdr_dof_flags(mesh, ess)
+    rels = geometric_partitioning(A, mesh, flags, nb ** 3,
+                                  partitioning=part)
+    return mesh, A, b, em, rels
+
+
+def test_analyze_uniform_detects_bricks():
+    mesh, A, b, em, rels = _mk()
+    plan = analyze_uniform(rels, em)
+    assert plan is not None
+    assert plan.n == rels.AE_to_dof.row_sizes()[0]
+    # non-uniform partition -> rejected
+    from saamge_tpu.topology.part import partition_kway
+    from saamge_tpu.utils.tables import Table
+    part2 = partition_kway(
+        Table.from_csr_like(None, mesh.elem_to_elem().indptr,
+                            mesh.elem_to_elem().indices)
+        if False else mesh.elem_to_elem(), None, 8)
+    rels2 = geometric_partitioning(
+        A, mesh, bdr_dof_flags(mesh, np.ones(mesh.max_bdr_attr(),
+                                             dtype=np.int64)),
+        8, partitioning=np.asarray(part2))
+    # irregular partitions typically have unequal AE sizes
+    if analyze_uniform(rels2, em) is not None:
+        sizes = rels2.AE_to_dof.row_sizes()
+        assert sizes.min() == sizes.max()
+
+
+def test_uniform_cut_matches_host_eigensolver():
+    mesh, A, b, em, rels = _mk()
+    prov = GeometricProvider(rels, A, em)
+    theta = 0.003
+    out = uniform_spectral_cut(prov, theta)
+    assert out is not None
+    cut, skipped, bdiags, aes = out
+
+    from saamge_tpu.setup.spectral import Eigensolver
+    eig = Eigensolver()
+    for p in range(rels.nparts):
+        A_T = prov.build_AE_stiff(p)
+        # sparse AE export matches the host AE stiffness
+        assert np.allclose(np.asarray(aes[p].todense()), A_T,
+                           rtol=1e-5, atol=1e-6 * np.abs(A_T).max())
+        ev_ref, skip_ref, B_ref = eig.solve(A_T, theta)
+        assert np.allclose(bdiags[p], B_ref, rtol=1e-4)
+        assert cut[p].shape[1] == ev_ref.shape[1], f"AE {p} dim"
+        assert abs(skipped[p] - skip_ref) <= 1e-4 * max(1.0, skip_ref)
+        # same subspace: project device evects onto host basis (B inner
+        # product) and check norms are preserved
+        Bd = B_ref
+        G = ev_ref.T @ (Bd[:, None] * ev_ref)
+        coeffs = np.linalg.solve(G, ev_ref.T @ (Bd[:, None] * cut[p]))
+        resid = cut[p] - ev_ref @ coeffs
+        nrm = np.sqrt(np.einsum("ij,ij->j", resid, Bd[:, None] * resid))
+        ref_n = np.sqrt(np.einsum("ij,ij->j", cut[p],
+                                  Bd[:, None] * cut[p]))
+        assert np.all(nrm <= 5e-3 * np.maximum(ref_n, 1e-12))
+
+
+def test_full_solver_device_setup_parity():
+    """End-to-end: device_setup=True must give the same coarse dims and
+    iteration count as the host setup."""
+    mesh = hex_mesh(8)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), 2, 2, 2)
+    its, dims = [], []
+    for dev in (False, True):
+        opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                             device_setup=dev)
+        s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                             partitioning=part.copy())
+        res = s.solve(b)
+        its.append(res.iterations)
+        dims.append(s.ml.levels[0].tg_data.Ac.shape[0])
+    assert dims[0] == dims[1]
+    assert abs(its[0] - its[1]) <= 1
