@@ -318,6 +318,23 @@ def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
     return K
 
 
+def mass_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
+                          order: int = 1) -> np.ndarray:
+    """(NE, nd, nd) mass batch for (c u, v) (mfem MassIntegrator —
+    the reaction term of the secondorderpde drivers,
+    secondorderpdetest.cpp:165)."""
+    if getattr(mesh, "uniform", False):
+        pts, wts, N, detJ, _ = element_geometry(_uniform_submesh(mesh),
+                                                order)
+        m0 = np.einsum("q,q,qa,qb->ab", wts, detJ[0], N, N, optimize=True)
+        c = _eval_coefficient(coef, mesh)
+        return c[:, None, None] * m0[None, :, :]
+    pts, wts, N, detJ, _ = element_geometry(mesh, order)
+    c = _eval_coefficient(coef, mesh)
+    return np.einsum("q,eq,e,qa,qb->eab", wts, detJ, c, N, N,
+                     optimize=True)
+
+
 def domain_lf(mesh: Mesh, rhs: Coefficient = 1.0, order: int = 1,
               vdim: int = 1) -> np.ndarray:
     """Assembled load vector for (rhs, v) (DomainLFIntegrator)."""

@@ -52,6 +52,9 @@ class InterpData:
     coarse_truedof_offset: int = 0
     # coarse-dof block offsets per MIS (aggregates.cpp:1693-1702)
     mis_coarsedofoffsets: Optional[np.ndarray] = None
+    # adaptive-theta proposal: 0.5*theta + 0.5*mean(per-AE skipped
+    # eigenvalue) (interp.cpp:571-589, eta=0.5)
+    suggested_theta: Optional[float] = None
 
     @property
     def mis_numcoarsedof(self):
@@ -74,6 +77,18 @@ def interp_init_data(rels: AggPartRels, nu_pro: int,
         cut_evects_arr=[None] * rels.nparts,
         rhs_matrices_arr=[None] * rels.nparts,
         AEs_stiffm=[None] * rels.nparts)
+
+
+def _suggest_theta(interp_data: InterpData, theta: float,
+                   skipped) -> None:
+    """interp.cpp:571-589: thetap = average skipped eigenvalue over
+    agglomerates; suggestion = (1-eta) theta + eta thetap, eta=0.5."""
+    sk = np.asarray([s for s in skipped if s is not None], dtype=np.float64)
+    if len(sk):
+        thetap = float(sk.mean())
+        interp_data.suggested_theta = 0.5 * theta + 0.5 * thetap
+        sa_print(5, "Suggested theta: %g (avg skipped %g, min %g)",
+                 interp_data.suggested_theta, thetap, float(sk.min()))
 
 
 def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
@@ -104,6 +119,7 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
                 cut, skipped, bdiags, aes = out
                 interp_data.cut_evects_arr = cut
                 interp_data.rhs_matrices_arr = bdiags
+                _suggest_theta(interp_data, theta, skipped)
                 interp_data.svd_eps = 1e-5
                 if aes is not None:
                     interp_data.AEs_stiffm = aes
@@ -114,11 +130,12 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
             if not readapting:
                 interp_data.AEs_stiffm = elem_data.build_all_AE_stiff()
         with TIMERS.phase("setup.local_eigensolves"):
-            cut, _skipped, bdiags = batched_spectral_cut(
+            cut, skipped, bdiags = batched_spectral_cut(
                 interp_data.AEs_stiffm, theta,
                 use_truncated=interp_data.use_truncated_eigensolver)
         interp_data.cut_evects_arr = cut
         interp_data.rhs_matrices_arr = bdiags
+        _suggest_theta(interp_data, theta, skipped)
         sa_print(5, "eigensolver: %d batched device solves", rels.nparts)
         return False
     if not transf:
@@ -144,6 +161,7 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
             for i, (evects, skipped, B) in enumerate(results):
                 interp_data.cut_evects_arr[i] = evects
                 interp_data.rhs_matrices_arr[i] = B
+        _suggest_theta(interp_data, theta, [r[1] for r in results])
         sa_print(5, "eigensolver: %d solves (%d direct)",
                  eig.stats.count_solves, eig.stats.count_direct_solves)
         return False

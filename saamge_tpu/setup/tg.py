@@ -113,6 +113,11 @@ def tg_build_hierarchy(A: sp.csr_matrix, tg: TGData, rels: AggPartRels,
         tg.ltent_interp = interp_mod.sparse_tent_build(
             rels, tg.interp_data, elem_data, tg.theta,
             avoid_ess_bdr_dofs=avoid_ess_bdr_dofs)
+        # the reference updates theta in place with the suggestion
+        # (interp.cpp:588, tg.cpp:520 passes tg_data->theta by ref);
+        # subsequent re-builds (adaptivity) then use it
+        if tg.interp_data.suggested_theta is not None:
+            tg.theta = tg.interp_data.suggested_theta
     else:
         use_spectral = tg.theta > 0.0 and pcs != 0
         tg.doing_spectral = use_spectral

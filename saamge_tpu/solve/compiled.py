@@ -251,7 +251,6 @@ def precond(h: CompiledHierarchy, r: jnp.ndarray) -> jnp.ndarray:
     return vcycle(h, r, jnp.zeros_like(r))
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
 def pcg_solve(h: CompiledHierarchy, b: jnp.ndarray,
               x0: Optional[jnp.ndarray] = None, rel_tol: float = 1e-6,
               abs_tol: float = 0.0,
@@ -260,7 +259,17 @@ def pcg_solve(h: CompiledHierarchy, b: jnp.ndarray,
     """MFEM-CGSolver-semantics PCG, entirely on device.
 
     Returns (x, iterations, final (Br,r)).  Convergence when
-    (B r, r) <= max(rel_tol^2 (B r0, r0), abs_tol^2)."""
+    (B r, r) <= max(rel_tol^2 (B r0, r0), abs_tol^2).  Tolerances are
+    converted to device scalars so new values do NOT retrace (python
+    scalars key the jit cache by value)."""
+    return _pcg_solve(h, b, x0, jnp.asarray(rel_tol, b.dtype),
+                      jnp.asarray(abs_tol, b.dtype), max_iter)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _pcg_solve(h: CompiledHierarchy, b: jnp.ndarray,
+               x0: Optional[jnp.ndarray], rel_tol, abs_tol,
+               max_iter: int):
     A = h.levels[0].A
     if x0 is None:
         x0 = jnp.zeros_like(b)

@@ -295,12 +295,18 @@ def struct_vcycle_apply(h: StructuredHierarchy, b: jnp.ndarray):
     return h.vcycle(b, jnp.zeros_like(b))
 
 
-@partial(jax.jit, static_argnames=("max_iter",))
 def struct_pcg_solve(h: StructuredHierarchy, b: jnp.ndarray,
                      rel_tol: float = 1e-6, abs_tol: float = 0.0,
                      max_iter: int = 200):
     """MFEM-CGSolver-semantics PCG on the structured hierarchy; the
-    tolerances are runtime values (no retrace per tolerance)."""
+    tolerances become device scalars (no retrace per tolerance)."""
+    return _struct_pcg(h, b, jnp.asarray(rel_tol, b.dtype),
+                       jnp.asarray(abs_tol, b.dtype), max_iter)
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def _struct_pcg(h: StructuredHierarchy, b: jnp.ndarray,
+                rel_tol, abs_tol, max_iter: int):
     A = h.A0
 
     def matvec(x):
