@@ -1,25 +1,58 @@
-"""Benchmark: multilevel V-cycle throughput on 3D Poisson (the BASELINE.json
-metric — DOFs/sec/chip of the solve-phase hot loop, reference tg_cycle_atb).
+"""Benchmark: multilevel V-cycle throughput on 3D Poisson (the BASELINE
+metric — DOFs/sec/chip of the solve-phase hot loop, reference
+tg_cycle_atb, tg.cpp:91-131).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "dofs/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "dofs/s", "vs_baseline": N,
+   "extra": {...}}
 
-vs_baseline is MEASURED: the same V-cycle applied through scipy-CSR host
-kernels on this machine (the reference's serial hypre path is the same
-algorithm over the same kind of CSR kernels), i.e.
-vs_baseline = host_vcycle_time / device_vcycle_time.
+- vs_baseline is MEASURED: the same V-cycle applied through scipy-CSR
+  host kernels on this machine (the reference's serial hypre path is the
+  same algorithm over the same kind of CSR kernels).
+- roofline_fraction compares the measured V-cycle time against a MINIMAL
+  traffic model (operator values once per pass + 3 vector streams, f32)
+  at the peak HBM stream rate measured on the same chip right before the
+  timing — the strictest honest model (a CSR code would also stream
+  column indices; stored-format padding is NOT counted).
+- eig_device_fraction is the share of the device-setup pipeline spent in
+  the batched eigensolver itself (vs assembly/masking/transfers): the
+  closer to 1, the closer setup is to pure MXU dense-eig throughput.
+
+The TPU path uses the structured brick hierarchy (solve/structured.py):
+Cartesian brick agglomeration, blocked Pallas stencil passes, dense-block
+P/R, exact coarse solve — the two-grid configuration the reference itself
+tests (tg_solve + UMFPACK/AMG coarse, tg.cpp:991-1012).
 """
 
 import argparse
 import json
-import time
-
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+
+def measure_peak_stream(jnp, jax):
+    """Peak HBM rate from a large nonlinear triad (collapse-proof)."""
+    N = 192 * 1024 * 1024
+    x = jnp.ones(N, jnp.float32)
+
+    @jax.jit
+    def f(a):
+        c = a
+        for _ in range(10):
+            c = a + 0.5 * jnp.abs(c)
+        return jnp.sum(c)
+
+    float(f(x))
+    t0 = time.perf_counter()
+    float(f(x * 1.000001))
+    dt = (time.perf_counter() - t0) / 10
+    del x
+    return 3 * N * 4 / dt / 1e9
 
 
 def main():
@@ -28,9 +61,14 @@ def main():
                     help="tiny problem (CI / CPU smoke)")
     ap.add_argument("--n", type=int, default=0,
                     help="hex mesh resolution (elements per side)")
-    ap.add_argument("--levels", type=int, default=3)
+    ap.add_argument("--brick", type=int, default=8,
+                    help="brick side length in elements")
+    ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--theta", type=float, default=0.0,
+                    help="spectral tolerance (0 = size-based default)")
     ap.add_argument("--reps", type=int, default=50)
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--contrast", type=float, default=2.0,
+                    help="log10 range of the random element coefficient")
     ap.add_argument("--host-setup", action="store_true",
                     help="force the host (numpy f64) setup path")
     args = ap.parse_args()
@@ -39,98 +77,155 @@ def main():
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
     if args.n:
         n = args.n
-    elif args.small or platform == "cpu":
-        n = 10
+    elif args.small or not on_tpu:
+        n = 16
     else:
-        n = 40
+        n = 96
+    structured = on_tpu and n >= 32 and n % args.brick == 0
 
     from saamge_tpu.api import SpectralAMGSolver
     from saamge_tpu.config import SolverOptions
     from saamge_tpu.fem import assemble
     from saamge_tpu.fem.mesh import hex_mesh
-    from saamge_tpu.solve.compiled import compile_hierarchy, vcycle_apply
+    from saamge_tpu.utils.logging import TIMERS
 
     t0 = time.perf_counter()
     mesh = hex_mesh(n)
     ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
-    # generator meshes are uniform: host assembly integrates one element
-    # and broadcasts (assemble_jax covers unstructured meshes on device)
+    rng = np.random.default_rng(7)
+    coefs = 10.0 ** rng.uniform(-args.contrast, args.contrast,
+                                mesh.num_elements)
     A, b, em, _, _ = assemble.build_discrete_problem(
-        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
-    num_levels = args.levels if A.shape[0] > 5000 else 2
-    # device assembly is a single cheap kernel; the batched device
-    # eigensolves are NOT used here — their per-bucket eigh compiles run
-    # through remote compilation on tunneled backends and cost far more
-    # than the host solves save (measured: 210-560s vs ~40s host)
-    opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
-                         first_elems_per_agg=256, elems_per_agg=256,
-                         device_setup=False)
-    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
-    setup_s = time.perf_counter() - t0
-
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
-    if dtype == jnp.float64:
-        jax.config.update("jax_enable_x64", True)
-    h = compile_hierarchy(s.ml, dtype=dtype)
-    bdev = jnp.asarray(b, dtype=dtype)
-
-    # The whole rep loop runs inside ONE jitted call (serialized through the
-    # carried value) and the scalar fetch forces real completion — this
-    # measures device time free of both async-queue lies and per-dispatch
-    # RPC overhead on tunneled backends.
-    from saamge_tpu.solve.compiled import precond
-
-    @jax.jit
-    def chain(hier, b0, reps_arr):
-        def body(y, _):
-            y = precond(hier, b0 + 1e-30 * y)
-            return y, ()
-        y, _ = jax.lax.scan(body, jnp.zeros_like(b0), reps_arr)
-        return jnp.sum(y)
-
-    reps_arr = jnp.zeros(args.reps)
-    float(chain(h, bdev, reps_arr))          # compile + warmup
-    t0 = time.perf_counter()
-    float(chain(h, bdev, reps_arr))
-    dt = (time.perf_counter() - t0) / args.reps
+        mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+    assemble_s = time.perf_counter() - t0
 
     ndof = A.shape[0]
+    theta = args.theta
+    if theta == 0.0:
+        # keep the coarse space dense-inverse-sized at scale
+        theta = 0.003 if ndof < 500_000 else 3e-4
+
+    t0 = time.perf_counter()
+    if structured:
+        from saamge_tpu.topology.part import partition_cartesian_3d
+        nb = n // args.brick
+        part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+        opts = SolverOptions(
+            num_levels=args.levels, correct_nulspace=False,
+            first_theta=theta, theta=theta, nu_relax=[3, 1],
+            device_setup=not args.host_setup)
+        s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                              partitioning=part)
+    else:
+        num_levels = args.levels if ndof > 5000 else 2
+        opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
+                             first_theta=theta, theta=theta,
+                             first_elems_per_agg=256, elems_per_agg=256,
+                             device_setup=False)
+        s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    setup_s = time.perf_counter() - t0
+    eig_s = TIMERS.total("setup.device_pipeline")
+
+    # --- compile the device hierarchy ---------------------------------
+    t0 = time.perf_counter()
+    if structured:
+        from saamge_tpu.solve.structured import (BrickGeometry,
+                                                 compile_structured,
+                                                 struct_pcg_solve)
+        geo = BrickGeometry((nb, nb, nb), (args.brick,) * 3)
+        h = compile_structured(s.ml, geo)
+
+        def vcycle_once(b0, c):
+            return h.vcycle(b0, c)
+
+        pcg = struct_pcg_solve
+    else:
+        from saamge_tpu.solve.compiled import (compile_hierarchy, precond,
+                                               pcg_solve)
+        h = compile_hierarchy(s.ml, dtype=jnp.float32)
+
+        def vcycle_once(b0, c):
+            from saamge_tpu.solve.compiled import vcycle
+            return vcycle(h, b0, c)
+
+        pcg = lambda hh, bb, **kw: pcg_solve(hh, bb, **kw)  # noqa: E731
+    compile_s = time.perf_counter() - t0
+
+    bdev = jnp.asarray(b, jnp.float32)
+    x, iters, _ = pcg(h, bdev, max_iter=200)
+    iters = int(iters)
+
+    peak_gbps = measure_peak_stream(jnp, jax) if on_tpu else 0.0
+
+    # --- V-cycle timing: whole rep chain inside ONE jitted call -------
+    R = args.reps
+
+    @jax.jit
+    def chain(hier, b0):
+        def body(c, _):
+            return vcycle_once(b0, c), ()
+        y, _ = jax.lax.scan(body, jnp.zeros_like(b0), jnp.zeros(R))
+        return jnp.sum(y)
+
+    float(chain(h, bdev))
+    t0 = time.perf_counter()
+    float(chain(h, bdev * 1.000001))
+    dt = (time.perf_counter() - t0) / R
     dofs_per_sec = ndof / dt
 
-    # measured CPU baseline: the same V-cycle through scipy CSR on this
-    # host (the reference's serial hypre path is the same algorithm on the
-    # same kind of CSR kernels)
+    # --- minimal-traffic roofline model -------------------------------
+    bytes_model = 0.0
+    for lv in s.ml.levels:
+        tg = lv.tg_data
+        deg = len(tg.poly_data.roots)
+        passes = 2 * deg + 1                      # pre+post smooth + resid
+        nrows = lv.A.shape[0]
+        bytes_model += passes * (lv.A.nnz + 3 * nrows) * 4
+        bytes_model += (tg.interp.nnz + tg.restr.nnz
+                        + 2 * (tg.interp.shape[0]
+                               + tg.interp.shape[1])) * 4
+    n2 = s.ml.levels[-1].tg_data.Ac.shape[0]
+    bytes_model += (n2 * n2 + 2 * n2) * 4         # coarsest dense solve
+    roofline_ms = bytes_model / (peak_gbps * 1e9) * 1e3 if peak_gbps \
+        else float("nan")
+    roofline_fraction = roofline_ms / (dt * 1e3) if peak_gbps else 0.0
+
+    # --- measured CPU baseline: same V-cycle through scipy CSR --------
     from saamge_tpu.solve.vcycle import VCycleSolver
     vs_host = VCycleSolver(s.ml.finest.tg_data)
-    vs_host.set_operator(A)
+    vs_host.set_operator(s.ml.finest.A)
     xh = np.zeros(ndof)
-    vs_host.mult(b, xh)                      # warm caches
-    host_reps = 3
+    vs_host.mult(b, xh)
+    host_reps = 1 if ndof > 500_000 else 3
     t0 = time.perf_counter()
     for _ in range(host_reps):
         vs_host.mult(b, xh)
     host_dt = (time.perf_counter() - t0) / host_reps
-
-    total_nnz_ops = 0.0
-    for lv in s.ml.levels:
-        deg = len(lv.tg_data.poly_data.roots)
-        total_nnz_ops += (2 * deg + 1) * lv.A.nnz \
-            + lv.tg_data.interp.nnz + lv.tg_data.restr.nnz
-    ops_per_dof = total_nnz_ops / ndof
-    vs = host_dt / dt                        # speedup over measured CPU
 
     print(json.dumps({
         "metric": f"3d_poisson_vcycle_dofs_per_sec_{platform}"
                   f"_n{ndof}_L{len(s.ml.levels) + 1}",
         "value": round(dofs_per_sec, 1),
         "unit": "dofs/s",
-        "vs_baseline": round(vs, 3),
-        "extra": {"setup_s": round(setup_s, 2), "vcycle_ms": round(dt * 1e3, 3),
-                  "host_vcycle_ms": round(host_dt * 1e3, 3),
-                  "ndof": ndof, "platform": platform,
-                  "ops_per_dof": round(ops_per_dof, 1)},
+        "vs_baseline": round(host_dt / dt, 3),
+        "extra": {
+            "ndof": ndof, "platform": platform,
+            "structured": structured, "theta": theta,
+            "coarse_dims": [lv.tg_data.Ac.shape[0] for lv in s.ml.levels],
+            "pcg_iters_1e-6": iters,
+            "vcycle_ms": round(dt * 1e3, 3),
+            "host_vcycle_ms": round(host_dt * 1e3, 3),
+            "assemble_s": round(assemble_s, 2),
+            "setup_s": round(setup_s, 2),
+            "setup_device_pipeline_s": round(eig_s, 2),
+            "compile_s": round(compile_s, 2),
+            "peak_stream_gbps": round(peak_gbps, 1),
+            "roofline_model_ms": round(roofline_ms, 3),
+            "roofline_fraction": round(roofline_fraction, 3),
+        },
     }))
 
 

@@ -130,6 +130,19 @@ def batched_spectral_cut(
         for i in host_idxs:
             cut[i], skipped[i], bdiags[i] = eig.solve(mats[i], theta)
 
+    # small buckets go to host outright: a fresh device eigh shape costs
+    # a (possibly remote) compile measured in tens of seconds, far above
+    # the host LAPACK time for small batches
+    small = [nmax for nmax, idxs in buckets.items()
+             if len(idxs) * nmax ** 3 < 2e10]
+    if small:
+        from saamge_tpu.setup.spectral import Eigensolver
+        eig_s = Eigensolver(use_truncated=use_truncated,
+                           max_vectors=max_vectors)
+        for nmax in small:
+            for i in buckets.pop(nmax):
+                cut[i], skipped[i], bdiags[i] = eig_s.solve(mats[i], theta)
+
     for nmax, idxs in sorted(buckets.items()):
         # host (f64): weighted-l1 diagonals + the B^{-1/2} A B^{-1/2}
         # scaling; padding block = identity (eigenvalue exactly 1)
@@ -172,9 +185,35 @@ def batched_spectral_cut(
                                    NamedSharding(mesh, spec))
         else:
             M_dev = jnp.asarray(M, dtype=dtype)
-        evals_d, Y_d = _eigh_batched(M_dev)
-        evals = np.asarray(evals_d, dtype=np.float64)[:B]
-        Y = np.asarray(Y_d, dtype=np.float64)[:B]
+        if mesh is None and nmax >= 256 and np.dtype(dtype) == np.float32:
+            # large matrices: Chebyshev-filtered subspace solver (pure
+            # batched matmul; XLA's eigh runs at ~60 GFLOP/s) + f64
+            # Rayleigh-Ritz against the host operators for accuracy.
+            # Only the lowest mk pairs exist afterwards — enough for any
+            # theta cut this path serves (theta << 1).
+            from saamge_tpu.ops.filtered_eig import batched_smallest_eigs
+            mk = min(64, nmax)
+            wf, Xf_d = batched_smallest_eigs(M_dev, mk)
+            Xf = np.asarray(Xf_d, np.float64)[:B]
+            evals = np.full((B, nmax), 1.0)
+            Y = np.zeros((B, nmax, nmax))
+            import scipy.linalg as _sla
+            for k in range(B):
+                n = int(sizes[k])
+                Xk = Xf[k][:n]
+                # f64 Rayleigh-Ritz against the host-built scaled
+                # operator M (the filtered f32 vectors carry ~1e-4 span
+                # noise; cf. setup/device_setup.py refinement)
+                Mk = M[k, :n, :n]
+                W = Xk.T @ (Mk @ Xk)
+                G = Xk.T @ Xk
+                lam, Z = _sla.eigh(0.5 * (W + W.T), 0.5 * (G + G.T))
+                evals[k, :len(lam)] = lam
+                Y[k, :n, :len(lam)] = Xk @ Z
+        else:
+            evals_d, Y_d = _eigh_batched(M_dev)
+            evals = np.asarray(evals_d, dtype=np.float64)[:B]
+            Y = np.asarray(Y_d, dtype=np.float64)[:B]
 
         for k, i in enumerate(idxs):
             n = int(sizes[k])

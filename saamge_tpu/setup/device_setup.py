@@ -47,10 +47,10 @@ from saamge_tpu.utils.logging import sa_print
 
 
 def _bucket(n: int) -> int:
-    m = 32
-    while m < n:
-        m *= 2
-    return m
+    """All AEs share one size on the uniform path, so pad minimally (to
+    a sublane multiple): eigh cost is O(n^3) and a power-of-two pad of
+    729 -> 1024 would be 2.8x wasted flops."""
+    return -(-max(n, 8) // 32) * 32
 
 
 @dataclasses.dataclass
@@ -130,15 +130,14 @@ def analyze_uniform(rels, elem_mats, sample: int = 8,
 
 
 @lru_cache(maxsize=8)
-def _chunk_fn(n: int, nmax: int, kmax: int):
-    """Jitted per-(shape) device pipeline: assembly matmul -> BC mask ->
-    weighted-l1 scale -> padded batched eigh -> B^{-1/2}-mapped lowest
-    kmax eigenvectors."""
+def _assemble_fn(n: int):
+    """Jitted device assembly: COEF @ PAT -> BC mask -> weighted-l1
+    scaled M = B^{-1/2} A B^{-1/2} (unpadded)."""
 
     @jax.jit
     def run(coefs, pat, ess):
-        # (Pc, E_loc) @ (E_loc, n*n) -> (Pc, n, n)
-        Aflat = jnp.dot(coefs, pat, preferred_element_type=jnp.float32)
+        Aflat = jnp.dot(coefs, pat, precision="highest",
+                        preferred_element_type=jnp.float32)
         A = Aflat.reshape(coefs.shape[0], n, n)
         A = 0.5 * (A + jnp.swapaxes(A, 1, 2))
         diag = jnp.diagonal(A, axis1=1, axis2=2)
@@ -146,23 +145,39 @@ def _chunk_fn(n: int, nmax: int, kmax: int):
         A = A * (keep[:, :, None] & keep[:, None, :])
         ar = jnp.arange(n)
         A = A.at[:, ar, ar].set(diag)
-        # weighted l1 rhs diagonal
         s = jnp.sqrt(diag)
-        bd = jnp.einsum("pij,pj->pi", jnp.abs(A), 1.0 / s) * s
+        bd = jnp.einsum("pij,pj->pi", jnp.abs(A), 1.0 / s,
+                        precision="highest") * s
         dh = 1.0 / jnp.sqrt(bd)
         M = dh[:, :, None] * A * dh[:, None, :]
-        # identity padding -> padding eigenvalues exactly 1
-        Pc = coefs.shape[0]
+        return M, bd, dh
+
+    return run
+
+
+@lru_cache(maxsize=8)
+def _eigh_fn(n: int, nmax: int, kmax: int):
+    """Full batched eigh fallback (small n: a fresh XLA eigh shape is
+    cheap to compile and exact)."""
+
+    @jax.jit
+    def run(M, dh):
+        Pc = M.shape[0]
         Mp = jnp.zeros((Pc, nmax, nmax), jnp.float32)
         arm = jnp.arange(nmax)
         Mp = Mp.at[:, arm, arm].set(1.0)
         Mp = Mp.at[:, :n, :n].set(M)
         evals, Y = jnp.linalg.eigh(Mp)
-        # back to generalized evects on device; fetch only kmax columns
         X = dh[:, :, None] * Y[:, :n, :kmax]
-        return evals, X, bd
+        return evals, X
 
     return run
+
+
+# below this AE size the exact batched eigh is used; above it the
+# Chebyshev-filtered subspace solver (ops/filtered_eig.py) — XLA's eigh
+# runs at ~60 GFLOP/s while the filter is pure batched matmul
+FILTERED_EIG_MIN_N = 192
 
 
 def uniform_spectral_cut(elem_data, theta: float,
@@ -208,7 +223,10 @@ def uniform_spectral_cut(elem_data, theta: float,
               np.broadcast_to(plan.ref, (e_loc, nd_el, nd_el)).ravel())
     ur, uc = np.divmod(upos, n)
 
-    run = _chunk_fn(n, nmax, kmax)
+    assemble = _assemble_fn(n)
+    use_filter = n >= FILTERED_EIG_MIN_N
+    if not use_filter:
+        eigf = _eigh_fn(n, nmax, kmax)
     cut: List[np.ndarray] = [None] * nparts
     skipped = [0.0] * nparts
     bdiags: List[np.ndarray] = [None] * nparts
@@ -216,19 +234,52 @@ def uniform_spectral_cut(elem_data, theta: float,
 
     truncated = use_truncated and n > truncated_threshold
     host_fallback = []
-    for c0 in range(0, nparts, chunk):
-        idx = np.arange(c0, min(c0 + chunk, nparts))
-        coefs = jnp.asarray(plan.coef[idx], jnp.float32)
-        essd = jnp.asarray(plan.essmask[idx])
-        evals_d, X_d, bd_d = run(coefs, pat_dev, essd)
-        evals = np.asarray(evals_d, np.float64)
-        X = np.asarray(X_d, np.float64)
-        bd = np.asarray(bd_d, np.float64)
-        vals_nnz = plan.coef[idx] @ w_nnz               # (Pc, nnz_u)
-        essb = plan.essmask[idx]
-        off_mask = (ur != uc)
-        kill = (essb[:, ur] | essb[:, uc]) & off_mask[None, :]
-        vals_nnz = np.where(kill, 0.0, vals_nnz)
+    from saamge_tpu.utils.logging import TIMERS
+    # pad the batch to a stable shape: every distinct (batch, n) pair is
+    # a separate XLA compilation, and tunnel compiles cost minutes
+    bpad = chunk
+    if nparts < chunk:
+        bpad = 8
+        while bpad < nparts:
+            bpad *= 2
+    for c0 in range(0, nparts, bpad):
+        idx = np.arange(c0, min(c0 + bpad, nparts))
+        pidx = idx
+        if len(idx) < bpad:               # repeat brick 0 as padding
+            pidx = np.concatenate([idx, np.zeros(bpad - len(idx),
+                                                 dtype=np.int64)])
+        else:
+            pidx = idx
+        with TIMERS.phase("setup.device_pipeline.eigh"):
+            coefs = jnp.asarray(plan.coef[pidx], jnp.float32)
+            essd = jnp.asarray(plan.essmask[pidx])
+            M_d, bd_d, dh_d = assemble(coefs, pat_dev, essd)
+            if use_filter:
+                from saamge_tpu.ops.filtered_eig import \
+                    batched_smallest_eigs
+                evals, Xf_d = batched_smallest_eigs(M_d, kmax)
+                X_d = dh_d[:, :, None] * Xf_d
+            else:
+                evals_d, X_d = eigf(M_d, dh_d)
+                evals = np.asarray(evals_d, np.float64)
+            bd = np.asarray(bd_d, np.float64)
+        with TIMERS.phase("setup.device_pipeline.fetch"):
+            # two-phase fetch: eigenvalues first, then only the columns
+            # the theta cut can need (D2H through the tunnel is slow)
+            if truncated:
+                need = min(max_vectors, n) + 4
+            else:
+                need = int(max((evals[:, :kmax] <= theta).sum(axis=1)
+                               .max(), 1)) + 4
+            need = min(max(need, 2), kmax)
+            X = np.asarray(X_d[:, :, :need], np.float64)
+        with TIMERS.phase("setup.device_pipeline.aes"):
+            vals_nnz = plan.coef[idx] @ w_nnz           # (Pc, nnz_u)
+            essb = plan.essmask[idx]
+            off_mask = (ur != uc)
+            kill = (essb[:, ur] | essb[:, uc]) & off_mask[None, :]
+            vals_nnz = np.where(kill, 0.0, vals_nnz)
+        rr_t0 = __import__("time").perf_counter()
         for k, p in enumerate(idx):
             ev = evals[k]
             if truncated:
@@ -248,7 +299,7 @@ def uniform_spectral_cut(elem_data, theta: float,
             # (contrib svd_eps=1e-10 assumes f64 inputs); projecting the
             # span onto the f64 operator restores host-grade vectors and
             # eigenvalues, then the theta cut is re-applied in f64
-            mm = min((kk if truncated else m) + 4, kmax, n)
+            mm = min((kk if truncated else m) + 4, X.shape[2], n)
             Xk = X[k][:, :mm]
             Bv = bdiags[p]
             G = Xk.T @ (Bv[:, None] * Xk)
@@ -266,6 +317,11 @@ def uniform_spectral_cut(elem_data, theta: float,
                 skip = float(lam[m] if m < mm else lam[mm - 1])
             cut[p] = Xk @ Z[:, :m]
             skipped[p] = skip
+        TIMERS.totals["setup.device_pipeline.rr"] = \
+            TIMERS.totals.get("setup.device_pipeline.rr", 0.0) + \
+            (__import__("time").perf_counter() - rr_t0)
+        TIMERS.counts["setup.device_pipeline.rr"] = \
+            TIMERS.counts.get("setup.device_pipeline.rr", 0) + 1
     if host_fallback:
         from saamge_tpu.setup.spectral import Eigensolver
         eig = Eigensolver(use_truncated=use_truncated,
@@ -277,5 +333,7 @@ def uniform_spectral_cut(elem_data, theta: float,
                 continue
             cut[p], skipped[p], bdiags[p] = eig.solve(A_T, theta)
     sa_print(5, "device setup: %d uniform-brick eigensolves "
-             "(n=%d padded %d, kmax=%d)", nparts, n, nmax, kmax)
+             "(n=%d padded %d, kmax=%d), %d vectors kept",
+             nparts, n, nmax, kmax,
+             int(sum(c.shape[1] for c in cut if c is not None)))
     return cut, skipped, bdiags, (aes if want_sparse_aes else None)

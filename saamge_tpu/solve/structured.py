@@ -196,15 +196,21 @@ class StructuredHierarchy:
     geo: BrickGeometry            # static
     n_fine: int                   # static
     n_flat: int                   # static (NB * bs)
+    # two-level only: real (non-padding) slot ids — the coarsest inverse
+    # is stored UNPADDED (padding would inflate its matvec traffic by the
+    # slot fill factor) and bridged by one small gather/scatter
+    flat_id: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1,
-                 self.dinv1h, self.taus1, self.R1, self.Ainv),
+                 self.dinv1h, self.taus1, self.R1, self.Ainv,
+                 self.flat_id),
                 (self.geo, self.n_fine, self.n_flat))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux[0], aux[1], aux[2])
+        return cls(*children[:9], aux[0], aux[1], aux[2],
+                   flat_id=children[9])
 
     # -- structured tentative P/R apply ---------------------------------
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
@@ -284,7 +290,8 @@ class StructuredHierarchy:
             x1h = self._smooth_h(A1, self.taus1, self.dinv1h, b1h, x1h)
             xc = A1.unpad(x1h)
         else:
-            xc = self.Ainv @ rc
+            yc = self.Ainv @ rc[self.flat_id]
+            xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
         xh = xh + A0.pad(self.apply_P(xc))
         xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
         return A0.unpad(xh)
@@ -386,20 +393,40 @@ def compile_structured(ml, geo: BrickGeometry,
         coo = Rcsr.tocoo()
         R1[coo.row, flat_id[coo.col]] = coo.data
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
-        Ainv = np.linalg.inv(Ac2)
         return StructuredHierarchy(
             A0, dinv0h, taus0, jnp.asarray(Rst),
             A1, dinv1h, taus1, jnp.asarray(R1),
-            jnp.asarray(Ainv, jnp.float32), geo, lv0.A.shape[0], n_flat)
+            _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat)
 
-    # two-level: coarsest = padded Ac with unit dummy diagonal
-    Acp = np.eye(n_flat)
-    coo = Ac1.tocoo()
-    Acp[flat_id[coo.row], flat_id[coo.col]] = coo.data
-    dummy = np.setdiff1d(np.arange(n_flat), flat_id)
-    Acp[dummy, dummy] = 1.0
-    Ainv = np.linalg.inv(Acp)
+    # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     return StructuredHierarchy(
         A0, dinv0h, taus0, jnp.asarray(Rst),
         None, None, None, None,
-        jnp.asarray(Ainv, jnp.float32), geo, lv0.A.shape[0], n_flat)
+        _device_spd_inverse(np.asarray(Ac1.todense())),
+        geo, lv0.A.shape[0], n_flat,
+        flat_id=jnp.asarray(flat_id, jnp.int32))
+
+
+def _device_spd_inverse(Ac: np.ndarray) -> jnp.ndarray:
+    """Explicit SPD inverse, computed on device (Cholesky + two batched
+    triangular solves against I on the MXU).  At coarse sizes (5-20k) the
+    single-core host LAPACK inverse takes minutes; the device factorize-
+    and-solve is seconds, and the inverse is consumed on device anyway.
+    f32 accuracy only perturbs the coarse solve of a preconditioner
+    (exactness is not required — the reference's default coarse solve is
+    ONE BoomerAMG V-cycle, tg.hpp:724-730)."""
+    n = Ac.shape[0]
+    if n <= 4096:
+        return jnp.asarray(np.linalg.inv(Ac), jnp.float32)
+    A_dev = jnp.asarray(Ac, jnp.float32)
+    C = jax.scipy.linalg.cho_factor(A_dev, lower=True)
+    # solve against I in column chunks: one full-width cho_solve
+    # materializes O(n^2)-sized temps per block step and OOMs HBM for
+    # n ~ 20k (observed 98G requested)
+    cols = []
+    step = 2048
+    eye = np.eye(n, dtype=np.float32)
+    for j in range(0, n, step):
+        cols.append(jax.scipy.linalg.cho_solve(
+            C, jnp.asarray(eye[:, j:j + step])))
+    return jnp.concatenate(cols, axis=1)

@@ -38,6 +38,9 @@ class PhaseTimers:
             self.counts[name] = self.counts.get(name, 0) + 1
             sa_print(4, "TIMING: %s %f seconds.", name, dt)
 
+    def total(self, name: str) -> float:
+        return self.totals.get(name, 0.0)
+
     def report(self) -> str:
         lines = ["TIMING report:"]
         for name in sorted(self.totals):
