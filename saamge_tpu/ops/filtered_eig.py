@@ -38,7 +38,9 @@ import jax.numpy as jnp
 
 def _cheb_filter(M, X, a, sigma, degree):
     """X <- T_degree(L) X with L = (2 M - (a+sigma) I) / (sigma - a):
-    |T_d| <= 1 on [a, sigma], grows like exp(2 d sqrt(a'/..)) below a."""
+    |T_d| <= 1 on [a, sigma], grows like exp(2 d sqrt(a'/..)) below a.
+    fori_loop keeps the HLO small: program size is compile time, and
+    compiles on the tunnel backend are paid per process."""
     c = (a + sigma) / 2.0
     h = (sigma - a) / 2.0
 
@@ -51,20 +53,21 @@ def _cheb_filter(M, X, a, sigma, degree):
     T0 = X
     T1 = lmap(X)
     for _ in range(degree - 1):
-        T2 = 2.0 * lmap(T1) - T0
-        T0, T1 = T1, T2
+        T0, T1 = T1, 2.0 * lmap(T1) - T0
     return T1
 
 
 def _orthonormalize(X, eps=1e-6):
-    """Cholesky QR (one pass; adequate at f32 for filter iterates)."""
+    """Cholesky QR (approximate at f32; the final Rayleigh-Ritz is
+    generalized with the true Gram matrix, so exactness is not load
+    bearing — this is the fastest-compiling variant measured on the
+    tunnel backend: unrolled matmuls + one batched cholesky/trsm)."""
     G = jnp.einsum("bim,bin->bmn", X, X, precision="highest",
                    preferred_element_type=jnp.float32)
     m = X.shape[2]
     G = G + eps * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
         * jnp.eye(m, dtype=X.dtype) / m
     L = jnp.linalg.cholesky(G)
-    # X <- X L^{-T}
     Xt = jax.lax.linalg.triangular_solve(
         L, jnp.swapaxes(X, 1, 2), left_side=True, lower=True,
         transpose_a=False)
@@ -81,20 +84,22 @@ def _build(n: int, m: int, degree: int, rounds: int):
         X = _orthonormalize(X0)
         X = _cheb_filter(M, X, a, sigma, degree)
         X = _orthonormalize(X)
-        # RR estimate for the adaptive cutoff
+        # projected T is returned for a HOST Ritz estimate: a device
+        # eigvalsh here costs a ~3 min (uncacheable) compile per process
+        # on the tunnel backend, vs <1 s of host LAPACK on (B, m, m)
         T = jnp.einsum("bim,bij,bjn->bmn", X, M, X, precision="highest",
                        preferred_element_type=jnp.float32)
-        ew = jnp.linalg.eigvalsh(0.5 * (T + jnp.swapaxes(T, 1, 2)))
-        return X, sigma, ew
+        return X, sigma, T
 
     @jax.jit
     def rest(M, X, a, sigma):
         for _ in range(rounds - 1):
-            X = _cheb_filter(M, X, a, sigma, degree)
-            X = _orthonormalize(X)
+            X = _orthonormalize(_cheb_filter(M, X, a, sigma, degree))
         T = jnp.einsum("bim,bij,bjn->bmn", X, M, X, precision="highest",
                        preferred_element_type=jnp.float32)
-        return X, T
+        G = jnp.einsum("bim,bin->bmn", X, X, precision="highest",
+                       preferred_element_type=jnp.float32)
+        return X, T, G
 
     return first, rest
 
@@ -104,23 +109,42 @@ def batched_smallest_eigs(M, m: int, degree: int = 16, rounds: int = 4,
     """Approximate the m smallest eigenpairs of each SPD matrix in the
     (B, n, n) f32 stack.  Returns (evals (B, m) f64 host, X (B, n, m)
     device f32) with eigenvalues ascending."""
+    import time as _time
+    from saamge_tpu.utils.logging import sa_print
     B, n, _ = M.shape
     first, rest = _build(n, m, degree, rounds)
     rng = np.random.default_rng(seed)
     X0 = jnp.asarray(rng.standard_normal((B, n, m)), jnp.float32)
-    X, sigma, ew = first(M, X0, jnp.float32(a_frac))
+    _t0 = _time.perf_counter()
+    X, sigma, T1 = first(M, X0, jnp.float32(a_frac))
+    T1h = np.asarray(T1, np.float64)
+    ew = np.linalg.eigvalsh(0.5 * (T1h + T1h.transpose(0, 2, 1)))
     # adaptive cutoff: just above the m-th Ritz value but CLAMPED well
     # below sigma — with m much wider than the wanted low cluster the
     # m-th Ritz value sits in the spectral bulk, and a cutoff near sigma
     # makes the filter a no-op (measured 5e-3 span error on the lowest
     # modes).  The clamp keeps exponential suppression of the bulk; the
     # low cluster (what the theta cut uses) converges fastest.
-    ew_host = np.asarray(ew, np.float64)
+    ew_host = ew
+    sa_print(5, "filtered_eig first(): %.1fs", _time.perf_counter() - _t0)
     a = np.minimum(np.maximum(ew_host[:, -1] * 1.5, 1e-8),
                    np.asarray(sigma, np.float64) * 0.05)
-    X, T = rest(M, X, jnp.asarray(a, jnp.float32), sigma)
+    _t0 = _time.perf_counter()
+    X, T, G = rest(M, X, jnp.asarray(a, jnp.float32), sigma)
     T_host = np.asarray(T, np.float64)
-    w, V = np.linalg.eigh(0.5 * (T_host + T_host.transpose(0, 2, 1)))
+    G_host = np.asarray(G, np.float64)
+    sa_print(5, "filtered_eig rest()+fetch: %.1fs",
+             _time.perf_counter() - _t0)
+    # generalized host RR: the NS orthonormalization is approximate, so
+    # solve T z = w G z per matrix (scipy, tiny matrices)
+    import scipy.linalg as _sla
+    w = np.empty((B, m))
+    V = np.empty((B, m, m))
+    for k in range(B):
+        Gk = 0.5 * (G_host[k] + G_host[k].T)
+        Gk = Gk + 1e-12 * np.trace(Gk) / m * np.eye(m)
+        wk, vk = _sla.eigh(0.5 * (T_host[k] + T_host[k].T), Gk)
+        w[k], V[k] = wk, vk
     Xr = jnp.einsum("bim,bmn->bin", X, jnp.asarray(V, jnp.float32),
                     precision="highest", preferred_element_type=jnp.float32)
     return w, Xr
