@@ -136,7 +136,7 @@ def main():
                                                  compile_structured,
                                                  struct_pcg_solve)
         geo = BrickGeometry((nb, nb, nb), (args.brick,) * 3)
-        h = compile_structured(s.ml, geo)
+        h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16)
 
         def vcycle_once(b0, c):
             return h.vcycle(b0, c)

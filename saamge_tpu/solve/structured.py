@@ -151,25 +151,6 @@ def build_structured_interp(rels, P: sp.csr_matrix,
     return Rst, cd_brick, slot, bs
 
 
-def padded_dia_from_csr(Ac: sp.csr_matrix, flat_id: np.ndarray,
-                        n_flat: int) -> DeviceDIA:
-    """Map a coarse CSR operator into the brick-major padded layout and
-    store as DIA with the (static) set of flat-offset diagonals."""
-    coo = Ac.tocoo()
-    rf = flat_id[coo.row]
-    cf = flat_id[coo.col]
-    offs = cf - rf
-    uoff = np.unique(offs)
-    if len(uoff) > MAX_STRUCT_DIAGS:
-        raise ValueError(f"{len(uoff)} structured diagonals (> "
-                         f"{MAX_STRUCT_DIAGS}); brick layout too irregular")
-    oidx = np.searchsorted(uoff, offs)
-    vals = np.zeros((len(uoff), n_flat), dtype=np.float64)
-    vals[oidx, rf] = coo.data
-    return DeviceDIA(jnp.asarray(vals, jnp.float32),
-                     tuple(int(o) for o in uoff), (n_flat, n_flat))
-
-
 # ---------------------------------------------------------------------------
 # device-side structured hierarchy
 
@@ -179,31 +160,32 @@ def padded_dia_from_csr(Ac: sp.csr_matrix, flat_id: np.ndarray,
 class StructuredHierarchy:
     """3-level (or 2-level) gather-free hierarchy.
 
-    Level 0: blocked Pallas stencil; level 1 (optional): padded-brick DIA
-    through the same kernels; coarsest: dense inverse matvec.  All coarse
-    vectors live in the brick-major padded layout."""
+    Level 0: blocked Pallas stencil.  Level 1 (optional): DENSE operator
+    on the unpadded coarse dofs — at 5-30k coarse dofs a dense (optionally
+    bf16) MXU matvec streams predictably while every sparse device format
+    is either gather-bound or VMEM-shape-fragile; vectors are bridged
+    from the brick-major padded P/R layout by one small gather/scatter
+    (flat_id).  Coarsest: dense inverse matvec."""
 
     A0: PallasDIA
     dinv0h: jnp.ndarray
     taus0: tuple                  # (1,) f32 device scalars (1/tau)
     Rst: jnp.ndarray              # (NB, bs, box)
     # level 1 (None for two-level)
-    A1: Optional[PallasDIA]
-    dinv1h: Optional[jnp.ndarray]
+    A1d: Optional[jnp.ndarray]    # dense (n_c, n_c), f32 or bf16
+    dinv1: Optional[jnp.ndarray]  # (n_c,) f32
     taus1: Optional[tuple]
-    R1: Optional[jnp.ndarray]     # (n2, n_flat) dense restriction
+    R1: Optional[jnp.ndarray]     # (n2, n_c) dense restriction
     Ainv: jnp.ndarray             # dense inverse of the coarsest operator
     geo: BrickGeometry            # static
     n_fine: int                   # static
     n_flat: int                   # static (NB * bs)
-    # two-level only: real (non-padding) slot ids — the coarsest inverse
-    # is stored UNPADDED (padding would inflate its matvec traffic by the
-    # slot fill factor) and bridged by one small gather/scatter
+    # real (non-padding) slot ids: padded layout <-> unpadded coarse dofs
     flat_id: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1,
-                 self.dinv1h, self.taus1, self.R1, self.Ainv,
+        return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
+                 self.dinv1, self.taus1, self.R1, self.Ainv,
                  self.flat_id),
                 (self.geo, self.n_fine, self.n_flat))
 
@@ -272,6 +254,10 @@ class StructuredHierarchy:
             xh = A.root_h(it, bh, dinvh, xh)
         return xh
 
+    def _mid_matvec(self, x):
+        return jnp.dot(self.A1d, x.astype(self.A1d.dtype),
+                       preferred_element_type=jnp.float32)
+
     def vcycle(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """tg_cycle_atb (tg.cpp:91) on the structured formats."""
         A0 = self.A0
@@ -279,16 +265,17 @@ class StructuredHierarchy:
         xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
         res = A0.unpad(A0.residual_h(bh, xh))
         rc = self.apply_R(res)
-        if self.A1 is not None:
-            A1 = self.A1
-            b1h = A1.pad(rc)
-            x1h = self._smooth_h(A1, self.taus1, self.dinv1h, b1h,
-                                 A1.pad(jnp.zeros_like(rc)))
-            r1 = A1.unpad(A1.residual_h(b1h, x1h))
+        if self.A1d is not None:
+            b1 = rc[self.flat_id]
+            x1 = jnp.zeros_like(b1)
+            for it in self.taus1:
+                x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
+            r1 = b1 - self._mid_matvec(x1)
             y2 = self.Ainv @ (self.R1 @ r1)
-            x1h = x1h + A1.pad(self.R1.T @ y2)
-            x1h = self._smooth_h(A1, self.taus1, self.dinv1h, b1h, x1h)
-            xc = A1.unpad(x1h)
+            x1 = x1 + self.R1.T @ y2
+            for it in self.taus1:
+                x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
+            xc = jnp.zeros_like(rc).at[self.flat_id].set(x1)
         else:
             yc = self.Ainv @ rc[self.flat_id]
             xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
@@ -348,14 +335,20 @@ def _struct_pcg(h: StructuredHierarchy, b: jnp.ndarray,
 
 
 def compile_structured(ml, geo: BrickGeometry,
-                       interpret: Optional[bool] = None
-                       ) -> StructuredHierarchy:
+                       interpret: Optional[bool] = None,
+                       mid_dtype=jnp.float32) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
     ``ml`` must come from a brick partitioning (partition_cartesian_3d)
     with an unsmoothed tentative P on the finest coarsening; supports 2
     or 3 host levels (3rd-level partitioning may be unstructured — its
-    operator only appears through the dense R1/coarsest inverse)."""
+    operator only appears through the dense R1/coarsest inverse).
+
+    ``mid_dtype``: storage dtype of the dense mid-level operator.
+    jnp.bfloat16 halves its matvec traffic; the smoother then relaxes a
+    ~1e-2-perturbed operator, which only perturbs preconditioner quality
+    (the reference's coarse solve is itself one approximate BoomerAMG
+    V-cycle, tg.hpp:724-730)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     lv0 = ml.levels[0]
@@ -378,25 +371,18 @@ def compile_structured(ml, geo: BrickGeometry,
     Ac1 = tg0.Ac.tocsr()
     if len(ml.levels) >= 2:
         tg1 = ml.levels[1].tg_data
-        dia1 = padded_dia_from_csr(Ac1, flat_id, n_flat)
-        A1 = PallasDIA.from_dia(dia1, interpret=interpret)
+        A1d = jnp.asarray(np.asarray(Ac1.todense()), mid_dtype)
         pd1 = tg1.poly_data
-        dinv1 = np.zeros(n_flat)
-        dinv1[flat_id] = pd1.dinv
-        dinv1h = A1.pad(jnp.asarray(dinv1, jnp.float32))
+        dinv1 = jnp.asarray(pd1.dinv, jnp.float32)
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
-        # dense restriction to the coarsest, columns mapped to flat ids
-        Rcsr = tg1.restr.tocsr()
-        n2 = Rcsr.shape[0]
-        R1 = np.zeros((n2, n_flat), dtype=np.float32)
-        coo = Rcsr.tocoo()
-        R1[coo.row, flat_id[coo.col]] = coo.data
+        R1 = jnp.asarray(np.asarray(tg1.restr.todense()), jnp.float32)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         return StructuredHierarchy(
             A0, dinv0h, taus0, jnp.asarray(Rst),
-            A1, dinv1h, taus1, jnp.asarray(R1),
-            _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat)
+            A1d, dinv1, taus1, R1,
+            _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
+            flat_id=jnp.asarray(flat_id, jnp.int32))
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     return StructuredHierarchy(

@@ -102,3 +102,16 @@ def test_struct_R_P_match_tent(num_levels=2):
     y_ref = P @ xc
     y = np.asarray(h_st.apply_P(jnp.asarray(xc_flat)))
     assert np.allclose(y, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max()))
+
+
+def test_struct_bf16_mid_level_iterations():
+    """bf16 mid-level operator (bench configuration) only mildly perturbs
+    the preconditioner: iteration count within +2 of the f32 variant."""
+    import jax.numpy as jnp
+    s, b, geo = _setup(8, 2, 3)
+    h32 = compile_structured(s.ml, geo)
+    h16 = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16)
+    bdev = jnp.asarray(b, jnp.float32)
+    _, it32, _ = struct_pcg_solve(h32, bdev, max_iter=60)
+    _, it16, _ = struct_pcg_solve(h16, bdev, max_iter=60)
+    assert int(it16) <= int(it32) + 2
