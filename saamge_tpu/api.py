@@ -79,7 +79,7 @@ class SpectralAMGSolver:
                  opts: SolverOptions, order: int = 1, vdim: int = 1,
                  ess_attr_marker: Optional[np.ndarray] = None,
                  partitioning: Optional[np.ndarray] = None,
-                 coarse_part_override=None):
+                 coarse_part_override=None, setup_mesh=None):
         opts = opts.resolved()
         self.opts = opts
         self.A = A
@@ -109,7 +109,8 @@ class SpectralAMGSolver:
             use_batched_eigensolver=opts.device_setup,
             do_aggregates=opts.do_aggregates,
             use_double_cycle=opts.double_cycle,
-            coarse_direct=opts.coarse_direct)
+            coarse_direct=opts.coarse_direct,
+            setup_mesh=setup_mesh)
         if opts.linear_coarse or vdim > 1:
             self.mlp.set_polynomial_coarse_space(0, 1)
         emp = GeometricProvider(rels, A, elem_mats)

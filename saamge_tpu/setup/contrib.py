@@ -93,7 +93,8 @@ def build_tentative(rels: AggPartRels,
                     avoid_ess_bdr_dofs: bool = True,
                     scaling_P: bool = False,
                     extra_vectors=None,
-                    svd_eps: float = SVD_EPS) -> TentativeInterp:
+                    svd_eps: float = SVD_EPS,
+                    svd_fn=None) -> TentativeInterp:
     """contrib_mises + SVDInsert (contrib.cpp:551-716), batched: per-MIS
     eigenvector blocks are gathered with one flat index computation, bucketed
     by padded (rows, cols) shape, and factored with ONE batched SVD per
@@ -159,7 +160,7 @@ def build_tentative(rels: AggPartRels,
         _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active,
                            sizes, c_m, pair_mis, pair_ae, pair_m,
                            avoid_ess_bdr_dofs, mis_tent_interps,
-                           mis_numcoarsedof, svd_eps)
+                           mis_numcoarsedof, svd_eps, svd_fn)
 
     # assemble P from the per-MIS bases (exact-zero entries dropped, as in
     # contrib_tent_insert_simple)
@@ -203,7 +204,7 @@ def build_tentative(rels: AggPartRels,
 def _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active, sizes,
                        c_m, pair_mis, pair_ae, pair_m, avoid_ess_bdr_dofs,
                        mis_tent_interps, mis_numcoarsedof,
-                       svd_eps: float = SVD_EPS) -> None:
+                       svd_eps: float = SVD_EPS, svd_fn=None) -> None:
     """Fill mis_tent_interps/mis_numcoarsedof for the active MISes via
     bucketed batched SVD."""
     from saamge_tpu.topology.agglomerate import _ranges, mis_ae_locs
@@ -290,7 +291,14 @@ def _batched_svd_bases(rels, cut_evects_arr, extra_blocks, active, sizes,
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         M = np.divide(M, np.where(nrm > 0.0, nrm, 1.0))
 
-        U, S, _ = np.linalg.svd(M, full_matrices=False)
+        if svd_fn is None:
+            U, S, _ = np.linalg.svd(M, full_matrices=False)
+        else:
+            svd_eps = max(svd_eps, getattr(svd_fn, "suggested_eps", 0.0))
+            # mesh-sharded batched SVD: each MIS's block is factored on
+            # its owner shard (the SEC owner-computes analog,
+            # contrib.cpp:492-549)
+            U, S = svd_fn(M)
         s0 = S[:, :1]
         k_arr = ((S > svd_eps * s0) & (s0 > 0.0)).sum(axis=1)
         for b, m in enumerate(mis_arr):

@@ -185,7 +185,8 @@ def uniform_spectral_cut(elem_data, theta: float,
                          truncated_threshold: int = 64,
                          max_vectors: int = 10,
                          kmax: int = 64, chunk: int = 512,
-                         want_sparse_aes: bool = True):
+                         want_sparse_aes: bool = True,
+                         mesh=None):
     """Full device setup for a GeometricProvider on a uniform brick
     agglomeration.  Returns (cut_evects, skipped, bdiags, aes_sparse)
     or None when not applicable."""
@@ -253,6 +254,13 @@ def uniform_spectral_cut(elem_data, theta: float,
         with TIMERS.phase("setup.device_pipeline.eigh"):
             coefs = jnp.asarray(plan.coef[pidx], jnp.float32)
             essd = jnp.asarray(plan.essmask[pidx])
+            if mesh is not None:
+                # shard the AE batch over the device mesh: the sharding
+                # propagates through the assembly and eigensolver jits
+                # (SURVEY §2.2 item 5 — the batch dim is the DP axis)
+                from saamge_tpu.parallel.dist_setup import shard_batch
+                coefs = shard_batch(mesh, coefs)
+                essd = shard_batch(mesh, essd)
             M_d, bd_d, dh_d = assemble(coefs, pat_dev, essd)
             if use_filter:
                 from saamge_tpu.ops.filtered_eig import \

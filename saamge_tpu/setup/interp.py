@@ -42,6 +42,10 @@ class InterpData:
     # LAPACK vectors); the device pipeline raises it to match the f32+
     # Rayleigh-Ritz eigenvector accuracy, else noise defeats the dedup
     svd_eps: float = 1e-10
+    # device mesh for distributed setup: shards the per-AE eigensolve
+    # batch and the per-MIS (owner-computes) SVD over the mesh
+    # (parallel/dist_setup.py, SEC analog)
+    setup_mesh: object = None
     scaling_P: bool = False
     # per-AE caches
     cut_evects_arr: Optional[List[np.ndarray]] = None
@@ -114,7 +118,8 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
             with TIMERS.phase("setup.device_pipeline"):
                 out = uniform_spectral_cut(
                     elem_data, theta,
-                    use_truncated=interp_data.use_truncated_eigensolver)
+                    use_truncated=interp_data.use_truncated_eigensolver,
+                    mesh=interp_data.setup_mesh)
             if out is not None:
                 cut, skipped, bdiags, aes = out
                 interp_data.cut_evects_arr = cut
@@ -132,7 +137,8 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         with TIMERS.phase("setup.local_eigensolves"):
             cut, skipped, bdiags = batched_spectral_cut(
                 interp_data.AEs_stiffm, theta,
-                use_truncated=interp_data.use_truncated_eigensolver)
+                use_truncated=interp_data.use_truncated_eigensolver,
+                mesh=interp_data.setup_mesh)
         interp_data.cut_evects_arr = cut
         interp_data.rhs_matrices_arr = bdiags
         _suggest_theta(interp_data, theta, skipped)
@@ -246,13 +252,18 @@ def sparse_tent_assemble(rels: AggPartRels, interp_data: InterpData,
                          use_spectral: bool = True) -> sp.csr_matrix:
     """interp_sparse_tent_assemble (interp.cpp:728)."""
     with TIMERS.phase("setup.mis_svd_tent"):
+        svd_fn = None
+        if interp_data.setup_mesh is not None:
+            from saamge_tpu.parallel.dist_setup import make_sharded_svd
+            svd_fn = make_sharded_svd(interp_data.setup_mesh)
         tent = build_tentative(
             rels,
             interp_data.cut_evects_arr if use_spectral else None,
             avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
             scaling_P=interp_data.scaling_P,
             extra_vectors=extra_vectors,
-            svd_eps=interp_data.svd_eps)
+            svd_eps=interp_data.svd_eps,
+            svd_fn=svd_fn)
     interp_data.tent = tent
     offsets = np.zeros(rels.num_mises + 1, dtype=np.int64)
     np.cumsum(tent.mis_numcoarsedof, out=offsets[1:])

@@ -39,6 +39,9 @@ class MultilevelParameters:
     use_double_cycle: bool = False
     coarse_direct: bool = False
     smooth_drop_tol: float = 0.0
+    # device mesh for distributed setup (sharded eigensolve batches and
+    # owner-computes MIS-SVD, parallel/dist_setup.py)
+    setup_mesh: object = None
     # upper bound on dofs per agglomerate: keeps local eigenproblems
     # bounded (the reference's design invariant, SURVEY §5) and prevents
     # a degenerate final coarsening (nparts=1 -> 1 giant AE whose
@@ -124,7 +127,8 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
     tg = tg_mod.tg_init_data(
         A, rels, mlp.get_nu_pro(0), mlp.get_nu_relax(0), mlp.get_theta(0),
         mlp.get_smooth_interp(0), mlp.smooth_drop_tol,
-        mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
+        mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver,
+        setup_mesh=mlp.setup_mesh)
     tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(0)
     if mlp.use_correct_nullspace and (mlp.num_coarsenings == 1
                                       or mlp.use_double_cycle):
@@ -163,7 +167,8 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
         tg = tg_mod.tg_init_data(
             A, rels, mlp.get_nu_pro(i), mlp.get_nu_relax(i), mlp.get_theta(i),
             mlp.get_smooth_interp(i), mlp.smooth_drop_tol,
-            mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver)
+            mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver,
+            setup_mesh=mlp.setup_mesh)
         tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(i)
         if mlp.use_correct_nullspace and i == coarsenings - 1:
             tg.interp_data.scaling_P = True

@@ -43,11 +43,13 @@ def tg_init_data(A: sp.csr_matrix, rels: AggPartRels, nu_pro: int,
                  nu_relax: int, theta: float, smooth_interp: bool,
                  smooth_drop_tol: float = 0.0,
                  use_truncated_eigensolver: bool = False,
-                 use_batched_eigensolver: bool = False) -> TGData:
+                 use_batched_eigensolver: bool = False,
+                 setup_mesh=None) -> TGData:
     """tg_init_data (tg.cpp:402)."""
     interp_data = interp_init_data(rels, nu_pro, use_truncated_eigensolver)
     interp_data.drop_tol = smooth_drop_tol
     interp_data.use_batched_eigensolver = use_batched_eigensolver
+    interp_data.setup_mesh = setup_mesh
     poly_data = smoothers.init_poly_data(A, nu_relax, "sas")
     return TGData(interp_data=interp_data, poly_data=poly_data, theta=theta,
                   smooth_interp=smooth_interp)
