@@ -14,7 +14,7 @@ Architecture (TPU-first, not a port):
   - Setup numerics (batched AE eigensolves, MIS SVDs, RAP) run either on host
     in float64 (parity path) or as batched padded dense ops on device.
   - The solve phase (V-cycle + PCG) is a single jitted JAX computation over a
-    static hierarchy: ELL/BCSR SpMV, polynomial smoothers, psum dot products,
+    static hierarchy: DIA/banded/ELL SpMV, polynomial smoothers, psum dot products,
     dense Cholesky coarsest solve; sharded over a jax.sharding.Mesh for
     multi-chip runs (replacing the reference's hypre ParCSR + MPI).
 """

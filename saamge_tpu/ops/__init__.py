@@ -3,11 +3,10 @@
 from saamge_tpu.ops.sparse import (DeviceBanded, DeviceDIA, DeviceELL,
                                    device_matrix, rcm_permutation)
 from saamge_tpu.ops.blockrow import DeviceBlockRow, TransposedBlockRow
-from saamge_tpu.ops.bcsr import DeviceBCSR
 from saamge_tpu.ops.batched_eig import batched_spectral_cut
 
 __all__ = [
-    "DeviceBanded", "DeviceDIA", "DeviceELL", "DeviceBCSR",
+    "DeviceBanded", "DeviceDIA", "DeviceELL",
     "DeviceBlockRow", "TransposedBlockRow", "device_matrix",
     "rcm_permutation", "batched_spectral_cut",
 ]

@@ -1,4 +1,4 @@
-"""Device sparse formats: banded (gather-free) and Pallas BCSR."""
+"""Device sparse formats: banded (gather-free), DIA, ELL."""
 
 import numpy as np
 import pytest
@@ -10,7 +10,6 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 
-from saamge_tpu.ops.bcsr import DeviceBCSR
 from saamge_tpu.ops.sparse import (DeviceBanded, DeviceDIA, DeviceELL,
                                    device_matrix, rcm_permutation)
 
@@ -65,14 +64,6 @@ def test_device_matrix_selection():
     assert isinstance(device_matrix(A3.tocsr(), banded_max_fill=2.0),
                       DeviceELL)
 
-
-def test_bcsr_interpret_matches_scipy():
-    A = sp.random(100, 150, density=0.05, random_state=0, format="csr")
-    B = DeviceBCSR.try_from_csr(A, interpret=True, max_fill=1e9)
-    assert B is not None
-    x = np.random.default_rng(2).standard_normal(150).astype(np.float32)
-    y = np.asarray(B.matvec(jnp.asarray(x)))
-    np.testing.assert_allclose(y, (A @ x).astype(np.float32), atol=1e-4)
 
 
 def test_blockrow_matches_scipy():

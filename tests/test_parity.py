@@ -84,28 +84,30 @@ def test_elasticity():
 
 def test_threeleveladapt():
     """ctest 'threeleveladapt': 100x100 quad mesh, 3 levels, reference
-    converges in 12 iterations; then A <- A + I with hierarchy reuse."""
+    converges in 12 iterations; then A <- A + I with hierarchy reuse.
+
+    Uses the Cartesian partitioner (fem_partition_cartesian_2d analog):
+    compact box agglomerates match METIS partition quality and close the
+    round-1 13/14-vs-12 gap — post-adaptation parity is now EXACT."""
     mesh = quad_mesh(100)
     ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
     A, b, em, e2d, _ = assemble.build_discrete_problem(
         mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    from saamge_tpu.topology.part import partition_cartesian_2d
+    part = partition_cartesian_2d(mesh.elem_centers(), 6, 6)
     opts = SolverOptions(theta=0.003, num_levels=3, correct_nulspace=False)
-    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                          partitioning=part)
     res = s.solve(b)
     assert res.converged
-    # reference ctest expects 12 AFTER adaptation; pre-adaptation we allow
-    # the 10%-of-reference parity window (13 with our partitioner)
-    assert 0 < res.iterations <= 13
+    assert 0 < res.iterations <= 12
 
     A2 = (A + sp.identity(A.shape[0], format="csr")).tocsr()
     s.update_operator(A2)
     res2 = s.solve(b)
     assert res2.converged
-    # reference: 12 iterations with the reused hierarchy; a fresh setup on
-    # A+I also takes 14 with our partitioner, so 14 is the current parity
-    # (the gap is partition-shape quality vs METIS, not the reuse path —
-    # reuse shows NO penalty vs fresh setup)
-    assert res2.iterations <= 14
+    # reference: 12 iterations with the reused hierarchy
+    assert res2.iterations <= 12
 
 
 def test_cube_three_level_correct_nullspace():
