@@ -63,7 +63,7 @@ def main():
                     help="hex mesh resolution (elements per side)")
     ap.add_argument("--brick", type=int, default=8,
                     help="brick side length in elements")
-    ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--levels", type=int, default=3)
     ap.add_argument("--theta", type=float, default=0.0,
                     help="spectral tolerance (0 = size-based default)")
     ap.add_argument("--reps", type=int, default=50)

@@ -106,6 +106,155 @@ def _shape_tet_p1(pts):
     return N, dN
 
 
+def _lagrange_1d_at(nodes: np.ndarray, t: np.ndarray):
+    """Values and derivatives of the 1D Lagrange basis on ``nodes``."""
+    n = len(nodes)
+    L = np.ones((len(t), n))
+    dL = np.zeros((len(t), n))
+    for j in range(n):
+        for m in range(n):
+            if m != j:
+                L[:, j] *= (t - nodes[m]) / (nodes[j] - nodes[m])
+        for k in range(n):
+            if k == j:
+                continue
+            term = np.ones_like(t) / (nodes[j] - nodes[k])
+            for m in range(n):
+                if m != j and m != k:
+                    term *= (t - nodes[m]) / (nodes[j] - nodes[m])
+            dL[:, j] += term
+    return L, dL
+
+
+def nodal_lattice(elem_type: str, order: int) -> np.ndarray:
+    """Reference nodal lattice for the general-order elements, in the
+    SAME local order the shape functions use (tensor lex for quads/
+    hexes; vertices-then-edge-midpoints for P2 simplices)."""
+    t = np.linspace(0.0, 1.0, order + 1)
+    if elem_type == "segment":
+        return t[:, None]
+    if elem_type == "quad":
+        return np.array([(t[ix], t[iy])
+                         for ix in range(order + 1)
+                         for iy in range(order + 1)])
+    if elem_type == "hex":
+        return np.array([(t[ix], t[iy], t[iz])
+                         for ix in range(order + 1)
+                         for iy in range(order + 1)
+                         for iz in range(order + 1)])
+    if elem_type == "tri":
+        assert order == 2, "simplices support P1/P2"
+        return np.array([(0, 0), (1, 0), (0, 1),
+                         (.5, 0), (.5, .5), (0, .5)], dtype=np.float64)
+    if elem_type == "tet":
+        assert order == 2, "simplices support P1/P2"
+        v = np.array([(0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1)],
+                     dtype=np.float64)
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+        mids = np.array([(v[a] + v[b]) / 2 for a, b in edges])
+        return np.concatenate([v, mids], axis=0)
+    raise NotImplementedError(elem_type)
+
+
+def geom_shape(elem_type: str, pts: np.ndarray):
+    """(Bi/tri)linear geometry shape values/grads at ``pts`` in the
+    mesh's vertex ordering (used to map reference lattices to physical
+    space)."""
+    if elem_type == "segment":
+        tt = pts[:, 0]
+        N = np.stack([1 - tt, tt], axis=1)
+        dN = np.broadcast_to(np.array([[-1.0], [1.0]]),
+                             (len(tt), 2, 1)).copy()
+        return N, dN
+    return {"quad": _shape_quad_q1, "hex": _shape_hex_q1,
+            "tri": _shape_tri_p1, "tet": _shape_tet_p1}[elem_type](pts)
+
+
+def _shape_tensor(elem_type: str, order: int, pts: np.ndarray):
+    """Arbitrary-order tensor Lagrange basis (lex lattice order)."""
+    nodes = np.linspace(0.0, 1.0, order + 1)
+    d = pts.shape[1]
+    Ls = [(_lagrange_1d_at(nodes, pts[:, k])) for k in range(d)]
+    k1 = order + 1
+    idxs = nodal_lattice(elem_type, order)
+    # recover integer lattice indices from coordinates
+    ii = np.round(idxs * order).astype(np.int64)
+    Nl, dNl = [], []
+    for node in ii:
+        val = np.ones(len(pts))
+        for k in range(d):
+            val = val * Ls[k][0][:, node[k]]
+        grads = []
+        for g in range(d):
+            gv = np.ones(len(pts))
+            for k in range(d):
+                gv = gv * (Ls[k][1][:, node[k]] if k == g
+                           else Ls[k][0][:, node[k]])
+            grads.append(gv)
+        Nl.append(val)
+        dNl.append(np.stack(grads, axis=1))
+    return np.stack(Nl, axis=1), np.stack(dNl, axis=1)
+
+
+def _shape_tri_p2(pts):
+    x, y = pts[:, 0], pts[:, 1]
+    lam = [1 - x - y, x, y]
+    dlam = [np.array([-1.0, -1.0]), np.array([1.0, 0.0]),
+            np.array([0.0, 1.0])]
+    Ns, dNs = [], []
+    for i in range(3):
+        Ns.append(lam[i] * (2 * lam[i] - 1))
+        dNs.append((4 * lam[i] - 1)[:, None] * dlam[i][None, :])
+    for a, b in [(0, 1), (1, 2), (0, 2)]:   # lattice: e01, e12, e20 mids
+        Ns.append(4 * lam[a] * lam[b])
+        dNs.append(4 * (lam[a][:, None] * dlam[b][None, :]
+                        + lam[b][:, None] * dlam[a][None, :]))
+    return np.stack(Ns, axis=1), np.stack(dNs, axis=1)
+
+
+def _shape_tet_p2(pts):
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    lam = [1 - x - y - z, x, y, z]
+    dlam = [np.array([-1.0, -1.0, -1.0]), np.array([1.0, 0.0, 0.0]),
+            np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0])]
+    Ns, dNs = [], []
+    for i in range(4):
+        Ns.append(lam[i] * (2 * lam[i] - 1))
+        dNs.append((4 * lam[i] - 1)[:, None] * dlam[i][None, :])
+    for a, b in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]:
+        Ns.append(4 * lam[a] * lam[b])
+        dNs.append(4 * (lam[a][:, None] * dlam[b][None, :]
+                        + lam[b][:, None] * dlam[a][None, :]))
+    return np.stack(Ns, axis=1), np.stack(dNs, axis=1)
+
+
+def _tri_quad_deg4():
+    """Dunavant 6-point degree-4 rule on the unit triangle."""
+    a1, a2 = 0.445948490915965, 0.091576213509771
+    w1, w2 = 0.223381589678011 / 2, 0.109951743655322 / 2
+    pts = np.array([
+        (a1, a1), (1 - 2 * a1, a1), (a1, 1 - 2 * a1),
+        (a2, a2), (1 - 2 * a2, a2), (a2, 1 - 2 * a2)])
+    wts = np.array([w1, w1, w1, w2, w2, w2])
+    return pts, wts
+
+
+def _tet_quad_duffy(n1: int = 3):
+    """Duffy-collapsed tensor Gauss rule on the unit tetrahedron
+    (always-positive weights; exact for the P2 stiffness integrands)."""
+    x, w = _gauss_1d(n1)
+    pts, wts = [], []
+    for ia, wa in zip(x, w):
+        for ib, wb in zip(x, w):
+            for ic, wc in zip(x, w):
+                xx = ia
+                yy = ib * (1 - ia)
+                zz = ic * (1 - ia) * (1 - ib)
+                pts.append((xx, yy, zz))
+                wts.append(wa * wb * wc * (1 - ia) ** 2 * (1 - ib))
+    return np.asarray(pts), np.asarray(wts)
+
+
 def reference_element(elem_type: str, order: int = 1):
     """Return (quad points (nq,d), weights (nq,), N (nq,nd), dN (nq,nd,d)).
 
@@ -113,27 +262,43 @@ def reference_element(elem_type: str, order: int = 1):
     (2k + dim - 1 for tensor elements, 2k - 2 for simplices), which is what
     the reference assembles with."""
     if elem_type == "quad":
-        n1 = 2 if order == 1 else 3
+        n1 = max(2, order + 1)
         x, w = _gauss_1d(n1)
         pts = np.array([(a, b) for a in x for b in x])
         wts = np.array([wa * wb for wa in w for wb in w])
-        N, dN = (_shape_quad_q1 if order == 1 else _shape_quad_q2)(pts)
+        if order == 1:
+            N, dN = _shape_quad_q1(pts)
+        elif order == 2:
+            N, dN = _shape_quad_q2(pts)
+        else:
+            N, dN = _shape_tensor("quad", order, pts)
     elif elem_type == "hex":
-        assert order == 1
-        x, w = _gauss_1d(3)
+        n1 = max(3, order + 1)
+        x, w = _gauss_1d(n1)
         pts = np.array([(a, b, c) for a in x for b in x for c in x])
         wts = np.array([wa * wb * wc for wa in w for wb in w for wc in w])
-        N, dN = _shape_hex_q1(pts)
+        if order == 1:
+            N, dN = _shape_hex_q1(pts)
+        else:
+            N, dN = _shape_tensor("hex", order, pts)
     elif elem_type == "tri":
-        assert order == 1
-        pts = np.array([[1 / 3, 1 / 3]])
-        wts = np.array([0.5])
-        N, dN = _shape_tri_p1(pts)
+        if order == 1:
+            pts = np.array([[1 / 3, 1 / 3]])
+            wts = np.array([0.5])
+            N, dN = _shape_tri_p1(pts)
+        else:
+            assert order == 2, "simplices support P1/P2"
+            pts, wts = _tri_quad_deg4()
+            N, dN = _shape_tri_p2(pts)
     elif elem_type == "tet":
-        assert order == 1
-        pts = np.array([[0.25, 0.25, 0.25]])
-        wts = np.array([1 / 6])
-        N, dN = _shape_tet_p1(pts)
+        if order == 1:
+            pts = np.array([[0.25, 0.25, 0.25]])
+            wts = np.array([1 / 6])
+            N, dN = _shape_tet_p1(pts)
+        else:
+            assert order == 2, "simplices support P1/P2"
+            pts, wts = _tet_quad_duffy()
+            N, dN = _shape_tet_p2(pts)
     else:
         raise NotImplementedError(elem_type)
     return pts, wts, N, dN
@@ -218,13 +383,10 @@ def element_geometry(mesh: Mesh, order: int = 1):
     if order == 1:
         gradN = np.einsum("qad,eqdk->eqak", dN, Jinv, optimize=True)
         return pts, wts, N, detJ, gradN
-    # higher order basis on Q1 geometry: recompute geometry at that rule
+    # higher order basis on (bi/tri)linear geometry: recompute geometry
+    # at that order's quadrature rule
     pts2, wts2, N2, dN2 = reference_element(mesh.elem_type, order)
-    # geometry derivatives at pts2
-    if mesh.elem_type == "quad":
-        _, dNgeo = _shape_quad_q1(pts2)
-    else:
-        raise NotImplementedError
+    _, dNgeo = geom_shape(mesh.elem_type, pts2)
     J = np.einsum("eak,qad->eqkd", X, dNgeo, optimize=True)
     Jinv, detJ = _inv_det_batched(J)
     gradN = np.einsum("qad,eqdk->eqak", dN2, Jinv, optimize=True)
@@ -480,7 +642,9 @@ def ess_dofs_from_attrs(mesh: Mesh, ess_attr_marker: np.ndarray,
         base = np.unique(np.concatenate(
             [verts, np.asarray(extra, dtype=np.int64)])) if extra else verts
     else:
-        raise NotImplementedError
+        # general-order nodal path: boundary-face lattices matched by
+        # quantized coordinates (mesh.ess_nodal_dofs)
+        base = mesh.ess_nodal_dofs(ess_attr_marker, order)
     if vdim == 1:
         return base
     return np.concatenate([base * vdim + vd for vd in range(vdim)])

@@ -75,8 +75,7 @@ class Mesh:
         elif order == 2 and self.elem_type == "quad":
             e2d = self._q2_elem_to_dof()[0]
         else:
-            raise NotImplementedError(
-                f"order {order} for {self.elem_type}")
+            e2d = self._nodal_elem_to_dof(order)[0]
         if vdim == 1:
             return Table.from_rows(np.asarray(e2d), self.num_dofs(order))
         # Vector-valued flattening, byVDIM global numbering with
@@ -92,7 +91,7 @@ class Mesh:
             return self.num_vertices
         if order == 2 and self.elem_type == "quad":
             return self._q2_elem_to_dof()[1]
-        raise NotImplementedError
+        return self._nodal_elem_to_dof(order)[1]
 
     def dof_coords(self, order: int = 1) -> np.ndarray:
         """Coordinates of H1 dofs (used by polynomial coarse spaces)."""
@@ -101,7 +100,75 @@ class Mesh:
         if order == 2 and self.elem_type == "quad":
             e2d, nd, coords = self._q2_elem_to_dof(with_coords=True)
             return coords
-        raise NotImplementedError
+        return self._nodal_elem_to_dof(order)[2]
+
+    # -- general-order nodal numbering -----------------------------------
+    def _nodal_quant_tol(self) -> float:
+        v = self.vertices
+        e0 = self.elements[:, 0]
+        e1 = self.elements[:, 1]
+        h = np.linalg.norm(v[e1] - v[e0], axis=1)
+        return float(h.min()) / 16.0
+
+    def _nodal_elem_to_dof(self, order: int):
+        """Arbitrary-order H1 connectivity by COORDINATE deduplication:
+        every element generates its nodal lattice through the (bi/tri)
+        linear geometry map, and physically-coincident nodes become one
+        global dof.  This sidesteps all edge/face orientation bookkeeping
+        (the part MFEM's H1_FECollection spends most of its code on,
+        fem.hpp:427-484) and gives shape functions a trivially consistent
+        local ordering (the lattice order)."""
+        cache = getattr(self, "_nodal_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_nodal_cache", cache)
+        if order in cache:
+            return cache[order]
+        from saamge_tpu.fem.assemble import nodal_lattice, geom_shape
+        ref = nodal_lattice(self.elem_type, order)      # (nloc, d)
+        N, _ = geom_shape(self.elem_type, ref)          # (nloc, nverts)
+        # physical nodes: (NE, nloc, d)
+        phys = np.einsum("lv,evd->eld", N, self.vertices[self.elements])
+        tol = self._nodal_quant_tol() / max(order, 2)
+        keys = np.round(phys / tol).astype(np.int64)
+        flat = keys.reshape(-1, keys.shape[-1])
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        # renumber in first-encounter order for determinism
+        first = np.full(len(uniq), len(flat), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(flat)))
+        rank = np.empty(len(uniq), dtype=np.int64)
+        rank[np.argsort(first, kind="stable")] = np.arange(len(uniq))
+        ids = rank[inv].reshape(keys.shape[:2])
+        nd = len(uniq)
+        coords = np.zeros((nd, self.dim))
+        coords[ids.reshape(-1)] = phys.reshape(-1, self.dim)
+        key_to_id = {tuple(k): int(rank[i])
+                     for i, k in enumerate(uniq)}
+        cache[order] = (ids, nd, coords, key_to_id, tol)
+        return cache[order]
+
+    def ess_nodal_dofs(self, ess_attr_marker: np.ndarray,
+                       order: int) -> np.ndarray:
+        """Boundary dofs of marked attributes for the general-order nodal
+        numbering: boundary-face lattices are generated with the same
+        geometry map and matched by quantized coordinates."""
+        from saamge_tpu.fem.assemble import nodal_lattice, geom_shape
+        ids, nd, coords, key_to_id, tol = self._nodal_elem_to_dof(order)
+        face_type = {"quad": "segment", "hex": "quad",
+                     "tri": "segment", "tet": "tri"}[self.elem_type]
+        ref = nodal_lattice(face_type, order)
+        N, _ = geom_shape(face_type, ref)
+        out = []
+        for bverts, attr in zip(self.boundary, self.bdr_attr):
+            if not ess_attr_marker[int(attr) - 1]:
+                continue
+            phys = N @ self.vertices[np.asarray(bverts)]
+            for p in np.round(phys / tol).astype(np.int64):
+                d = key_to_id.get(tuple(p))
+                if d is not None:
+                    out.append(d)
+        return np.unique(np.asarray(out, dtype=np.int64)) \
+            if out else np.zeros(0, dtype=np.int64)
 
     def _q2_elem_to_dof(self, with_coords: bool = False):
         """Quadratic H1 dofs on quads: vertex dofs, one per unique edge, one

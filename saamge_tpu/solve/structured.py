@@ -406,6 +406,7 @@ def _device_spd_inverse(Ac: np.ndarray) -> jnp.ndarray:
         return jnp.asarray(np.linalg.inv(Ac), jnp.float32)
     A_dev = jnp.asarray(Ac, jnp.float32)
     C = jax.scipy.linalg.cho_factor(A_dev, lower=True)
+    del A_dev
     # solve against I in column chunks: one full-width cho_solve
     # materializes O(n^2)-sized temps per block step and OOMs HBM for
     # n ~ 20k (observed 98G requested)
@@ -415,4 +416,6 @@ def _device_spd_inverse(Ac: np.ndarray) -> jnp.ndarray:
     for j in range(0, n, step):
         cols.append(jax.scipy.linalg.cho_solve(
             C, jnp.asarray(eye[:, j:j + step])))
-    return jnp.concatenate(cols, axis=1)
+    out = jnp.concatenate(cols, axis=1)
+    del C, cols
+    return out
