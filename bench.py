@@ -106,7 +106,7 @@ def main():
     theta = args.theta
     if theta == 0.0:
         # keep the coarse space dense-inverse-sized at scale
-        theta = 0.003 if ndof < 500_000 else 3e-4
+        theta = 0.003 if ndof < 500_000 else 1e-4
 
     t0 = time.perf_counter()
     if structured:
