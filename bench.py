@@ -138,18 +138,21 @@ def main():
         geo = BrickGeometry((nb, nb, nb), (args.brick,) * 3)
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16)
 
-        def vcycle_once(b0, c):
-            return h.vcycle(b0, c)
+        def vcycle_once(hier, b0, c):
+            # NB: must use the traced argument, not a closure — closure-
+            # captured device arrays embed as program constants and blow
+            # the remote-compile request past its size limit
+            return hier.vcycle(b0, c)
 
         pcg = struct_pcg_solve
     else:
-        from saamge_tpu.solve.compiled import (compile_hierarchy, precond,
+        from saamge_tpu.solve.compiled import (compile_hierarchy,
                                                pcg_solve)
         h = compile_hierarchy(s.ml, dtype=jnp.float32)
 
-        def vcycle_once(b0, c):
+        def vcycle_once(hier, b0, c):
             from saamge_tpu.solve.compiled import vcycle
-            return vcycle(h, b0, c)
+            return vcycle(hier, b0, c)
 
         pcg = lambda hh, bb, **kw: pcg_solve(hh, bb, **kw)  # noqa: E731
     compile_s = time.perf_counter() - t0
@@ -166,7 +169,7 @@ def main():
     @jax.jit
     def chain(hier, b0):
         def body(c, _):
-            return vcycle_once(b0, c), ()
+            return vcycle_once(hier, b0, c), ()
         y, _ = jax.lax.scan(body, jnp.zeros_like(b0), jnp.zeros(R))
         return jnp.sum(y)
 
