@@ -36,23 +36,33 @@ import numpy as np
 
 
 def measure_peak_stream(jnp, jax):
-    """Peak HBM rate from a large nonlinear triad (collapse-proof)."""
-    N = 192 * 1024 * 1024
+    """Peak HBM rate from a large nonlinear triad (collapse-proof, and
+    long enough that the ~30 ms RPC floor of the tunneled backend is
+    amortized away)."""
+    N = 128 * 1024 * 1024
+    R = 48                          # ~74 GB of traffic per call
     x = jnp.ones(N, jnp.float32)
 
     @jax.jit
     def f(a):
         c = a
-        for _ in range(10):
+        for _ in range(R):
             c = a + 0.5 * jnp.abs(c)
         return jnp.sum(c)
 
     float(f(x))
-    t0 = time.perf_counter()
-    float(f(x * 1.000001))
-    dt = (time.perf_counter() - t0) / 10
+    best = float("inf")
+    for k in range(2):
+        t0 = time.perf_counter()
+        float(f(x * (1.0 + 1e-7 * (k + 1))))
+        best = min(best, (time.perf_counter() - t0) / R)
     del x
-    return 3 * N * 4 / dt / 1e9
+    measured = 3 * N * 4 / best / 1e9
+    # the tunneled backend sometimes yields impossible readings (async
+    # quirks); fall back to the v5e HBM spec when implausible
+    if not (100.0 < measured < 1000.0):
+        return 819.0, measured
+    return measured, measured
 
 
 def main():
@@ -161,7 +171,10 @@ def main():
     x, iters, _ = pcg(h, bdev, max_iter=200)
     iters = int(iters)
 
-    peak_gbps = measure_peak_stream(jnp, jax) if on_tpu else 0.0
+    if on_tpu:
+        peak_gbps, measured_gbps = measure_peak_stream(jnp, jax)
+    else:
+        peak_gbps = measured_gbps = 0.0
 
     # --- V-cycle timing: whole rep chain inside ONE jitted call -------
     R = args.reps
@@ -180,21 +193,40 @@ def main():
     dofs_per_sec = ndof / dt
 
     # --- minimal-traffic roofline model -------------------------------
+    # bytes_model: nnz values once per pass + 3 vector streams (the
+    # strictest honest model).  bytes_actual: what the chosen formats
+    # really stream — the gap between the two IS the quantified blocker
+    # (the mid level is floored at ~one coarse dof per MIS by the MIS
+    # topology, and at that size its dense operator streams n_c^2 per
+    # pass vs nnz in the model).
     bytes_model = 0.0
-    for lv in s.ml.levels:
+    bytes_actual = 0.0
+    level_detail = []
+    for i, lv in enumerate(s.ml.levels):
         tg = lv.tg_data
         deg = len(tg.poly_data.roots)
         passes = 2 * deg + 1                      # pre+post smooth + resid
         nrows = lv.A.shape[0]
-        bytes_model += passes * (lv.A.nnz + 3 * nrows) * 4
-        bytes_model += (tg.interp.nnz + tg.restr.nnz
-                        + 2 * (tg.interp.shape[0]
-                               + tg.interp.shape[1])) * 4
+        bm = passes * (lv.A.nnz + 3 * nrows) * 4
+        bm += (tg.interp.nnz + tg.restr.nnz
+               + 2 * (tg.interp.shape[0] + tg.interp.shape[1])) * 4
+        if structured and i == 1:
+            ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)  # bf16 dense
+        else:
+            ba = bm
+        bytes_model += bm
+        bytes_actual += ba
+        level_detail.append({"n": nrows, "passes": passes,
+                             "model_mb": round(bm / 1e6, 1),
+                             "actual_mb": round(ba / 1e6, 1)})
     n2 = s.ml.levels[-1].tg_data.Ac.shape[0]
     bytes_model += (n2 * n2 + 2 * n2) * 4         # coarsest dense solve
+    bytes_actual += (n2 * n2 + 2 * n2) * 4
     roofline_ms = bytes_model / (peak_gbps * 1e9) * 1e3 if peak_gbps \
         else float("nan")
     roofline_fraction = roofline_ms / (dt * 1e3) if peak_gbps else 0.0
+    format_ms = bytes_actual / (peak_gbps * 1e9) * 1e3 if peak_gbps \
+        else float("nan")
 
     # --- measured CPU baseline: same V-cycle through scipy CSR --------
     from saamge_tpu.solve.vcycle import VCycleSolver
@@ -226,8 +258,11 @@ def main():
             "setup_device_pipeline_s": round(eig_s, 2),
             "compile_s": round(compile_s, 2),
             "peak_stream_gbps": round(peak_gbps, 1),
+            "measured_stream_gbps": round(measured_gbps, 1),
             "roofline_model_ms": round(roofline_ms, 3),
             "roofline_fraction": round(roofline_fraction, 3),
+            "format_traffic_ms": round(format_ms, 3),
+            "levels": level_detail,
         },
     }))
 
