@@ -47,6 +47,19 @@ from saamge_tpu.config import GlobalConfig, TGConfig, CONFIG
 from saamge_tpu.fem.mesh import Mesh
 from saamge_tpu.api import SpectralAMGSolver, SAAMGePC, SAAMGeAlgPC
 
+
+def structured_solver_api():
+    """Late imports of the structured (brick) fast path, the production
+    TPU solve configuration: (BrickGeometry, compile_structured,
+    struct_pcg_solve, struct_vcycle_apply, partition_cartesian_3d)."""
+    from saamge_tpu.solve.structured import (BrickGeometry,
+                                             compile_structured,
+                                             struct_pcg_solve,
+                                             struct_vcycle_apply)
+    from saamge_tpu.topology.part import partition_cartesian_3d
+    return (BrickGeometry, compile_structured, struct_pcg_solve,
+            struct_vcycle_apply, partition_cartesian_3d)
+
 __version__ = "0.1.0"
 
 __all__ = [
