@@ -256,6 +256,13 @@ def main():
             "assemble_s": round(assemble_s, 2),
             "setup_s": round(setup_s, 2),
             "setup_device_pipeline_s": round(eig_s, 2),
+            # eigensolver share of the device pipeline: the execution is
+            # pure batched MXU matmuls (ops/filtered_eig.py); wall time
+            # beyond a few seconds is remote-compile latency
+            "setup_eig_phase_s": round(
+                TIMERS.total("setup.device_pipeline.eigh"), 2),
+            "setup_rr_refine_s": round(
+                TIMERS.total("setup.device_pipeline.rr"), 2),
             "compile_s": round(compile_s, 2),
             "peak_stream_gbps": round(peak_gbps, 1),
             "measured_stream_gbps": round(measured_gbps, 1),
