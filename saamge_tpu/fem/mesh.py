@@ -130,9 +130,52 @@ class Mesh:
         # physical nodes: (NE, nloc, d)
         phys = np.einsum("lv,evd->eld", N, self.vertices[self.elements])
         tol = self._nodal_quant_tol() / max(order, 2)
-        keys = np.round(phys / tol).astype(np.int64)
+        q = phys / tol
+        keys = np.round(q).astype(np.int64)
         flat = keys.reshape(-1, keys.shape[-1])
         uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        # Tolerance-robust merge: physically-coincident nodes computed
+        # through different elements' geometry maps differ by roundoff and
+        # can quantize to DIFFERENT keys when q lands within roundoff of a
+        # half-integer.  Those borderline nodes are rare (|frac(q+1/2)|
+        # below a loose 1e-6 bound on accumulated roundoff in tol units);
+        # for them, probe the +/-1 neighbor key in each borderline
+        # coordinate and union-find-merge cells whose representative
+        # coordinates truly coincide (< tol/4 apart).
+        qf = q.reshape(-1, q.shape[-1])
+        border = np.abs(qf - flat) > 0.5 - 1e-6
+        susp = np.flatnonzero(border.any(axis=1))
+        if len(susp):
+            key_of = {tuple(k): i for i, k in enumerate(uniq)}
+            parent = np.arange(len(uniq))
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            rep_pt = np.zeros((len(uniq), q.shape[-1]))
+            rep_pt[inv] = qf                    # any member's coords
+            for j in susp:
+                base = flat[j]
+                for d in np.flatnonzero(border[j]):
+                    for s in (-1, 1):
+                        nb = base.copy()
+                        nb[d] += s
+                        o = key_of.get(tuple(nb))
+                        if o is None:
+                            continue
+                        if np.max(np.abs(rep_pt[o] - qf[j])) < 0.25:
+                            a, bq = find(int(inv[j])), find(o)
+                            if a != bq:
+                                parent[max(a, bq)] = min(a, bq)
+            roots = np.array([find(i) for i in range(len(uniq))])
+            if not np.array_equal(roots, np.arange(len(uniq))):
+                # compress merged cells into a dense unique numbering
+                newu, inv2 = np.unique(roots, return_inverse=True)
+                uniq = uniq[newu]
+                inv = inv2[inv]
         # renumber in first-encounter order for determinism
         first = np.full(len(uniq), len(flat), dtype=np.int64)
         np.minimum.at(first, inv, np.arange(len(flat)))
@@ -158,15 +201,35 @@ class Mesh:
                      "tri": "segment", "tet": "tri"}[self.elem_type]
         ref = nodal_lattice(face_type, order)
         N, _ = geom_shape(face_type, ref)
+        from itertools import product as _iproduct
         out = []
         for bverts, attr in zip(self.boundary, self.bdr_attr):
             if not ess_attr_marker[int(attr) - 1]:
                 continue
             phys = N @ self.vertices[np.asarray(bverts)]
-            for p in np.round(phys / tol).astype(np.int64):
+            q = phys / tol
+            for qp, p in zip(q, np.round(q).astype(np.int64)):
                 d = key_to_id.get(tuple(p))
-                if d is not None:
-                    out.append(d)
+                if d is None:
+                    # quantization straddled a rounding boundary (face
+                    # lattice computed through a different geometry map
+                    # than the volume lattice): probe neighbor keys and
+                    # accept a true coordinate match
+                    for off in _iproduct((0, -1, 1), repeat=len(p)):
+                        if not any(off):
+                            continue
+                        d2 = key_to_id.get(tuple(p + np.asarray(off)))
+                        if d2 is not None and \
+                                np.max(np.abs(coords[d2] / tol - qp)) < 0.25:
+                            d = d2
+                            break
+                if d is None:
+                    raise ValueError(
+                        "essential-BC lattice node of a marked boundary "
+                        f"face (attr {int(attr)}) at {qp * tol} matches no "
+                        "volume dof — mesh boundary is inconsistent with "
+                        "the element geometry maps")
+                out.append(d)
         return np.unique(np.asarray(out, dtype=np.int64)) \
             if out else np.zeros(0, dtype=np.int64)
 

@@ -196,6 +196,7 @@ def batched_spectral_cut(
             wf, Xf_d = batched_smallest_eigs(M_dev, mk)
             Xf = np.asarray(Xf_d, np.float64)[:B]
             evals = np.full((B, nmax), 1.0)
+            ncomp = np.zeros(B, dtype=np.int64)
             Y = np.zeros((B, nmax, nmax))
             import scipy.linalg as _sla
             for k in range(B):
@@ -207,26 +208,37 @@ def batched_spectral_cut(
                 Mk = M[k, :n, :n]
                 W = Xk.T @ (Mk @ Xk)
                 G = Xk.T @ Xk
+                # near-dependent filtered vectors make G singular; the
+                # trace-scaled ridge matches filtered_eig's internal RR
+                G = G + 1e-12 * np.trace(G) / G.shape[0] \
+                    * np.eye(G.shape[0])
                 lam, Z = _sla.eigh(0.5 * (W + W.T), 0.5 * (G + G.T))
                 evals[k, :len(lam)] = lam
+                ncomp[k] = len(lam)
                 Y[k, :n, :len(lam)] = Xk @ Z
         else:
             evals_d, Y_d = _eigh_batched(M_dev)
             evals = np.asarray(evals_d, dtype=np.float64)[:B]
             Y = np.asarray(Y_d, dtype=np.float64)[:B]
+            ncomp = sizes.astype(np.int64)
 
         for k, i in enumerate(idxs):
             n = int(sizes[k])
+            nc = min(int(ncomp[k]), n)
             ev = evals[k]
             truncated = use_truncated and n > truncated_threshold
             if truncated:
-                kk = min(max_vectors, n)
+                kk = min(max_vectors, n, nc)
                 got = 1 + int((ev[1:kk] < theta).sum())
                 m = got
                 skip = float(ev[kk - 1] if got == kk else max(ev[got], 0.0))
             else:
                 m = max(int(np.searchsorted(ev, theta, side="right")), 1)
-                skip = float(ev[m] if m < n else ev[n - 1])
+                m = min(m, nc)
+                # skip = first eigenvalue beyond the cut; clamp to the
+                # last COMPUTED Ritz value (beyond nc the entries are 1.0
+                # placeholders on the filtered path)
+                skip = float(ev[m] if m < nc else ev[nc - 1])
             # back to generalized eigenvectors: x = B^{-1/2} y (host, f64)
             cut[i] = dhalf[k, :n, None] * Y[k][:n, :m]
             skipped[i] = skip

@@ -334,11 +334,20 @@ def uniform_spectral_cut(elem_data, theta: float,
         from saamge_tpu.setup.spectral import Eigensolver
         eig = Eigensolver(use_truncated=use_truncated,
                           max_vectors=max_vectors)
+        off_mask = (ur != uc)
         for p in host_fallback:
-            A_T = np.asarray(aes[p].todense()) if aes[p] is not None \
-                else None
-            if A_T is None:
-                continue
+            if aes[p] is not None:
+                A_T = np.asarray(aes[p].todense())
+            else:
+                # rebuild from the shared sparse structure (the theta cut
+                # exceeded kmax, so the device result under-resolves this
+                # AE; computable regardless of want_sparse_aes)
+                v = plan.coef[p] @ w_nnz
+                kill = (plan.essmask[p][ur] | plan.essmask[p][uc]) \
+                    & off_mask
+                v = np.where(kill, 0.0, v)
+                A_T = np.asarray(
+                    sp.csr_matrix((v, (ur, uc)), shape=(n, n)).todense())
             cut[p], skipped[p], bdiags[p] = eig.solve(A_T, theta)
     sa_print(5, "device setup: %d uniform-brick eigensolves "
              "(n=%d padded %d, kmax=%d), %d vectors kept",
