@@ -36,30 +36,39 @@ import numpy as np
 
 
 def measure_peak_stream(jnp, jax):
-    """Peak HBM rate from a large nonlinear triad (collapse-proof, and
-    long enough that the ~30 ms RPC floor of the tunneled backend is
-    amortized away)."""
-    N = 128 * 1024 * 1024
-    R = 48                          # ~74 GB of traffic per call
-    x = jnp.ones(N, jnp.float32)
+    """Peak HBM rate from a scan-chained round-robin triad over K
+    distinct large buffers.  The round-2 version unrolled the chain in
+    one fused elementwise kernel, which XLA collapses to a single read
+    of each operand (recorded 2292 GB/s — impossible on v5e); a lax.scan
+    step is compiled once and looped, and an optimization_barrier pins
+    the value between steps, so every step really streams
+    read-c + read-buffer + write-c = 3 N 4 bytes from HBM."""
+    N = 64 * 1024 * 1024            # 256 MB per buffer
+    K = 4
+    R = 256                         # 192 GB of traffic per call
+    B = jnp.stack([jnp.full(N, 1.0 + 0.1 * i, jnp.float32)
+                   for i in range(K)])
 
     @jax.jit
-    def f(a):
-        c = a
-        for _ in range(R):
-            c = a + 0.5 * jnp.abs(c)
+    def f(c, B):
+        def body(c, i):
+            buf = jax.lax.dynamic_index_in_dim(B, i % K, keepdims=False)
+            c = jnp.abs(c) + 0.5 * buf
+            return jax.lax.optimization_barrier(c), ()
+        c, _ = jax.lax.scan(body, c, jnp.arange(R, dtype=jnp.int32))
         return jnp.sum(c)
 
-    float(f(x))
+    c0 = jnp.ones(N, jnp.float32)
+    float(f(c0, B))
     best = float("inf")
     for k in range(2):
         t0 = time.perf_counter()
-        float(f(x * (1.0 + 1e-7 * (k + 1))))
-        best = min(best, (time.perf_counter() - t0) / R)
-    del x
-    measured = 3 * N * 4 / best / 1e9
-    # the tunneled backend sometimes yields impossible readings (async
-    # quirks); fall back to the v5e HBM spec when implausible
+        float(f(c0 * (1.0 + 1e-7 * (k + 1)), B))
+        best = min(best, time.perf_counter() - t0)
+    del B, c0
+    measured = R * 3 * N * 4 / best / 1e9
+    # fall back to the v5e HBM spec only if the reading is implausible,
+    # and report both so the fallback is visible in the JSON
     if not (100.0 < measured < 1000.0):
         return 819.0, measured
     return measured, measured
@@ -84,6 +93,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request (the axon sitecustomize ignores
+        # the env var; the config API wins — cf. tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
@@ -176,6 +189,22 @@ def main():
     else:
         peak_gbps = measured_gbps = 0.0
 
+    # --- setup eigensolver throughput vs MXU dense capability ---------
+    # (the BASELINE >=70%-of-MXU target, unreported in rounds 1-2):
+    # measured at the REAL setup shapes — AE operator size and chunked
+    # batch — via the same scan-chain method.  eig_device_fraction is
+    # the share of the device-setup pipeline wall time spent in the
+    # eigensolve phase (the rest is assembly/fetch/host RR).
+    eig_exec = None
+    if on_tpu and structured and not args.host_setup:
+        from saamge_tpu.ops.filtered_eig import measure_eig_throughput
+        rels0 = s.ml.levels[0].rels
+        n_ae = int(rels0.AE_to_dof.row_sizes()[0])
+        n_pad = -(-max(n_ae, 8) // 32) * 32
+        batch = min(512, rels0.nparts)
+        if n_pad >= 192:
+            eig_exec = measure_eig_throughput(batch, n_pad, m=64)
+
     # --- V-cycle timing: whole rep chain inside ONE jitted call -------
     R = args.reps
 
@@ -191,6 +220,59 @@ def main():
     float(chain(h, bdev * 1.000001))
     dt = (time.perf_counter() - t0) / R
     dofs_per_sec = ndof / dt
+
+    # --- measured per-component times (locates every ms of the cycle;
+    # VERDICT r2 asked for measured per-level numbers, not just modeled
+    # traffic) ---------------------------------------------------------
+    measured = {}
+    if structured:
+        def timed_chain(name, body_fn, carry0, reps_c):
+            @jax.jit
+            def cchain(c0):
+                def body(c, _):
+                    return body_fn(c), ()
+                y, _ = jax.lax.scan(body, c0, jnp.zeros(reps_c))
+                return jax.tree_util.tree_reduce(
+                    lambda a, v: a + jnp.sum(v), y, jnp.float32(0.0))
+            float(cchain(carry0))
+            tc = time.perf_counter()
+            float(cchain(carry0))
+            measured[name] = round(
+                (time.perf_counter() - tc) / reps_c * 1e3, 4)
+
+        A0 = h.A0
+        bh = A0.pad(bdev)
+        xh0 = A0.pad(jnp.ones(ndof, jnp.float32))
+        it0 = h.taus0[0]
+        timed_chain("l0_root_pass_ms",
+                    lambda xh: A0.root_h(it0, bh, h.dinv0h, xh), xh0, 40)
+        timed_chain("l0_residual_ms",
+                    lambda xh: A0.residual_h(bh, xh), xh0, 40)
+        res0 = jnp.ones(ndof, jnp.float32)
+        timed_chain("apply_R_ms",
+                    lambda c: jnp.sum(h.apply_R(res0 * (1 + 1e-12 * c))),
+                    jnp.float32(0.0), 30)
+        xcf = jnp.ones(h.n_flat, jnp.float32)
+        timed_chain("apply_P_ms",
+                    lambda c: jnp.sum(h.apply_P(xcf * (1 + 1e-12 * c))),
+                    jnp.float32(0.0), 30)
+        if h.A1d is not None:
+            n_mid = h.dinv1.shape[0]
+            timed_chain("mid_matvec_ms", lambda x: h._mid_matvec(x),
+                        jnp.ones(n_mid, jnp.float32), 30)
+            timed_chain(
+                "coarsest_ms",
+                lambda x: x + h.R1.T @ (h.Ainv @ (h.R1 @ x)),
+                jnp.ones(n_mid, jnp.float32), 30)
+            deg0 = len(h.taus0)
+            deg1 = len(h.taus1)
+            explained = (2 * deg0 * measured["l0_root_pass_ms"]
+                         + measured["l0_residual_ms"]
+                         + measured["apply_R_ms"] + measured["apply_P_ms"]
+                         + (2 * deg1 + 1) * measured["mid_matvec_ms"]
+                         + measured["coarsest_ms"])
+            measured["explained_ms"] = round(explained, 3)
+            measured["unexplained_ms"] = round(dt * 1e3 - explained, 3)
 
     # --- minimal-traffic roofline model -------------------------------
     # bytes_model: nnz values once per pass + 3 vector streams (the
@@ -211,7 +293,12 @@ def main():
         bm += (tg.interp.nnz + tg.restr.nnz
                + 2 * (tg.interp.shape[0] + tg.interp.shape[1])) * 4
         if structured and i == 1:
-            ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)  # bf16 dense
+            from saamge_tpu.solve.structured import BrickBlockOp
+            if isinstance(h.A1d, BrickBlockOp):
+                # brick-block operator streams its (k, NB, bs, bs) blocks
+                ba = passes * (h.A1d.nbytes + 3 * h.dinv1.shape[0] * 4)
+            else:
+                ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)
         else:
             ba = bm
         bytes_model += bm
@@ -270,6 +357,11 @@ def main():
             "roofline_fraction": round(roofline_fraction, 3),
             "format_traffic_ms": round(format_ms, 3),
             "levels": level_detail,
+            "measured_components": measured,
+            "eig_device_fraction": round(
+                TIMERS.total("setup.device_pipeline.eigh")
+                / max(eig_s, 1e-9), 3) if eig_s else None,
+            "eig_exec": eig_exec,
         },
     }))
 

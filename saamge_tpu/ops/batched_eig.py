@@ -193,7 +193,7 @@ def batched_spectral_cut(
             # theta cut this path serves (theta << 1).
             from saamge_tpu.ops.filtered_eig import batched_smallest_eigs
             mk = min(64, nmax)
-            wf, Xf_d = batched_smallest_eigs(M_dev, mk)
+            wf, Xf_d, f_res = batched_smallest_eigs(M_dev, mk)
             Xf = np.asarray(Xf_d, np.float64)[:B]
             evals = np.full((B, nmax), 1.0)
             ncomp = np.zeros(B, dtype=np.int64)
@@ -201,6 +201,14 @@ def batched_spectral_cut(
             import scipy.linalg as _sla
             for k in range(B):
                 n = int(sizes[k])
+                if np.max(f_res[k]) > 0.05:
+                    # filtered subspace failed to converge (clustered /
+                    # borderline spectrum): exact host solve for this one
+                    lam, Z = _sla.eigh(M[k, :n, :n])
+                    evals[k, :n] = lam
+                    ncomp[k] = n
+                    Y[k, :n, :n] = Z
+                    continue
                 Xk = Xf[k][:n]
                 # f64 Rayleigh-Ritz against the host-built scaled
                 # operator M (the filtered f32 vectors carry ~1e-4 span

@@ -179,6 +179,14 @@ def _eigh_fn(n: int, nmax: int, kmax: int):
 # runs at ~60 GFLOP/s while the filter is pure batched matmul
 FILTERED_EIG_MIN_N = 192
 
+# max relative eigenpair residual (||Mx - wx|| / sigma) tolerated from
+# the filtered solver on pairs below the theta cut.  Converged filter
+# output sits at ~1e-4 (f32 + leakage); a spectrum clustered at the
+# filter edge degrades convergence and shows up here — those AEs are
+# re-solved exactly on host rather than silently dropping a direction
+# (the 0.829-vs-0.999 sensitivity anecdote, reference spectral.hpp:32-60)
+FILTER_RESIDUAL_TOL = 0.05
+
 
 def uniform_spectral_cut(elem_data, theta: float,
                          use_truncated: bool = False,
@@ -265,9 +273,11 @@ def uniform_spectral_cut(elem_data, theta: float,
             if use_filter:
                 from saamge_tpu.ops.filtered_eig import \
                     batched_smallest_eigs
-                evals, Xf_d = batched_smallest_eigs(M_d, kmax)
+                evals, Xf_d, eig_res = batched_smallest_eigs(M_d, kmax)
                 X_d = dh_d[:, :, None] * Xf_d
             else:
+                eig_res = None
+            if eig_res is None:
                 evals_d, X_d = eigf(M_d, dh_d)
                 evals = np.asarray(evals_d, np.float64)
             bd = np.asarray(bd_d, np.float64)
@@ -298,6 +308,12 @@ def uniform_spectral_cut(elem_data, theta: float,
             if m > kmax:
                 host_fallback.append(int(p))
                 m = kmax
+            if eig_res is not None and \
+                    float(eig_res[k, :m].max()) > FILTER_RESIDUAL_TOL:
+                # filtered subspace did not converge for this AE (theta
+                # cut near the filter edge / clustered spectrum): exact
+                # host re-solve below
+                host_fallback.append(int(p))
             bdiags[p] = bd[k].copy()
             A_sp = sp.csr_matrix((vals_nnz[k], (ur, uc)), shape=(n, n))
             if want_sparse_aes:
@@ -331,6 +347,10 @@ def uniform_spectral_cut(elem_data, theta: float,
         TIMERS.counts["setup.device_pipeline.rr"] = \
             TIMERS.counts.get("setup.device_pipeline.rr", 0) + 1
     if host_fallback:
+        host_fallback = sorted(set(host_fallback))
+        sa_print(3, "device setup: %d/%d AEs routed to the exact host "
+                 "eigensolver (theta cut beyond kmax or filter residual "
+                 "> %g)", len(host_fallback), nparts, FILTER_RESIDUAL_TOL)
         from saamge_tpu.setup.spectral import Eigensolver
         eig = Eigensolver(use_truncated=use_truncated,
                           max_vectors=max_vectors)

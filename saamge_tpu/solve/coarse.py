@@ -32,10 +32,20 @@ class DirectSolver:
 
     def __init__(self, Ac: sp.csr_matrix):
         self.n = Ac.shape[0]
-        self.lu = spla.splu(Ac.tocsc())
+        self._Ac = Ac.tocsc()
+        self.lu = spla.splu(self._Ac)
 
     def mult(self, b: np.ndarray, x: np.ndarray) -> None:
         x[:] = self.lu.solve(b)
+
+    # SuperLU objects don't pickle; refactorize on load so whole
+    # hierarchies serialize (checkpoint/resume, SURVEY §5)
+    def __getstate__(self):
+        return {"n": self.n, "_Ac": self._Ac}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self.lu = spla.splu(self._Ac)
 
 
 class CGSolver:

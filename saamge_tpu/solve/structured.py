@@ -21,10 +21,13 @@ partition_cartesian_3d) the whole solve phase becomes gather-free:
    brick k-1, so pieces are disjoint static slices — no scatter).
  - COARSE dofs live in a brick-major PADDED layout: brick p's coarse dofs
    occupy slots [p*bs, p*bs + count_p), zero-padded to a common bs.  The
-   Galerkin operator then has entries only at flat offsets
-   (brick-neighbor offset)*bs + slot deltas — a plain DIA matrix with a
-   few hundred static diagonals, which reuses the SAME blocked Pallas
-   stencil kernels as the fine level.
+   Galerkin operator couples brick p only to its <=27 brick neighbors
+   (tent P supports live in closed brick boxes; the fine stencil reaches
+   one node), so it is stored as a BRICK-BLOCK operator: one dense
+   (NB, bs, bs) block array per nonzero brick offset, applied as a single
+   batched MXU contraction against 27 statically-shifted views of the
+   padded coarse vector — gather-free, and (in bf16) ~100x less traffic
+   than the dense operator it replaces.
  - COARSEST: dense inverse applied as a matvec (triangular solves are
    serial and measured 4-8 ms at 8-16k on TPU; an inverse matvec is one
    streamed GEMV at <1 ms, and exactness only affects preconditioner
@@ -151,6 +154,78 @@ def build_structured_interp(rels, P: sp.csr_matrix,
     return Rst, cd_brick, slot, bs
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class BrickBlockOp:
+    """Mid-level Galerkin operator in the brick-major padded layout.
+
+    blocks[k, p, s1, s2] = Ac[(p, s1), (p + doffs[k], s2)] over the <=27
+    nonzero brick offsets.  The matvec pads the coarse vector by one
+    brick shell and contracts all offsets in one batched einsum over
+    statically-shifted views — no gathers, traffic = k * NB * bs^2 *
+    itemsize per pass (vs n_c^2 for the dense operator; the coarse
+    Dof_TrueDof block structure of the reference, aggregates.cpp:1610-1730,
+    specialized to bricks)."""
+
+    blocks: jnp.ndarray      # (k, NB, bs, bs), f32 or bf16
+    doffs: tuple             # k static (dx, dy, dz) brick offsets
+    bricks: tuple            # (BX, BY, BZ) static
+    bs: int                  # static
+
+    def tree_flatten(self):
+        return (self.blocks,), (self.doffs, self.bricks, self.bs)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @property
+    def nbytes(self):
+        return self.blocks.size * self.blocks.dtype.itemsize
+
+    def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        (BX, BY, BZ), bs = self.bricks, self.bs
+        x4 = x.reshape(BX, BY, BZ, bs).astype(self.blocks.dtype)
+        xp = jnp.pad(x4, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        views = [
+            jax.lax.slice(xp, (1 + dx, 1 + dy, 1 + dz, 0),
+                          (1 + dx + BX, 1 + dy + BY, 1 + dz + BZ, bs))
+            .reshape(-1, bs)
+            for (dx, dy, dz) in self.doffs]
+        xs = jnp.stack(views)                     # (k, NB, bs)
+        y = jnp.einsum("kpst,kpt->ps", self.blocks, xs,
+                       preferred_element_type=jnp.float32)
+        return y.reshape(-1)
+
+    @staticmethod
+    def from_csr(Ac: sp.csr_matrix, cd_brick: np.ndarray,
+                 slot: np.ndarray, bs: int, bricks: Tuple[int, int, int],
+                 dtype=jnp.float32) -> "BrickBlockOp":
+        BX, BY, BZ = bricks
+        coo = Ac.tocoo()
+        p, q = cd_brick[coo.row], cd_brick[coo.col]
+        pz, qz = p % BZ, q % BZ
+        py, qy = (p // BZ) % BY, (q // BZ) % BY
+        px, qx = p // (BY * BZ), q // (BY * BZ)
+        dx, dy, dz = qx - px, qy - py, qz - pz
+        if max(np.abs(dx).max(), np.abs(dy).max(), np.abs(dz).max()) > 1:
+            raise ValueError(
+                "coarse coupling beyond brick neighbors — partitioning "
+                "is not brick-structured")
+        dkey = (dx + 1) * 9 + (dy + 1) * 3 + (dz + 1)
+        used = np.unique(dkey)
+        kmap = np.full(27, -1, dtype=np.int64)
+        kmap[used] = np.arange(len(used))
+        NB = BX * BY * BZ
+        blocks = np.zeros((len(used), NB, bs, bs), dtype=np.float64)
+        np.add.at(blocks, (kmap[dkey], p, slot[coo.row], slot[coo.col]),
+                  coo.data)
+        doffs = tuple((int(u) // 9 - 1, (int(u) // 3) % 3 - 1,
+                       int(u) % 3 - 1) for u in used)
+        return BrickBlockOp(jnp.asarray(blocks, dtype), doffs,
+                            (BX, BY, BZ), bs)
+
+
 # ---------------------------------------------------------------------------
 # device-side structured hierarchy
 
@@ -171,11 +246,14 @@ class StructuredHierarchy:
     dinv0h: jnp.ndarray
     taus0: tuple                  # (1,) f32 device scalars (1/tau)
     Rst: jnp.ndarray              # (NB, bs, box)
-    # level 1 (None for two-level)
-    A1d: Optional[jnp.ndarray]    # dense (n_c, n_c), f32 or bf16
-    dinv1: Optional[jnp.ndarray]  # (n_c,) f32
+    # level 1 (None for two-level).  A1d is either a BrickBlockOp
+    # (operating on the PADDED brick-major coarse vectors — dinv1/R1 are
+    # then padded-layout too) or a dense (n_c, n_c) array on the unpadded
+    # coarse dofs (bridged via flat_id).
+    A1d: Optional[object]
+    dinv1: Optional[jnp.ndarray]  # (n_c,) or (n_flat,) f32
     taus1: Optional[tuple]
-    R1: Optional[jnp.ndarray]     # (n2, n_c) dense restriction
+    R1: Optional[jnp.ndarray]     # (n2, n_c) or (n2, n_flat) dense restr
     Ainv: jnp.ndarray             # dense inverse of the coarsest operator
     geo: BrickGeometry            # static
     n_fine: int                   # static
@@ -255,6 +333,8 @@ class StructuredHierarchy:
         return xh
 
     def _mid_matvec(self, x):
+        if isinstance(self.A1d, BrickBlockOp):
+            return self.A1d.matvec(x)
         return jnp.dot(self.A1d, x.astype(self.A1d.dtype),
                        preferred_element_type=jnp.float32)
 
@@ -266,7 +346,8 @@ class StructuredHierarchy:
         res = A0.unpad(A0.residual_h(bh, xh))
         rc = self.apply_R(res)
         if self.A1d is not None:
-            b1 = rc[self.flat_id]
+            padded_mid = isinstance(self.A1d, BrickBlockOp)
+            b1 = rc if padded_mid else rc[self.flat_id]
             x1 = jnp.zeros_like(b1)
             for it in self.taus1:
                 x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
@@ -275,7 +356,8 @@ class StructuredHierarchy:
             x1 = x1 + self.R1.T @ y2
             for it in self.taus1:
                 x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
-            xc = jnp.zeros_like(rc).at[self.flat_id].set(x1)
+            xc = x1 if padded_mid \
+                else jnp.zeros_like(rc).at[self.flat_id].set(x1)
         else:
             yc = self.Ainv @ rc[self.flat_id]
             xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
@@ -336,7 +418,9 @@ def _struct_pcg(h: StructuredHierarchy, b: jnp.ndarray,
 
 def compile_structured(ml, geo: BrickGeometry,
                        interpret: Optional[bool] = None,
-                       mid_dtype=jnp.float32) -> StructuredHierarchy:
+                       mid_dtype=jnp.float32,
+                       mid_format: str = "brickblock"
+                       ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
     ``ml`` must come from a brick partitioning (partition_cartesian_3d)
@@ -344,11 +428,15 @@ def compile_structured(ml, geo: BrickGeometry,
     or 3 host levels (3rd-level partitioning may be unstructured — its
     operator only appears through the dense R1/coarsest inverse).
 
-    ``mid_dtype``: storage dtype of the dense mid-level operator.
+    ``mid_dtype``: storage dtype of the mid-level operator.
     jnp.bfloat16 halves its matvec traffic; the smoother then relaxes a
     ~1e-2-perturbed operator, which only perturbs preconditioner quality
     (the reference's coarse solve is itself one approximate BoomerAMG
-    V-cycle, tg.hpp:724-730)."""
+    V-cycle, tg.hpp:724-730).
+
+    ``mid_format``: 'brickblock' (default — per-brick-offset dense
+    blocks in the padded brick-major layout, ~n_c^2/(27*NB*bs^2)x less
+    traffic than dense) or 'dense'."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     lv0 = ml.levels[0]
@@ -371,12 +459,27 @@ def compile_structured(ml, geo: BrickGeometry,
     Ac1 = tg0.Ac.tocsr()
     if len(ml.levels) >= 2:
         tg1 = ml.levels[1].tg_data
-        A1d = jnp.asarray(np.asarray(Ac1.todense()), mid_dtype)
         pd1 = tg1.poly_data
-        dinv1 = jnp.asarray(pd1.dinv, jnp.float32)
+        dinv1_np = np.asarray(pd1.dinv, np.float64)
+        R1_np = np.asarray(tg1.restr.todense(), dtype=np.float64)
+        n2 = R1_np.shape[0]
+        if mid_format == "brickblock":
+            A1d = BrickBlockOp.from_csr(Ac1, cd_brick, slot, bs,
+                                        geo.bricks, mid_dtype)
+            # padded-layout companions (padding slots: dinv 0 so the
+            # smoother leaves them untouched; R1 columns 0)
+            dinv1p = np.zeros(n_flat)
+            dinv1p[flat_id] = dinv1_np
+            dinv1 = jnp.asarray(dinv1p, jnp.float32)
+            R1p = np.zeros((n2, n_flat))
+            R1p[:, flat_id] = R1_np
+            R1 = jnp.asarray(R1p, jnp.float32)
+        else:
+            A1d = jnp.asarray(np.asarray(Ac1.todense()), mid_dtype)
+            dinv1 = jnp.asarray(dinv1_np, jnp.float32)
+            R1 = jnp.asarray(R1_np, jnp.float32)
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
-        R1 = jnp.asarray(np.asarray(tg1.restr.todense()), jnp.float32)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         return StructuredHierarchy(
             A0, dinv0h, taus0, jnp.asarray(Rst),

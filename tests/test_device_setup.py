@@ -127,13 +127,15 @@ def test_filtered_eig_matches_eigh():
                             rng.uniform(0.3, 2.0, n - 12)])
         mats.append((Q * w) @ Q.T)
     M = jnp.asarray(np.stack(mats), jnp.float32)
-    w_got, X = batched_smallest_eigs(M, m)
+    w_got, X, res = batched_smallest_eigs(M, m)
     X = np.asarray(X, np.float64)
     for b in range(B):
         w_ref = np.linalg.eigvalsh(mats[b])[:m]
         # eigenvalues of the low cluster to ~f32 accuracy
         assert np.allclose(w_got[b][:12], w_ref[:12],
                            rtol=5e-3, atol=5e-5), b
+        # the self-reported residual guard agrees: low cluster converged
+        assert res[b][:12].max() < 0.05, (b, res[b][:12].max())
         # the low-cluster eigenvectors are captured: residual check
         for j in range(12):
             x = X[b][:, j]
@@ -141,3 +143,30 @@ def test_filtered_eig_matches_eigh():
             r = mats[b] @ x - lam * x
             assert np.linalg.norm(r) <= 5e-3 * np.linalg.norm(
                 mats[b] @ x) + 1e-4, (b, j)
+
+
+def test_filtered_eig_residual_guard_flags_hard_spectrum():
+    """A weak filter on a spectrum clustered at the cut must REPORT its
+    failure through the residual channel (so uniform_spectral_cut /
+    batched_eig route those AEs to the exact solver) — the theta-cut
+    sensitivity guard (reference spectral.hpp:32-60)."""
+    import jax.numpy as jnp
+    from saamge_tpu.ops.filtered_eig import batched_smallest_eigs
+    rng = np.random.default_rng(11)
+    n, m = 256, 24
+    # Gershgorin-tight matrices (like the weighted-l1-scaled AE
+    # operators: sigma ~ lambda_max): diagonal spectrum + local coupling
+    P = rng.standard_normal((n, n)) * 0.002
+    P = (P + P.T) / 2
+    # near-continuum spectrum: no gap anywhere near the subspace edge
+    A = np.diag(np.linspace(1.0, 2.0, n)) + P
+    M = jnp.asarray(A[None], jnp.float32)
+    # degree-1 single-round filter on a gapless spectrum cannot converge
+    w_got, X, res = batched_smallest_eigs(M, m, degree=1, rounds=1)
+    assert res[0].max() > 0.05, res[0].max()
+    # and the production settings on an easy spectrum stay well below
+    w2 = np.concatenate([np.full(8, 1e-3), np.linspace(0.9, 1.1, n - 8)])
+    A2 = np.diag(w2) + P
+    _, _, res2 = batched_smallest_eigs(jnp.asarray(A2[None], jnp.float32),
+                                       m)
+    assert res2[0][:8].max() < 0.05, res2[0][:8].max()
