@@ -159,7 +159,12 @@ def main():
                                                  compile_structured,
                                                  struct_pcg_solve)
         geo = BrickGeometry((nb, nb, nb), (args.brick,) * 3)
-        h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16)
+        # full-bf16 PRECONDITIONER (smoother diagonals, Rst, mid blocks);
+        # the PCG operator matvec stays f32 (tests:
+        # test_struct_full_bf16_preconditioner_iterations)
+        h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
+                               smoother_dtype=jnp.bfloat16,
+                               rp_dtype=jnp.bfloat16)
 
         def vcycle_once(hier, b0, c):
             # NB: must use the traced argument, not a closure — closure-
@@ -226,44 +231,52 @@ def main():
     # traffic) ---------------------------------------------------------
     measured = {}
     if structured:
-        def timed_chain(name, body_fn, carry0, reps_c):
+        def timed_chain(name, body_fn, carry0, reps_c, operands=()):
+            # large arrays must arrive through ``operands`` (traced jit
+            # args): closure-captured device arrays embed as program
+            # constants and blow the remote-compile request size limit
             @jax.jit
-            def cchain(c0):
+            def cchain(c0, *ops):
                 def body(c, _):
-                    return body_fn(c), ()
+                    return body_fn(c, *ops), ()
                 y, _ = jax.lax.scan(body, c0, jnp.zeros(reps_c))
                 return jax.tree_util.tree_reduce(
                     lambda a, v: a + jnp.sum(v), y, jnp.float32(0.0))
-            float(cchain(carry0))
+            float(cchain(carry0, *operands))
             tc = time.perf_counter()
-            float(cchain(carry0))
+            float(cchain(carry0, *operands))
             measured[name] = round(
                 (time.perf_counter() - tc) / reps_c * 1e3, 4)
 
         A0 = h.A0
-        bh = A0.pad(bdev)
-        xh0 = A0.pad(jnp.ones(ndof, jnp.float32))
+        bh = h.pad0(bdev)
+        xh0 = h.pad0(jnp.ones(ndof, jnp.float32))
         it0 = h.taus0[0]
         timed_chain("l0_root_pass_ms",
-                    lambda xh: A0.root_h(it0, bh, h.dinv0h, xh), xh0, 40)
+                    lambda xh, hh: hh.A0.root_h(it0, bh, hh.dinv0h, xh),
+                    xh0, 400, operands=(h,))
         timed_chain("l0_residual_ms",
-                    lambda xh: A0.residual_h(bh, xh), xh0, 40)
+                    lambda xh, hh: hh.A0.residual_h(bh, xh),
+                    xh0, 400, operands=(h,))
         res0 = jnp.ones(ndof, jnp.float32)
-        timed_chain("apply_R_ms",
-                    lambda c: jnp.sum(h.apply_R(res0 * (1 + 1e-12 * c))),
-                    jnp.float32(0.0), 30)
+        timed_chain(
+            "apply_R_ms",
+            lambda c, hh: jnp.sum(hh.apply_R(res0 * (1 + 1e-12 * c))),
+            jnp.float32(0.0), 200, operands=(h,))
         xcf = jnp.ones(h.n_flat, jnp.float32)
-        timed_chain("apply_P_ms",
-                    lambda c: jnp.sum(h.apply_P(xcf * (1 + 1e-12 * c))),
-                    jnp.float32(0.0), 30)
+        timed_chain(
+            "apply_P_ms",
+            lambda c, hh: jnp.sum(hh.apply_P(xcf * (1 + 1e-12 * c))),
+            jnp.float32(0.0), 200, operands=(h,))
         if h.A1d is not None:
             n_mid = h.dinv1.shape[0]
-            timed_chain("mid_matvec_ms", lambda x: h._mid_matvec(x),
-                        jnp.ones(n_mid, jnp.float32), 30)
+            timed_chain("mid_matvec_ms",
+                        lambda x, hh: hh._mid_matvec(x),
+                        jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
             timed_chain(
                 "coarsest_ms",
-                lambda x: x + h.R1.T @ (h.Ainv @ (h.R1 @ x)),
-                jnp.ones(n_mid, jnp.float32), 30)
+                lambda x, hh: x + hh.R1.T @ (hh.Ainv @ (hh.R1 @ x)),
+                jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
             deg0 = len(h.taus0)
             deg1 = len(h.taus1)
             explained = (2 * deg0 * measured["l0_root_pass_ms"]
@@ -292,10 +305,19 @@ def main():
         bm = passes * (lv.A.nnz + 3 * nrows) * 4
         bm += (tg.interp.nnz + tg.restr.nnz
                + 2 * (tg.interp.shape[0] + tg.interp.shape[1])) * 4
-        if structured and i == 1:
+        if structured and i == 0:
+            A0x = h.A0s if h.A0s is not None else h.A0
+            it0sz = A0x.vals2.dtype.itemsize
+            npad0 = h.A0.n_rows_pad * 128
+            ba = passes * (len(h.A0.offsets) * npad0 * it0sz
+                           + 3 * npad0 * 4)
+            ba += (h.Rst.size * h.Rst.dtype.itemsize
+                   + 2 * h.Rst.shape[2] * h.Rst.shape[0] * 4
+                   + 2 * nrows * 4)
+        elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
             if isinstance(h.A1d, BrickBlockOp):
-                # brick-block operator streams its (k, NB, bs, bs) blocks
+                # brick-block operator streams its (k, bs, bs, NB) blocks
                 ba = passes * (h.A1d.nbytes + 3 * h.dinv1.shape[0] * 4)
             else:
                 ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)

@@ -192,9 +192,15 @@ class PallasDIA:
         return br
 
     @staticmethod
-    def from_dia(dia, interpret: bool = False) -> "PallasDIA":
+    def from_dia(dia, interpret: bool = False,
+                 dtype=jnp.float32) -> "PallasDIA":
         """Build from an ops.sparse.DeviceDIA (vals (k, n) row-aligned,
-        row i holds A[i, i+off]; out-of-range entries are zero)."""
+        row i holds A[i, i+off]; out-of-range entries are zero).
+
+        ``dtype``: storage dtype of the diagonal values.  bf16 halves
+        the dominant per-pass stream (the k diagonals); arithmetic stays
+        f32 (the kernel promotes).  The block geometry (br/hb) is dtype-
+        independent so f32/bf16 twins share the haloed vector layout."""
         n = dia.shape[0]
         k = len(dia.offsets)
         br = PallasDIA.block_rows(k)
@@ -203,8 +209,8 @@ class PallasDIA:
         hr_need = max(abs(a) + 1 for a in
                       (divmod(int(o), LANES)[0] for o in dia.offsets))
         hb = max(1, -(-hr_need // br))
-        vals2 = jnp.zeros((k, n_rows_pad * LANES), dtype=jnp.float32)
-        vals2 = vals2.at[:, :n].set(dia.vals.astype(jnp.float32))
+        vals2 = jnp.zeros((k, n_rows_pad * LANES), dtype=dtype)
+        vals2 = vals2.at[:, :n].set(dia.vals.astype(dtype))
         vals2 = vals2.reshape(k, n_rows_pad, LANES)
         return PallasDIA(vals2, tuple(int(o) for o in dia.offsets),
                          dia.shape, n_rows_pad, br, hb, interpret)

@@ -98,22 +98,20 @@ class DeviceDIA:
         n, m = A.shape
         if n != m or n == 0:
             return None
+        A = A.tocsr()
+        A.sum_duplicates()
         coo = A.tocoo()
-        offs = np.unique(coo.col - coo.row)
+        d = coo.col - coo.row
+        offs = np.unique(d)
         if len(offs) > max_diags:
             return None
-        dia = sp.dia_matrix(A)  # scipy handles the conversion
-        order = np.argsort(dia.offsets)
-        vals = dia.data[order]
-        offsets = tuple(int(o) for o in dia.offsets[order])
-        # scipy dia stores vals[k, j] as entry (j - off, j) -> recanonicalize
-        # to row-aligned storage: out[k, i] = A[i, i + off]
-        row_vals = np.zeros((len(offsets), n))
-        for k, off in enumerate(offsets):
-            if off >= 0:
-                row_vals[k, :n - off] = vals[k, off:]
-            else:
-                row_vals[k, -off:] = vals[k, :n + off]
+        # row-aligned storage built directly: out[k, i] = A[i, i + off]
+        # (scipy's todia mis-sizes its data array on matrices with empty
+        # trailing rows, e.g. the z-lane-padded stencil numbering)
+        kidx = np.searchsorted(offs, d)
+        row_vals = np.zeros((len(offs), n))
+        row_vals[kidx, coo.row] = coo.data
+        offsets = tuple(int(o) for o in offs)
         return DeviceDIA(jnp.asarray(row_vals, dtype=dtype), offsets, (n, m))
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,482 @@
+"""Multi-chip structured fast path: the gather-free brick hierarchy
+(solve/structured.py) sharded over a 1-D device mesh with one-plane
+``ppermute`` halos.
+
+This unifies the two round-2 solve paths: the single-chip Pallas
+structured hierarchy (36M DOFs/s) and the distributed halo-ELL path
+(O(N/P) memory but gather-bound kernels).  A Cartesian brick grid
+shards into x-slabs by construction, so every operator at every level
+needs exactly a one-plane (fine) / one-brick-layer (coarse) neighbor
+halo — the hypre ParCSR SpMV halo semantics (SURVEY §2.3) realized as
+neighbor ``ppermute`` of statically-sliced rows:
+
+  - The fine level uses the Z-LANE layout (structured.py): an x-plane
+    is exactly ``prow = NYn*nzp/128`` rows of the (rows, 128) Pallas
+    layout, so halo exchange is a static row-slice ppermute and the
+    SAME blocked Pallas DIA kernels run unchanged per shard.
+  - Each device stores its CLOSED slab (slab_planes+1 planes: the
+    shared plane is replicated, like the reference's overlapped
+    dof/truedof duality, aggregates.hpp:174); both owners compute
+    bitwise-identical values for it, so no consistency traffic is
+    needed beyond the per-pass halo fill.
+  - Coarse (slot-major padded) vectors shard by brick-x layers —
+    disjoint ownership, because every coarse dof belongs to exactly
+    one master brick.  The BrickBlockOp matvec exchanges one brick
+    shell (bs*BY*BZ values) per side.
+  - The coarsest correction is psum-reduced (R1 column-sharded) and
+    solved replicated — the tiny-by-construction global collective.
+
+Reference counterparts: tg_cycle_atb (tg.cpp:91) under MPI/hypre
+distribution; pmltest device-count invariance
+(amg/CMakeLists.txt:198-203).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from saamge_tpu.ops.pallas_stencil import PallasDIA, LANES
+from saamge_tpu.solve.structured import (BrickBlockOp, BrickGeometry,
+                                         StructuredHierarchy)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class StructShardStatic:
+    """Static (non-pytree) geometry of the sharded structured solve."""
+    geo: BrickGeometry
+    ndev: int
+    nzp: int
+    prow: int          # rows per x-plane
+    sp1: int           # closed-slab planes per device (slab_planes + 1)
+    real: int          # real rows per device (sp1 * prow)
+    local_pad: int     # real rounded up to the Pallas block size
+    hr_need: int       # halo rows each side the stencil actually reads
+    offsets: tuple
+    br: int
+    hb: int
+    doffs: tuple       # brick offsets of the mid operator
+    bs: int
+    nb_loc: int        # bricks per device (BXloc * BY * BZ)
+    n2: int            # coarsest size
+    taus0: tuple       # python floats (1/tau)
+    taus1: tuple
+
+
+@dataclasses.dataclass
+class ShardedStructured:
+    """Host container: per-device-stacked arrays (leading axis = dp)."""
+    vals0: jnp.ndarray     # (P, k, local_pad, 128)
+    dinv0: jnp.ndarray     # (P, t_rows, 128) haloed layout
+    rst: jnp.ndarray       # (P, bs, box, nb_loc)
+    blocks1: jnp.ndarray   # (P, k1, bs, bs, nb_loc)
+    dinv1: jnp.ndarray     # (P, bs * nb_loc)
+    r1: jnp.ndarray        # (P, n2, bs * nb_loc)
+    ainv: jnp.ndarray      # (n2, n2) replicated
+    st: StructShardStatic
+    mesh: Mesh
+    interpret: bool
+
+
+jax.tree_util.register_pytree_node(
+    ShardedStructured,
+    lambda s: ((s.vals0, s.dinv0, s.rst, s.blocks1, s.dinv1, s.r1,
+                s.ainv), (s.st, s.mesh, s.interpret)),
+    lambda aux, ch: ShardedStructured(*ch, *aux),
+)
+
+
+def shard_structured(h: StructuredHierarchy, mesh: Mesh
+                     ) -> ShardedStructured:
+    """Slice a (zlane, brickblock) StructuredHierarchy into x-slabs.
+
+    Requires ndev | BX and a 3-level hierarchy built with
+    fine_layout='zlane', mid_format='brickblock'."""
+    ndev = mesh.devices.size
+    geo = h.geo
+    BX, BY, BZ = geo.bricks
+    bx, by, bz = geo.brick_elems
+    NXn, NYn, NZn = geo.nodes
+    assert h.nzp > 0, "sharded structured path requires fine_layout='zlane'"
+    assert isinstance(h.A1d, BrickBlockOp), \
+        "sharded structured path requires mid_format='brickblock'"
+    assert BX % ndev == 0, (BX, ndev)
+    nzp = h.nzp
+    prow = NYn * nzp // LANES
+    bxloc = BX // ndev
+    slab = bxloc * bx
+    sp1 = slab + 1
+    real = sp1 * prow
+    A0 = h.A0
+    k = len(A0.offsets)
+    br = A0.br
+    local_pad = _round_up(real, br)
+    # halo the stencil reads: max row reach of the offsets, one-sided
+    hr_need = max(abs(divmod(int(o), LANES)[0]) for o in A0.offsets) + 1
+    hb = max(1, -(-hr_need // br))
+    hr = hb * br
+    t_rows = local_pad + 2 * hr
+
+    vals_np = np.asarray(A0.vals2)            # (k, n_rows_pad, 128)
+    dinv_np = np.asarray(A0.unpad(jnp.asarray(h.dinv0h).reshape(-1))
+                         ) if False else None
+    # dinv0h is already haloed global; recover the global flat rows
+    dinv_glob = np.asarray(h.dinv0h).reshape(-1)[
+        A0.hr * LANES:A0.hr * LANES + A0.n_rows_pad * LANES] \
+        .reshape(A0.n_rows_pad, LANES)
+
+    vals0 = np.zeros((ndev, k, local_pad, LANES), np.float32)
+    dinv0 = np.zeros((ndev, t_rows, LANES), np.float32)
+    for d in range(ndev):
+        lo = d * slab * prow
+        vals0[d, :, :real] = vals_np[:, lo:lo + real]
+        dinv0[d, hr:hr + real] = dinv_glob[lo:lo + real]
+
+    bs = h.Rst.shape[0]
+    box = h.Rst.shape[1]
+    NB = geo.num_bricks
+    nb_loc = bxloc * BY * BZ
+    rst_np = np.asarray(h.Rst).reshape(bs, box, ndev, nb_loc)
+    rst = np.ascontiguousarray(rst_np.transpose(2, 0, 1, 3))
+
+    blk = np.asarray(h.A1d.blocks, np.float32)  # (k1, bs, bs, NB)
+    k1 = blk.shape[0]
+    blocks1 = np.ascontiguousarray(
+        blk.reshape(k1, bs, bs, ndev, nb_loc).transpose(3, 0, 1, 2, 4))
+
+    dinv1_np = np.asarray(h.dinv1).reshape(bs, ndev, nb_loc)
+    dinv1 = np.ascontiguousarray(
+        dinv1_np.transpose(1, 0, 2)).reshape(ndev, bs * nb_loc)
+    n2 = h.Ainv.shape[0]
+    r1_np = np.asarray(h.R1).reshape(n2, bs, ndev, nb_loc)
+    r1 = np.ascontiguousarray(
+        r1_np.transpose(2, 0, 1, 3)).reshape(ndev, n2, bs * nb_loc)
+
+    st = StructShardStatic(
+        geo=geo, ndev=ndev, nzp=nzp, prow=prow, sp1=sp1, real=real,
+        local_pad=local_pad, hr_need=hr_need, offsets=A0.offsets,
+        br=br, hb=hb, doffs=h.A1d.doffs, bs=bs, nb_loc=nb_loc, n2=n2,
+        taus0=tuple(float(np.asarray(t)[0]) for t in h.taus0),
+        taus1=tuple(float(np.asarray(t)[0]) for t in h.taus1))
+
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    repl = NamedSharding(mesh, P())
+    put = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+    return ShardedStructured(
+        vals0=put(vals0), dinv0=put(dinv0), rst=put(rst),
+        blocks1=put(blocks1), dinv1=put(dinv1), r1=put(r1),
+        ainv=jax.device_put(h.Ainv, repl), st=st, mesh=mesh,
+        interpret=h.A0.interpret)
+
+
+# ---------------------------------------------------------------------------
+# vector scatter / gather (host <-> sharded layout)
+
+
+def scatter_fine(hs: ShardedStructured, b: np.ndarray) -> jnp.ndarray:
+    """original flat (n,) -> (P, real*128) closed-slab blocks."""
+    st = hs.st
+    NXn, NYn, NZn = st.geo.nodes
+    z = np.zeros((NXn, NYn, st.nzp), np.float32)
+    z[:, :, :NZn] = np.asarray(b, np.float32).reshape(NXn, NYn, NZn)
+    zf = z.reshape(NXn, NYn * st.nzp)
+    slab = st.sp1 - 1
+    out = np.zeros((st.ndev, st.real * LANES), np.float32)
+    for d in range(st.ndev):
+        out[d] = zf[d * slab:d * slab + st.sp1].reshape(-1)
+    return jax.device_put(
+        out, NamedSharding(hs.mesh, P(hs.mesh.axis_names[0])))
+
+
+def gather_fine(hs: ShardedStructured, xs) -> np.ndarray:
+    """(P, real*128) -> original flat (n,) (host)."""
+    st = hs.st
+    NXn, NYn, NZn = st.geo.nodes
+    xs = np.asarray(xs)
+    slab = st.sp1 - 1
+    zf = np.zeros((NXn, NYn * st.nzp), np.float32)
+    for d in range(st.ndev):
+        loc = xs[d].reshape(st.sp1, NYn * st.nzp)
+        zf[d * slab:d * slab + st.sp1] = loc
+    return zf.reshape(NXn, NYn, st.nzp)[:, :, :NZn].reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# shard_map kernels
+
+
+def _halo_fill(st: StructShardStatic, xh, axis):
+    """Refresh the neighbor halos of the local haloed vector.
+
+    Left halo <- left neighbor's rows just below my plane 0 (its planes
+    [slab-h, slab)); right fill at [hr+real, ...) <- right neighbor's
+    rows just above my last plane (its planes [1, 1+h)).  Chain ends
+    receive zeros (global Dirichlet exterior)."""
+    hr = st.hb * st.br
+    h = st.hr_need
+    ndev = st.ndev
+    i = jax.lax.axis_index(axis)
+    right_of = [(d, (d + 1) % ndev) for d in range(ndev)]
+    left_of = [(d, (d - 1) % ndev) for d in range(ndev)]
+    left_src = jax.lax.slice_in_dim(
+        xh, hr + st.real - st.prow - h, hr + st.real - st.prow, axis=0)
+    right_src = jax.lax.slice_in_dim(
+        xh, hr + st.prow, hr + st.prow + h, axis=0)
+    left_halo = jax.lax.ppermute(left_src, axis, right_of)
+    right_halo = jax.lax.ppermute(right_src, axis, left_of)
+    left_halo = jnp.where(i == 0, 0.0, left_halo)
+    right_halo = jnp.where(i == ndev - 1, 0.0, right_halo)
+    xh = jax.lax.dynamic_update_slice_in_dim(xh, left_halo, hr - h, 0)
+    xh = jax.lax.dynamic_update_slice_in_dim(xh, right_halo,
+                                             hr + st.real, 0)
+    return xh
+
+
+def _local_pallas(st: StructShardStatic, interpret: bool):
+    from saamge_tpu.ops.pallas_stencil import _build
+    return {m: _build(st.offsets, st.local_pad, st.br, st.hb, m,
+                      interpret)
+            for m in ("spmv", "residual", "root")}
+
+
+def _pad_local(st, x_flat):
+    """(real*128,) -> haloed (t_rows, 128)."""
+    hr = st.hb * st.br
+    t_rows = st.local_pad + 2 * hr
+    xh = jnp.zeros((t_rows * LANES,), jnp.float32)
+    xh = jax.lax.dynamic_update_slice(xh, x_flat, (hr * LANES,))
+    return xh.reshape(t_rows, LANES)
+
+
+def _unpad_local(st, xh):
+    hr = st.hb * st.br
+    return xh.reshape(-1)[hr * LANES:hr * LANES + st.real * LANES]
+
+
+def _mid_matvec_blk(st, blocks, x, axis):
+    """BrickBlockOp matvec on the brick-x-sharded slot-major layout."""
+    BX, BY, BZ = st.geo.bricks
+    bxl = st.nb_loc // (BY * BZ)
+    bs = st.bs
+    ndev = st.ndev
+    i = jax.lax.axis_index(axis)
+    x4 = x.reshape(bs, bxl, BY, BZ)
+    right_of = [(d, (d + 1) % ndev) for d in range(ndev)]
+    left_of = [(d, (d - 1) % ndev) for d in range(ndev)]
+    lsh = jax.lax.ppermute(x4[:, -1:], axis, right_of)
+    rsh = jax.lax.ppermute(x4[:, :1], axis, left_of)
+    lsh = jnp.where(i == 0, 0.0, lsh)
+    rsh = jnp.where(i == ndev - 1, 0.0, rsh)
+    xp = jnp.concatenate([lsh, x4, rsh], axis=1)     # (bs, bxl+2, BY, BZ)
+    xp = jnp.pad(xp, ((0, 0), (0, 0), (1, 1), (1, 1)))
+    views = [
+        jax.lax.slice(xp, (0, 1 + dx, 1 + dy, 1 + dz),
+                      (bs, 1 + dx + bxl, 1 + dy + BY, 1 + dz + BZ))
+        .reshape(bs, -1)
+        for (dx, dy, dz) in st.doffs]
+    xs = jnp.stack(views).astype(blocks.dtype)       # (k1, bs, nb_loc)
+    y = jnp.sum(blocks.astype(jnp.float32)
+                * xs[:, None, :, :].astype(jnp.float32), axis=(0, 2))
+    return y.reshape(-1)
+
+
+def _apply_R_blk(st, rst, x_flat):
+    """local coarse = R res on the closed slab."""
+    NXn, NYn, NZn = st.geo.nodes
+    bx, by, bz = st.geo.brick_elems
+    BX, BY, BZ = st.geo.bricks
+    r3 = x_flat.reshape(st.sp1, NYn, st.nzp)[:, :, :NZn]
+    p = jax.lax.conv_general_dilated_patches(
+        r3[None, None], filter_shape=(bx + 1, by + 1, bz + 1),
+        window_strides=(bx, by, bz), padding="VALID")[0]
+    boxes = p.reshape(st.geo.box, -1)                # (box, nb_loc)
+    return jnp.sum(rst * boxes[None], axis=1).reshape(-1)
+
+
+def _apply_P_blk(st, rst, xc, axis):
+    """local fine = P xc: local 8-piece assembly + one received plane."""
+    NXn, NYn, NZn = st.geo.nodes
+    bx, by, bz = st.geo.brick_elems
+    BX, BY, BZ = st.geo.bricks
+    bxl = st.nb_loc // (BY * BZ)
+    bs = st.bs
+    ndev = st.ndev
+    C = jnp.sum(rst * xc.reshape(bs, -1)[:, None, :], axis=0)
+    C = C.reshape(bx + 1, by + 1, bz + 1, bxl, BY, BZ) \
+        .transpose(3, 4, 5, 0, 1, 2)
+    y3 = jnp.zeros((st.sp1, NYn, NZn), dtype=jnp.float32)
+
+    def interleave(piece, dims):
+        nd = len(dims)
+        permute = []
+        for d in range(nd):
+            permute += [d, nd + d]
+        out = piece.transpose(permute)
+        return out.reshape([piece.shape[d] * piece.shape[nd + d]
+                            for d in range(nd)])
+
+    y3 = y3.at[1:, 1:, 1:].set(
+        interleave(C[:, :, :, 1:, 1:, 1:], (0, 1, 2)))
+    y3 = y3.at[0, 1:, 1:].set(interleave(C[0, :, :, 0, 1:, 1:], (0, 1)))
+    y3 = y3.at[1:, 0, 1:].set(interleave(C[:, 0, :, 1:, 0, 1:], (0, 1)))
+    y3 = y3.at[1:, 1:, 0].set(interleave(C[:, :, 0, 1:, 1:, 0], (0, 1)))
+    y3 = y3.at[0, 0, 1:].set(interleave(C[0, 0, :, 0, 0, 1:], (0,)))
+    y3 = y3.at[0, 1:, 0].set(interleave(C[0, :, 0, 0, 1:, 0], (0,)))
+    y3 = y3.at[1:, 0, 0].set(interleave(C[:, 0, 0, 1:, 0, 0], (0,)))
+    y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
+    # plane 0 on device d>0 is owned by the LEFT neighbor's last brick
+    # (upper-half-open tiling): receive its assembled last plane
+    i = jax.lax.axis_index(axis)
+    right_of = [(d, (d + 1) % ndev) for d in range(ndev)]
+    recv = jax.lax.ppermute(y3[-1], axis, right_of)
+    plane0 = jnp.where(i == 0, y3[0], recv)
+    y3 = y3.at[0].set(plane0)
+    yz = jnp.pad(y3, ((0, 0), (0, 0), (0, st.nzp - NZn)))
+    return yz.reshape(-1)
+
+
+def _pdot(st, a, b, axis):
+    """psum dot with the shared-plane overlap counted once (it belongs
+    to the right neighbor except on the last device)."""
+    cut = (st.sp1 - 1) * st.prow * LANES
+    i = jax.lax.axis_index(axis)
+    own = jnp.vdot(a[:cut], b[:cut])
+    last = jnp.where(i == st.ndev - 1,
+                     jnp.vdot(a[cut:st.real * LANES],
+                              b[cut:st.real * LANES]), 0.0)
+    return jax.lax.psum(own + last, axis)
+
+
+def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
+                ainv, b_flat, x_flat, axis):
+    """One V-cycle on the local closed-slab blocks."""
+    bh = _pad_local(st, b_flat)
+    xh = _pad_local(st, x_flat)
+
+    def smooth0(xh, bh):
+        for tau in st.taus0:
+            xh = _halo_fill(st, xh, axis)
+            xh = kernels["root"](
+                jnp.asarray([tau], jnp.float32), xh, vals0, bh, dinv0)
+        return xh
+
+    xh = smooth0(xh, bh)
+    xh = _halo_fill(st, xh, axis)
+    res_h = kernels["residual"](xh, vals0, bh)
+    res = _unpad_local(st, res_h)
+    rc = _apply_R_blk(st, rst, res)
+
+    # mid level smoother + coarsest
+    b1 = rc
+    x1 = jnp.zeros_like(b1)
+    for tau in st.taus1:
+        x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1, axis)) \
+            * tau
+    r1v = b1 - _mid_matvec_blk(st, blocks1, x1, axis)
+    y2 = ainv @ jax.lax.psum(r1 @ r1v, axis)
+    x1 = x1 + r1.T @ y2
+    for tau in st.taus1:
+        x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1, axis)) \
+            * tau
+
+    xh = xh + _pad_local(st, _apply_P_blk(st, rst, x1, axis))
+    xh = smooth0(xh, bh)
+    return _unpad_local(st, xh)
+
+
+def _specs(hs: ShardedStructured):
+    axis = hs.mesh.axis_names[0]
+    dp = P(axis)
+    return ((dp,) * 6, P())
+
+
+def make_struct_sharded_vcycle(hs: ShardedStructured):
+    """jitted z = B^{-1} b on (P, real*128) sharded blocks."""
+    axis = hs.mesh.axis_names[0]
+    st = hs.st
+    kernels = _local_pallas(st, hs.interpret)
+    from jax.experimental.shard_map import shard_map
+
+    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, b):
+        z = _vcycle_blk(st, kernels, vals0[0], dinv0[0], rst[0],
+                        blocks1[0], dinv1[0], r1[0], ainv,
+                        b[0], jnp.zeros_like(b[0]), axis)
+        return z[None]
+
+    dp, rp = _specs(hs)
+    smapped = shard_map(
+        body, mesh=hs.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  rp, P(axis)),
+        out_specs=P(axis), check_rep=False)
+    return jax.jit(lambda b: smapped(
+        hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
+        hs.ainv, b))
+
+
+def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
+                            max_iter: int = 200):
+    """Fully-jitted sharded PCG (MFEM CGSolver semantics): local dots +
+    psum, one XLA computation."""
+    axis = hs.mesh.axis_names[0]
+    st = hs.st
+    kernels = _local_pallas(st, hs.interpret)
+    from jax.experimental.shard_map import shard_map
+
+    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, b):
+        vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
+        blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
+        b = b[0]
+
+        def vc(r):
+            return _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1,
+                               dinv1, r1, ainv, r, jnp.zeros_like(r),
+                               axis)
+
+        def spmv(x):
+            xh = _halo_fill(st, _pad_local(st, x), axis)
+            return _unpad_local(st, kernels["spmv"](xh, vals0))
+
+        def pdot(a, c):
+            return _pdot(st, a, c, axis)
+
+        z = vc(b)
+        nom0 = pdot(z, b)
+        lim = nom0 * rel_tol * rel_tol
+
+        def cond(stt):
+            x, r, d, Ad, nom, it = stt
+            return jnp.logical_and(nom > lim, it < max_iter)
+
+        def itbody(stt):
+            x, r, d, Ad, nom, it = stt
+            alpha = nom / pdot(d, Ad)
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = vc(r)
+            betanom = pdot(r, z)
+            d = z + (betanom / nom) * d
+            return (x, r, d, spmv(d), betanom, it + 1)
+
+        stt = (jnp.zeros_like(b), b, z, spmv(z), nom0, jnp.int32(0))
+        x, r, d, Ad, nom, it = jax.lax.while_loop(cond, itbody, stt)
+        return x[None], it
+
+    smapped = shard_map(
+        body, mesh=hs.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(), P(axis)),
+        out_specs=(P(axis), P()), check_rep=False)
+    return jax.jit(lambda b: smapped(
+        hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
+        hs.ainv, b))

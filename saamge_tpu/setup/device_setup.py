@@ -8,10 +8,13 @@ Cartesian brick partitioning all AEs share ONE local assembly pattern
 coefficients differ), so the whole per-AE pipeline collapses to batched
 device kernels:
 
-  1. assembly as a matmul: A_flat = COEF @ PAT, where PAT (E_loc, n^2)
-     scatters the reference element matrix into the brick-local dense
-     pattern (built once, on host) and COEF holds the per-element scalar
-     coefficients (elem matrix = c_e * ref, verified numerically);
+  1. assembly as a matmul: A_flat = COEF @ PAT, where PAT (E_loc*r, n^2)
+     scatters an r-member element-matrix basis into the brick-local
+     dense pattern (built once, on host) and COEF holds the per-element
+     basis coefficients.  The basis comes from an SVD of the element
+     matrices (verified against EVERY element), so both scalar (r=1) and
+     anisotropic-tensor coefficients (r <= d(d+1)/2 + 1,
+     AnisotropicDiffusionIntegrator.cpp:131-149) take this path;
   2. essential-BC masking (zero ess rows/cols, keep the re-assembled
      diagonal — agg_build_AE_stiffm_with_global semantics,
      aggregates.cpp:855 with assemble_ess_diag);
@@ -57,17 +60,31 @@ def _bucket(n: int) -> int:
 class UniformPlan:
     n: int                      # dofs per AE
     e_loc: int                  # elements per AE
+    r: int                      # element-matrix basis rank
     elems: np.ndarray           # (NB, E_loc) element ids, template order
     loc: np.ndarray             # (E_loc, nd_el) local dof ids (shared)
-    coef: np.ndarray            # (NB, E_loc) scalar coefficients
-    ref: np.ndarray             # (nd_el, nd_el) reference element matrix
+    coef: np.ndarray            # (NB, E_loc, r) basis coefficients
+    basis: np.ndarray           # (r, nd_el, nd_el) orthonormal basis
     essmask: np.ndarray         # (NB, n) bool
     ae_dofs_sorted: bool
 
 
-def analyze_uniform(rels, elem_mats, sample: int = 8,
+# max rank of the element-matrix basis the device pipeline factors
+# through: a scalar coefficient is rank 1, a d-dimensional tensor
+# (anisotropic) coefficient spans at most d(d+1)/2 + 1 = 7 reference
+# matrices in 3D (AnisotropicDiffusionIntegrator.cpp:131-149)
+UNIFORM_BASIS_RMAX = 8
+
+
+def analyze_uniform(rels, elem_mats,
                     rtol: float = 1e-9) -> Optional[UniformPlan]:
-    """Detect the translation-invariant structure or return None."""
+    """Detect the translation-invariant structure or return None.
+
+    Both structural checks are TOTAL (round-2 advisor finding: sampled
+    checks could silently accept a violating mesh): the shared local dof
+    map is verified for every AE, and the element-matrix factorization
+    em_e = sum_j coef[e, j] * basis_j is verified for every element
+    (basis found by SVD of a sample, residual checked globally)."""
     if not (isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3):
         return None
     nparts = rels.nparts
@@ -84,49 +101,72 @@ def analyze_uniform(rels, elem_mats, sample: int = 8,
     if len(e2d.indices) != e2d.nrows * nd_el:
         return None                       # ragged element dofs
     e2d_rect = e2d.indices.reshape(-1, nd_el)
+    if len(rels.AE_to_elem.indices) != nparts * e_loc:
+        return None
 
-    elems = np.empty((nparts, e_loc), dtype=np.int64)
-    for p in range(nparts):
-        elems[p] = np.sort(rels.AE_to_elem.row(p))
+    elems = np.sort(rels.AE_to_elem.indices.reshape(nparts, e_loc),
+                    axis=1)
 
     # canonical local numbering = AE_to_dof row order (first-encounter,
     # the dof_id_inAE convention used by the host AE assembly and the
-    # tent build)
-    loc_of = np.full(rels.ND, -1, dtype=np.int64)
-
-    def local_map(p):
-        dofs = rels.AE_to_dof.row(p)
-        loc_of[dofs] = np.arange(len(dofs))
-        out = loc_of[e2d_rect[elems[p]]]
-        loc_of[dofs] = -1
-        return out
-
-    loc0 = local_map(0)
-    rng = np.random.default_rng(0)
-    for p in rng.choice(nparts, size=min(sample, nparts), replace=False):
-        if not np.array_equal(local_map(int(p)), loc0):
-            return None
-
-    # scalar-multiple element matrices: em_e = c_e * ref
-    ref = elem_mats[elems[0, 0]].astype(np.float64)
-    pivot = np.unravel_index(np.argmax(np.abs(ref)), ref.shape)
-    if ref[pivot] == 0.0:
+    # tent build).  FULL vectorized check over every AE: map each
+    # element dof to its local index via one global searchsorted with
+    # per-AE disjoint key ranges.
+    dofs = rels.AE_to_dof.indices.reshape(nparts, n)
+    order = np.argsort(dofs, axis=1, kind="stable")
+    dofs_sorted = np.take_along_axis(dofs, order, axis=1)
+    stride = np.int64(rels.ND) + 1
+    keys_sorted = (dofs_sorted
+                   + stride * np.arange(nparts)[:, None]).ravel()
+    q = e2d_rect[elems]                   # (NB, E_loc, nd_el)
+    qk = (q + stride * np.arange(nparts)[:, None, None]).ravel()
+    pos = np.searchsorted(keys_sorted, qk)
+    if not np.array_equal(keys_sorted[pos], qk):
+        return None                       # element dof outside its AE
+    local = np.take_along_axis(
+        order, (pos - np.arange(nparts).repeat(e_loc * nd_el) * n)
+        .reshape(nparts, -1), axis=1).reshape(nparts, e_loc, nd_el)
+    if (local != local[:1]).any():
         return None
-    coef_all = elem_mats[:, pivot[0], pivot[1]] / ref[pivot]
-    check = rng.choice(elem_mats.shape[0],
-                       size=min(4 * sample, elem_mats.shape[0]),
-                       replace=False)
-    for e in check:
-        if not np.allclose(elem_mats[e], coef_all[e] * ref,
-                           rtol=1e-7, atol=rtol * np.abs(ref).max()):
-            return None
-    coef = coef_all[elems]
+    loc0 = local[0]
 
-    ess = np.zeros((nparts, n), dtype=bool)
-    for p in range(nparts):
-        dofs = rels.AE_to_dof.row(p)
-        ess[p] = (rels.agg_flags[dofs] & FLAG_ESS_BDR) != 0
-    return UniformPlan(n, e_loc, elems, loc0, coef, ref, ess, False)
+    # low-rank element-matrix factorization em_e = coef[e] @ basis:
+    # basis from an SVD of a sample, coefficients by projection, the
+    # residual checked for EVERY element
+    flat = elem_mats.reshape(elem_mats.shape[0], -1)
+    rng = np.random.default_rng(0)
+    samp = rng.choice(flat.shape[0],
+                      size=min(16 * UNIFORM_BASIS_RMAX, flat.shape[0]),
+                      replace=False)
+    nrm2 = np.einsum("ij,ij->i", flat, flat, optimize=True)
+    coef_all = None
+    for attempt in range(3):
+        U, sv, Vt = np.linalg.svd(flat[samp].astype(np.float64),
+                                  full_matrices=False)
+        scale = max(sv[0], 1e-300)
+        r = int((sv > 1e-9 * scale).sum())
+        if r == 0 or r > UNIFORM_BASIS_RMAX:
+            return None
+        V = Vt[:r]                        # (r, nd^2) orthonormal
+        coef_all = flat.astype(np.float64) @ V.T      # (NE, r)
+        # exact total residual check via orthogonality:
+        # ||em||^2 - ||coef||^2 = ||em - proj||^2
+        prj2 = np.einsum("ij,ij->i", coef_all, coef_all, optimize=True)
+        res2 = np.maximum(nrm2 - prj2, 0.0)
+        bad = res2 > 1e-14 * np.maximum(nrm2, rtol ** 2)
+        if not bad.any():
+            break
+        # sample missed a direction (e.g. a piecewise coefficient
+        # region): augment with the worst offenders and retry
+        samp = np.unique(np.concatenate(
+            [samp, np.argsort(res2)[-16 * UNIFORM_BASIS_RMAX:]]))
+    else:
+        return None
+    coef = coef_all[elems]                # (NB, E_loc, r)
+    basis = V.reshape(r, nd_el, nd_el)
+
+    ess = (rels.agg_flags[dofs] & FLAG_ESS_BDR) != 0
+    return UniformPlan(n, e_loc, r, elems, loc0, coef, basis, ess, False)
 
 
 @lru_cache(maxsize=8)
@@ -206,30 +246,37 @@ def uniform_spectral_cut(elem_data, theta: float,
     if plan is None:
         return None
     assert theta < 1.0
-    n, e_loc = plan.n, plan.e_loc
+    n, e_loc, rk = plan.n, plan.e_loc, plan.r
     nmax = _bucket(n)
     kmax = min(kmax, n)
     nparts = rels.nparts
 
-    # dense pattern PAT (E_loc, n^2): scatter ref elmat through the local
-    # dof map (one bincount)
+    # dense pattern PAT (E_loc*r, n^2): scatter each basis matrix
+    # through the local dof map (one bincount per basis member); the
+    # assembly stays ONE matmul COEF @ PAT with COEF (NB, E_loc*r)
     nd_el = plan.loc.shape[1]
     rows = plan.loc[:, :, None] * n + plan.loc[:, None, :]
     flat = (np.arange(e_loc)[:, None, None] * (n * n) + rows).ravel()
-    pat = np.bincount(flat,
-                      weights=np.broadcast_to(
-                          plan.ref, (e_loc, nd_el, nd_el)).ravel(),
-                      minlength=e_loc * n * n).reshape(e_loc, n * n)
+    pat = np.stack([
+        np.bincount(flat,
+                    weights=np.broadcast_to(
+                        plan.basis[j], (e_loc, nd_el, nd_el)).ravel(),
+                    minlength=e_loc * n * n).reshape(e_loc, n * n)
+        for j in range(rk)], axis=1).reshape(e_loc * rk, n * n)
     pat_dev = jnp.asarray(pat, jnp.float32)
+    coef2 = plan.coef.reshape(nparts, e_loc * rk)
 
     # shared sparse structure for per-AE CSR export: union pattern over
     # local (r, c) positions; per-AE values come from one small matmul
     upos = np.unique(rows.ravel())
-    w_nnz = np.zeros((e_loc, len(upos)))
+    w_nnz = np.zeros((e_loc * rk, len(upos)))
     pos_idx = np.searchsorted(upos, rows.reshape(e_loc, -1))
-    np.add.at(w_nnz, (np.repeat(np.arange(e_loc), nd_el * nd_el),
-                      pos_idx.ravel()),
-              np.broadcast_to(plan.ref, (e_loc, nd_el, nd_el)).ravel())
+    for j in range(rk):
+        np.add.at(w_nnz.reshape(e_loc, rk, -1)[:, j, :],
+                  (np.repeat(np.arange(e_loc), nd_el * nd_el),
+                   pos_idx.ravel()),
+                  np.broadcast_to(plan.basis[j],
+                                  (e_loc, nd_el, nd_el)).ravel())
     ur, uc = np.divmod(upos, n)
 
     assemble = _assemble_fn(n)
@@ -260,7 +307,7 @@ def uniform_spectral_cut(elem_data, theta: float,
         else:
             pidx = idx
         with TIMERS.phase("setup.device_pipeline.eigh"):
-            coefs = jnp.asarray(plan.coef[pidx], jnp.float32)
+            coefs = jnp.asarray(coef2[pidx], jnp.float32)
             essd = jnp.asarray(plan.essmask[pidx])
             if mesh is not None:
                 # shard the AE batch over the device mesh: the sharding
@@ -292,7 +339,7 @@ def uniform_spectral_cut(elem_data, theta: float,
             need = min(max(need, 2), kmax)
             X = np.asarray(X_d[:, :, :need], np.float64)
         with TIMERS.phase("setup.device_pipeline.aes"):
-            vals_nnz = plan.coef[idx] @ w_nnz           # (Pc, nnz_u)
+            vals_nnz = coef2[idx] @ w_nnz               # (Pc, nnz_u)
             essb = plan.essmask[idx]
             off_mask = (ur != uc)
             kill = (essb[:, ur] | essb[:, uc]) & off_mask[None, :]
@@ -362,7 +409,7 @@ def uniform_spectral_cut(elem_data, theta: float,
                 # rebuild from the shared sparse structure (the theta cut
                 # exceeded kmax, so the device result under-resolves this
                 # AE; computable regardless of want_sparse_aes)
-                v = plan.coef[p] @ w_nnz
+                v = coef2[p] @ w_nnz
                 kill = (plan.essmask[p][ur] | plan.essmask[p][uc]) \
                     & off_mask
                 v = np.where(kill, 0.0, v)

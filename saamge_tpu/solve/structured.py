@@ -157,17 +157,21 @@ def build_structured_interp(rels, P: sp.csr_matrix,
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BrickBlockOp:
-    """Mid-level Galerkin operator in the brick-major padded layout.
+    """Mid-level Galerkin operator in the SLOT-MAJOR padded brick layout
+    (coarse dof (brick p, slot s) lives at flat id s*NB + p).
 
-    blocks[k, p, s1, s2] = Ac[(p, s1), (p + doffs[k], s2)] over the <=27
-    nonzero brick offsets.  The matvec pads the coarse vector by one
-    brick shell and contracts all offsets in one batched einsum over
-    statically-shifted views — no gathers, traffic = k * NB * bs^2 *
-    itemsize per pass (vs n_c^2 for the dense operator; the coarse
-    Dof_TrueDof block structure of the reference, aggregates.cpp:1610-1730,
-    specialized to bricks)."""
+    blocks[k, s1, s2, p] = Ac[(p, s1), (p + doffs[k], s2)] over the <=27
+    nonzero brick offsets.  Slot-major puts the large brick axis in the
+    TPU lane dimension, so the matvec is a pure VPU multiply-reduce
+    streaming the blocks once (a brick-major layout makes this a batch
+    of bs x bs GEMVs, which lowers to MXU-dispatch-bound tiny matmuls —
+    measured 31 GB/s vs stream).  Neighbor values come from <=27
+    statically-shifted views of the brick-shell-padded vector — no
+    gathers; traffic = k * NB * bs^2 * itemsize per pass (vs n_c^2
+    dense; the coarse Dof_TrueDof block structure of the reference,
+    aggregates.cpp:1610-1730, specialized to bricks)."""
 
-    blocks: jnp.ndarray      # (k, NB, bs, bs), f32 or bf16
+    blocks: jnp.ndarray      # (k, bs, bs, NB), f32 or bf16
     doffs: tuple             # k static (dx, dy, dz) brick offsets
     bricks: tuple            # (BX, BY, BZ) static
     bs: int                  # static
@@ -185,16 +189,19 @@ class BrickBlockOp:
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         (BX, BY, BZ), bs = self.bricks, self.bs
-        x4 = x.reshape(BX, BY, BZ, bs).astype(self.blocks.dtype)
-        xp = jnp.pad(x4, ((1, 1), (1, 1), (1, 1), (0, 0)))
+        x4 = x.reshape(bs, BX, BY, BZ)
+        xp = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (1, 1)))
         views = [
-            jax.lax.slice(xp, (1 + dx, 1 + dy, 1 + dz, 0),
-                          (1 + dx + BX, 1 + dy + BY, 1 + dz + BZ, bs))
-            .reshape(-1, bs)
+            jax.lax.slice(xp, (0, 1 + dx, 1 + dy, 1 + dz),
+                          (bs, 1 + dx + BX, 1 + dy + BY, 1 + dz + BZ))
+            .reshape(bs, -1)
             for (dx, dy, dz) in self.doffs]
-        xs = jnp.stack(views)                     # (k, NB, bs)
-        y = jnp.einsum("kpst,kpt->ps", self.blocks, xs,
-                       preferred_element_type=jnp.float32)
+        xs = jnp.stack(views).astype(self.blocks.dtype)  # (k, bs, NB)
+        # multiply-reduce with the brick axis minor (lanes): one stream
+        # over blocks, f32 accumulation
+        y = jnp.sum(self.blocks.astype(jnp.float32)
+                    * xs[:, None, :, :].astype(jnp.float32),
+                    axis=(0, 2))
         return y.reshape(-1)
 
     @staticmethod
@@ -217,8 +224,8 @@ class BrickBlockOp:
         kmap = np.full(27, -1, dtype=np.int64)
         kmap[used] = np.arange(len(used))
         NB = BX * BY * BZ
-        blocks = np.zeros((len(used), NB, bs, bs), dtype=np.float64)
-        np.add.at(blocks, (kmap[dkey], p, slot[coo.row], slot[coo.col]),
+        blocks = np.zeros((len(used), bs, bs, NB), dtype=np.float64)
+        np.add.at(blocks, (kmap[dkey], slot[coo.row], slot[coo.col], p),
                   coo.data)
         doffs = tuple((int(u) // 9 - 1, (int(u) // 3) % 3 - 1,
                        int(u) % 3 - 1) for u in used)
@@ -235,21 +242,28 @@ class BrickBlockOp:
 class StructuredHierarchy:
     """3-level (or 2-level) gather-free hierarchy.
 
-    Level 0: blocked Pallas stencil.  Level 1 (optional): DENSE operator
-    on the unpadded coarse dofs — at 5-30k coarse dofs a dense (optionally
-    bf16) MXU matvec streams predictably while every sparse device format
-    is either gather-bound or VMEM-shape-fragile; vectors are bridged
-    from the brick-major padded P/R layout by one small gather/scatter
-    (flat_id).  Coarsest: dense inverse matvec."""
+    Level 0: blocked Pallas stencil, optionally in the Z-LANE layout
+    (``nzp`` > 0): dof (ix, iy, iz) lives at (ix*NYn + iy)*nzp + iz with
+    nzp = NZn rounded up to 128, so the 27 stencil offsets
+    dx*NYn*nzp + dy*nzp + dz have only THREE distinct lane shifts
+    (dz in {-1,0,1}) vs ~27 for the flat lexicographic layout.  Measured
+    at n=96: zlane runs the kernel faster (627 vs 586 GB/s effective)
+    but streams nzp/NZn ~1.3x more padded diagonal bytes, a net LOSS
+    single-chip (0.240 vs 0.194 ms/pass) — its real purpose is the
+    SHARDED path (parallel/structured_sharded.py), where an x-plane
+    being a whole number of 128-lane rows makes the halo exchange a
+    static row-slice ppermute.
+
+    Level 1 (optional): BrickBlockOp on the SLOT-MAJOR padded coarse
+    layout (flat id = slot*NB + brick), or a dense (n_c, n_c) operator
+    on the unpadded coarse dofs bridged via ``flat_id``.  Coarsest:
+    dense inverse matvec."""
 
     A0: PallasDIA
     dinv0h: jnp.ndarray
     taus0: tuple                  # (1,) f32 device scalars (1/tau)
-    Rst: jnp.ndarray              # (NB, bs, box)
-    # level 1 (None for two-level).  A1d is either a BrickBlockOp
-    # (operating on the PADDED brick-major coarse vectors — dinv1/R1 are
-    # then padded-layout too) or a dense (n_c, n_c) array on the unpadded
-    # coarse dofs (bridged via flat_id).
+    Rst: jnp.ndarray              # (bs, box, NB) — slot-major SoA
+    # level 1 (None for two-level).
     A1d: Optional[object]
     dinv1: Optional[jnp.ndarray]  # (n_c,) or (n_flat,) f32
     taus1: Optional[tuple]
@@ -260,45 +274,77 @@ class StructuredHierarchy:
     n_flat: int                   # static (NB * bs)
     # real (non-padding) slot ids: padded layout <-> unpadded coarse dofs
     flat_id: Optional[jnp.ndarray] = None
+    nzp: int = 0                  # static; 0 = flat layout
+    # optional bf16-valued twin of A0 (same block geometry/halo layout)
+    # used by the smoother and residual passes INSIDE the preconditioner;
+    # matvec0 (the PCG operator) always applies the f32 A0
+    A0s: Optional[PallasDIA] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
-                 self.flat_id),
-                (self.geo, self.n_fine, self.n_flat))
+                 self.flat_id, self.A0s),
+                (self.geo, self.n_fine, self.n_flat, self.nzp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:9], aux[0], aux[1], aux[2],
-                   flat_id=children[9])
+                   flat_id=children[9], nzp=aux[3], A0s=children[10])
+
+    # -- fine-level layout plumbing --------------------------------------
+    def _to_zlane(self, x):
+        NXn, NYn, NZn = self.geo.nodes
+        x3 = x.reshape(NXn, NYn, NZn)
+        return jnp.pad(x3, ((0, 0), (0, 0), (0, self.nzp - NZn))) \
+            .reshape(-1)
+
+    def _from_zlane3(self, xz):
+        """z-lane flat -> (NXn, NYn, NZn) grid."""
+        NXn, NYn, NZn = self.geo.nodes
+        return xz.reshape(NXn, NYn, self.nzp)[:, :, :NZn]
+
+    def pad0(self, x):
+        """original flat (n,) -> haloed kernel layout."""
+        return self.A0.pad(self._to_zlane(x) if self.nzp else x)
+
+    def unpad0(self, xh, dtype=jnp.float32):
+        """haloed kernel layout -> original flat (n,)."""
+        if not self.nzp:
+            return self.A0.unpad(xh, dtype)
+        return self._from_zlane3(self.A0.unpad(xh, dtype)) \
+            .reshape(-1)
+
+    def matvec0(self, x):
+        """y = A x on original-layout flat vectors (the PCG operator)."""
+        return self.unpad0(self.A0.matvec_h(self.pad0(x)), x.dtype)
 
     # -- structured tentative P/R apply ---------------------------------
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
-        """coarse = R res: strided window extraction + batched MXU
-        contraction; output in the brick-major padded layout."""
+        """coarse = R res: strided window extraction + slot-major
+        multiply-reduce (brick axis in lanes, VPU-streaming); output in
+        the slot-major padded layout."""
         (BX, BY, BZ) = self.geo.bricks
         (bx, by, bz) = self.geo.brick_elems
         r3 = res_flat.reshape(self.geo.nodes)
         p = jax.lax.conv_general_dilated_patches(
             r3[None, None], filter_shape=(bx + 1, by + 1, bz + 1),
             window_strides=(bx, by, bz), padding="VALID")[0]
-        # (box, BX, BY, BZ) -> (NB, box)
-        boxes = p.reshape(self.geo.box, -1).T
-        yc = jnp.einsum("pcb,pb->pc", self.Rst, boxes,
-                        preferred_element_type=jnp.float32)
+        boxes = p.reshape(self.geo.box, -1)       # (box, NB)
+        yc = jnp.sum(self.Rst * boxes[None], axis=1)   # (bs, NB)
         return yc.reshape(-1)
 
     def apply_P(self, xc_flat: jnp.ndarray) -> jnp.ndarray:
-        """fine = P^T-style prolongation: batched contraction + 8-piece
-        static-slice overlap assembly (pieces are disjoint because dof
-        plane g = k*b belongs to brick k-1 — the master/minimum rule)."""
+        """fine = P^T-style prolongation: slot-major multiply-reduce +
+        8-piece static-slice overlap assembly (pieces are disjoint
+        because dof plane g = k*b belongs to brick k-1 — the
+        master/minimum rule)."""
         (BX, BY, BZ) = self.geo.bricks
         (bx, by, bz) = self.geo.brick_elems
-        bs = self.Rst.shape[1]
-        xc = xc_flat.reshape(-1, bs)
-        C = jnp.einsum("pcb,pc->pb", self.Rst, xc,
-                       preferred_element_type=jnp.float32)
-        C = C.reshape(BX, BY, BZ, bx + 1, by + 1, bz + 1)
+        bs = self.Rst.shape[0]
+        xc = xc_flat.reshape(bs, -1)              # (bs, NB)
+        C = jnp.sum(self.Rst * xc[:, None, :], axis=0)  # (box, NB)
+        C = C.reshape(bx + 1, by + 1, bz + 1, BX, BY, BZ) \
+            .transpose(3, 4, 5, 0, 1, 2)
         y3 = jnp.zeros(self.geo.nodes, dtype=jnp.float32)
 
         def interleave(piece, dims):
@@ -340,10 +386,10 @@ class StructuredHierarchy:
 
     def vcycle(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """tg_cycle_atb (tg.cpp:91) on the structured formats."""
-        A0 = self.A0
-        bh, xh = A0.pad(b), A0.pad(x)
+        A0 = self.A0s if self.A0s is not None else self.A0
+        bh, xh = self.pad0(b), self.pad0(x)
         xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
-        res = A0.unpad(A0.residual_h(bh, xh))
+        res = self.unpad0(A0.residual_h(bh, xh))
         rc = self.apply_R(res)
         if self.A1d is not None:
             padded_mid = isinstance(self.A1d, BrickBlockOp)
@@ -361,9 +407,9 @@ class StructuredHierarchy:
         else:
             yc = self.Ainv @ rc[self.flat_id]
             xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
-        xh = xh + A0.pad(self.apply_P(xc))
+        xh = xh + self.pad0(self.apply_P(xc))
         xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
-        return A0.unpad(xh)
+        return self.unpad0(xh)
 
 
 @jax.jit
@@ -383,10 +429,8 @@ def struct_pcg_solve(h: StructuredHierarchy, b: jnp.ndarray,
 @partial(jax.jit, static_argnames=("max_iter",))
 def _struct_pcg(h: StructuredHierarchy, b: jnp.ndarray,
                 rel_tol, abs_tol, max_iter: int):
-    A = h.A0
-
     def matvec(x):
-        return A.matvec(x)
+        return h.matvec0(x)
 
     z = h.vcycle(b, jnp.zeros_like(b))
     nom0 = z @ b
@@ -416,10 +460,29 @@ def _struct_pcg(h: StructuredHierarchy, b: jnp.ndarray,
 # compiler: host MLData -> StructuredHierarchy
 
 
+def _zlane_csr(A: sp.csr_matrix, nodes, nzp: int) -> sp.csr_matrix:
+    """Permute a stencil operator into the z-lane numbering
+    (ix, iy, iz) -> (ix*NYn + iy)*nzp + iz (empty pad rows)."""
+    NXn, NYn, NZn = nodes
+    old = np.arange(A.shape[0])
+    iz = old % NZn
+    iy = (old // NZn) % NYn
+    ix = old // (NZn * NYn)
+    newid = (ix * NYn + iy) * nzp + iz
+    coo = A.tocoo()
+    n_new = NXn * NYn * nzp
+    return sp.coo_matrix(
+        (coo.data, (newid[coo.row], newid[coo.col])),
+        shape=(n_new, n_new)).tocsr()
+
+
 def compile_structured(ml, geo: BrickGeometry,
                        interpret: Optional[bool] = None,
                        mid_dtype=jnp.float32,
-                       mid_format: str = "brickblock"
+                       mid_format: str = "brickblock",
+                       fine_layout: str = "flat",
+                       smoother_dtype=None,
+                       rp_dtype=jnp.float32
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -435,26 +498,59 @@ def compile_structured(ml, geo: BrickGeometry,
     V-cycle, tg.hpp:724-730).
 
     ``mid_format``: 'brickblock' (default — per-brick-offset dense
-    blocks in the padded brick-major layout, ~n_c^2/(27*NB*bs^2)x less
-    traffic than dense) or 'dense'."""
+    blocks in the slot-major padded layout, ~n_c^2/(27*NB*bs^2)x less
+    traffic than dense) or 'dense'.
+
+    ``fine_layout``: 'flat' (default) or 'zlane' (3 lane-shift groups
+    in the Pallas stencil, see StructuredHierarchy docstring —
+    REQUIRED by the sharded path, whose plane halos must be whole
+    128-lane rows; single-chip the z-pad traffic outweighs the shuffle
+    savings: measured 0.240 vs 0.194 ms/pass at n=96).
+
+    ``smoother_dtype``: when set (jnp.bfloat16), the smoother and
+    residual passes inside the preconditioner stream a bf16-valued twin
+    of the fine operator (halving the dominant diagonal traffic);
+    matvec0 — the PCG operator — keeps the f32 values.
+
+    ``rp_dtype``: storage dtype of the structured tent blocks Rst
+    (P and R share the array, so the preconditioner stays symmetric)."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     lv0 = ml.levels[0]
     tg0 = lv0.tg_data
     assert not tg0.smooth_interp, "structured path needs the tent P"
 
-    dia0 = DeviceDIA.try_from_csr(lv0.A, jnp.float32, max_diags=64)
+    dinv_np = np.asarray(tg0.poly_data.dinv, np.float64)
+    if fine_layout == "zlane":
+        NXn, NYn, NZn = geo.nodes
+        nzp = -(-NZn // 128) * 128
+        A0csr = _zlane_csr(lv0.A, geo.nodes, nzp)
+        dz = np.zeros(NXn * NYn * nzp)
+        dz.reshape(NXn, NYn, nzp)[:, :, :NZn] = \
+            dinv_np.reshape(NXn, NYn, NZn)
+        dinv_np = dz
+    else:
+        nzp = 0
+        A0csr = lv0.A
+    dia0 = DeviceDIA.try_from_csr(A0csr, jnp.float32, max_diags=64)
     assert dia0 is not None, "finest operator is not stencil-structured"
     A0 = PallasDIA.from_dia(dia0, interpret=interpret)
+    A0s = None
+    if smoother_dtype is not None and smoother_dtype != jnp.float32:
+        A0s = PallasDIA.from_dia(dia0, interpret=interpret,
+                                 dtype=smoother_dtype)
+    dinv0h = A0.pad(jnp.asarray(dinv_np, jnp.float32))
     pd0 = tg0.poly_data
-    dinv0h = A0.pad(jnp.asarray(pd0.dinv, jnp.float32))
     taus0 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                   for t in np.asarray(pd0.roots))
 
-    Rst, cd_brick, slot, bs = build_structured_interp(
+    Rst_bm, cd_brick, slot, bs = build_structured_interp(
         lv0.rels, tg0.tent_interp, tg0.interp_data.mis_numcoarsedof, geo)
-    n_flat = geo.num_bricks * bs
-    flat_id = cd_brick * bs + slot
+    # slot-major SoA: (NB, bs, box) -> (bs, box, NB)
+    Rst = np.ascontiguousarray(Rst_bm.transpose(1, 2, 0))
+    NB = geo.num_bricks
+    n_flat = NB * bs
+    flat_id = slot * NB + cd_brick
 
     Ac1 = tg0.Ac.tocsr()
     if len(ml.levels) >= 2:
@@ -482,18 +578,18 @@ def compile_structured(ml, geo: BrickGeometry,
                       for t in np.asarray(pd1.roots))
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         return StructuredHierarchy(
-            A0, dinv0h, taus0, jnp.asarray(Rst),
+            A0, dinv0h, taus0, jnp.asarray(Rst, rp_dtype),
             A1d, dinv1, taus1, R1,
             _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
-            flat_id=jnp.asarray(flat_id, jnp.int32))
+            flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     return StructuredHierarchy(
-        A0, dinv0h, taus0, jnp.asarray(Rst),
+        A0, dinv0h, taus0, jnp.asarray(Rst, rp_dtype),
         None, None, None, None,
         _device_spd_inverse(np.asarray(Ac1.todense())),
         geo, lv0.A.shape[0], n_flat,
-        flat_id=jnp.asarray(flat_id, jnp.int32))
+        flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s)
 
 
 def _device_spd_inverse(Ac: np.ndarray) -> jnp.ndarray:

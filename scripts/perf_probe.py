@@ -83,19 +83,23 @@ def main():
     bdev = jnp.asarray(b, jnp.float32)
     results = {}
 
-    def timed(name, make_body, carry0, reps, traffic_bytes=None):
-        """scan-chain timing: body(carry) -> carry, sequential dep."""
+    def timed(name, make_body, carry0, reps, traffic_bytes=None,
+              operands=()):
+        """scan-chain timing: body(carry) -> carry, sequential dep.
+        Large arrays must come through ``operands`` (traced jit args) —
+        closure-captured device arrays embed as program constants and
+        blow the remote-compile request size limit."""
         @jax.jit
-        def chain(c0):
+        def chain(c0, *ops):
             def body(c, _):
-                return make_body(c), ()
+                return make_body(c, *ops), ()
             y, _ = jax.lax.scan(body, c0, jnp.zeros(reps))
             return jax.tree_util.tree_reduce(
                 lambda a, x: a + jnp.sum(x), y, jnp.float32(0.0))
 
-        float(chain(carry0))                      # compile+warm
+        float(chain(carry0, *operands))           # compile+warm
         t0 = time.perf_counter()
-        float(chain(carry0))
+        float(chain(carry0, *operands))
         dt = (time.perf_counter() - t0) / reps
         entry = {"ms": round(dt * 1e3, 4)}
         if traffic_bytes:
@@ -108,38 +112,41 @@ def main():
     A0 = h.A0
     k0 = len(A0.offsets)
     npad = A0.n_rows_pad * 128
-    bh = A0.pad(bdev)
-    xh0 = A0.pad(jnp.ones(n0, jnp.float32))
+    bh = h.pad0(bdev)
+    xh0 = h.pad0(jnp.ones(n0, jnp.float32))
     it0 = h.taus0[0]
     # traffic per root pass: k diags + x read + b + dinv + out
     root_bytes = (k0 + 4) * npad * 4
 
-    timed("L0_root_pass", lambda xh: A0.root_h(it0, bh, h.dinv0h, xh),
-          xh0, 40, root_bytes)
-    timed("L0_residual", lambda xh: A0.residual_h(bh, xh),
-          xh0, 40, (k0 + 3) * npad * 4)
-    timed("L0_spmv", lambda xh: A0.matvec_h(xh), xh0, 40,
-          (k0 + 2) * npad * 4)
+    timed("L0_root_pass",
+          lambda xh, hh: hh.A0.root_h(it0, bh, hh.dinv0h, xh),
+          xh0, 500, root_bytes, operands=(h,))
+    timed("L0_residual", lambda xh, hh: hh.A0.residual_h(bh, xh),
+          xh0, 500, (k0 + 3) * npad * 4, operands=(h,))
+    timed("L0_spmv", lambda xh, hh: hh.A0.matvec_h(xh), xh0, 500,
+          (k0 + 2) * npad * 4, operands=(h,))
 
     # ---- restriction / prolongation -----------------------------------
     res0 = jnp.ones(n0, jnp.float32)
-    NB, bs, box = h.Rst.shape
+    bs, box, NB = h.Rst.shape
     rp_bytes = (NB * bs * box + n0) * 4
 
-    def r_chain(c):
+    def r_chain(c, hh):
         # carry a scalar to force sequential re-execution
-        rc = h.apply_R(res0 * (1.0 + 1e-12 * c))
+        rc = hh.apply_R(res0 * (1.0 + 1e-12 * c))
         return jnp.sum(rc)
 
-    timed("applyR", r_chain, jnp.float32(0.0), 30, rp_bytes)
+    timed("applyR", r_chain, jnp.float32(0.0), 300, rp_bytes,
+          operands=(h,))
 
     xcf = jnp.ones(h.n_flat, jnp.float32)
 
-    def p_chain(c):
-        y = h.apply_P(xcf * (1.0 + 1e-12 * c))
+    def p_chain(c, hh):
+        y = hh.apply_P(xcf * (1.0 + 1e-12 * c))
         return jnp.sum(y)
 
-    timed("applyP", p_chain, jnp.float32(0.0), 30, rp_bytes)
+    timed("applyP", p_chain, jnp.float32(0.0), 300, rp_bytes,
+          operands=(h,))
 
     # ---- mid level -----------------------------------------------------
     if h.A1d is not None:
@@ -151,21 +158,22 @@ def main():
             n_mid = h.A1d.shape[0]
             a1_bytes = h.A1d.size * h.A1d.dtype.itemsize
         x1 = jnp.ones(n_mid, jnp.float32)
-        timed("mid_matvec", lambda x: h._mid_matvec(x), x1, 30, a1_bytes)
+        timed("mid_matvec", lambda x, hh: hh._mid_matvec(x), x1, 500,
+              a1_bytes, operands=(h,))
 
-        def mid_smooth(x):
-            for it in h.taus1:
-                x = x + h.dinv1 * (jnp.ones(n_mid) - h._mid_matvec(x)) \
+        def mid_smooth(x, hh):
+            for it in hh.taus1:
+                x = x + hh.dinv1 * (jnp.ones(n_mid) - hh._mid_matvec(x)) \
                     * it[0]
             return x
 
-        timed("mid_smoother_all_roots", mid_smooth, x1, 10,
-              len(h.taus1) * a1_bytes)
+        timed("mid_smoother_all_roots", mid_smooth, x1, 100,
+              len(h.taus1) * a1_bytes, operands=(h,))
 
         n2 = h.Ainv.shape[0]
         timed("coarsest_R1_Ainv_P1",
-              lambda x: x + h.R1.T @ (h.Ainv @ (h.R1 @ x)), x1, 30,
-              (2 * h.R1.size + n2 * n2) * 4)
+              lambda x, hh: x + hh.R1.T @ (hh.Ainv @ (hh.R1 @ x)), x1,
+              300, (2 * h.R1.size + n2 * n2) * 4, operands=(h,))
 
         # the padded-layout bridge gathers
         def bridge(c):
@@ -174,21 +182,22 @@ def main():
             xc = jnp.zeros(h.n_flat).at[h.flat_id].set(b1)
             return jnp.sum(xc)
 
-        timed("flatid_gather_scatter", bridge, jnp.float32(0.0), 30)
+        timed("flatid_gather_scatter", bridge, jnp.float32(0.0), 300)
 
     # ---- pad/unpad glue ------------------------------------------------
-    def pad_unpad(c):
-        xh = A0.pad(bdev * (1.0 + 1e-12 * c))
-        return jnp.sum(A0.unpad(xh))
+    def pad_unpad(c, hh):
+        xh = hh.pad0(bdev * (1.0 + 1e-12 * c))
+        return jnp.sum(hh.unpad0(xh))
 
-    timed("pad_unpad", pad_unpad, jnp.float32(0.0), 30, 4 * n0 * 4)
+    timed("pad_unpad", pad_unpad, jnp.float32(0.0), 500, 4 * n0 * 4,
+          operands=(h,))
 
     # ---- whole cycle ---------------------------------------------------
-    timed("full_vcycle", lambda x: h.vcycle(bdev, x),
-          jnp.zeros(n0, jnp.float32), 30)
+    timed("full_vcycle", lambda x, hier, b0: hier.vcycle(b0, x),
+          jnp.zeros(n0, jnp.float32), 50, operands=(h, bdev))
 
     print(json.dumps({"n0": n0, "k0": k0, "NB": NB, "bs": bs, "box": box,
-                      "n_c": 0 if h.A1d is None else int(h.A1d.shape[0]),
+                      "n_c": 0,
                       "results": results}))
 
 

@@ -112,6 +112,39 @@ def test_full_solver_device_setup_parity():
     assert abs(its[0] - its[1]) <= 1
 
 
+def test_device_setup_covers_anisotropic_tensor():
+    """The flagship BASELINE config ('large 3D anisotropic') must take
+    the device pipeline: analyze_uniform factors the tensor-coefficient
+    element matrices through a small SVD basis (r <= d(d+1)/2 + 1)
+    instead of requiring scalar multiples, and the resulting hierarchy
+    matches the host setup (AnisotropicDiffusionIntegrator.cpp:131-149)."""
+    from saamge_tpu.fem.coefficients import anisotropic_tensor
+    mesh = hex_mesh(8)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    coef = anisotropic_tensor(lambda x: np.array(
+        [1.0, 0.5 * np.sin(4 * x[0]), 0.25]), eps=0.01)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=coef, rhs=1.0, ess_attr_marker=ess, matrix_coef=True)
+    part = partition_cartesian_3d(mesh.elem_centers(), 2, 2, 2)
+    flags = bdr_dof_flags(mesh, ess)
+    rels = geometric_partitioning(A, mesh, flags, 8, partitioning=part)
+    plan = analyze_uniform(rels, em)
+    assert plan is not None, "anisotropic elmats rejected by the plan"
+    assert 1 < plan.r <= 8, plan.r
+
+    its, dims = [], []
+    for dev in (False, True):
+        opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                             device_setup=dev)
+        s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                              partitioning=part.copy())
+        res = s.solve(b)
+        its.append(res.iterations)
+        dims.append(s.ml.levels[0].tg_data.Ac.shape[0])
+    assert dims[0] == dims[1]
+    assert abs(its[0] - its[1]) <= 1
+
+
 def test_filtered_eig_matches_eigh():
     """Chebyshev-filtered subspace solver vs numpy eigh on a random SPD
     stack (the ARPACK/LAPACK-replacement kernel, ops/filtered_eig.py)."""

@@ -1,0 +1,79 @@
+"""Sharded structured fast path vs the single-device structured solve.
+
+The pmltest invariant (reference amg/CMakeLists.txt:198-203) on the
+gather-free brick hierarchy: sharding over an x-slab mesh must not
+change the preconditioner — identical V-cycle output (the per-row
+arithmetic is the same kernels over the same data) and identical PCG
+iteration counts on 1..8 devices."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from saamge_tpu.api import SpectralAMGSolver
+from saamge_tpu.config import SolverOptions
+from saamge_tpu.fem import assemble
+from saamge_tpu.fem.mesh import hex_mesh
+from saamge_tpu.topology.part import partition_cartesian_3d
+from saamge_tpu.solve.structured import (BrickGeometry, compile_structured,
+                                         struct_pcg_solve,
+                                         struct_vcycle_apply)
+from saamge_tpu.parallel.structured_sharded import (
+    gather_fine, make_struct_sharded_pcg, make_struct_sharded_vcycle,
+    scatter_fine, shard_structured)
+
+
+def _setup(n=8, nb=4, num_levels=3):
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    rng = np.random.default_rng(5)
+    coefs = 10.0 ** rng.uniform(-1.0, 1.0, mesh.num_elements)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+    opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
+                         device_setup=False)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                          partitioning=part)
+    geo = BrickGeometry((nb, nb, nb), (n // nb,) * 3)
+    return s, A, b, geo
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_struct_vcycle_matches_single(ndev):
+    s, A, b, geo = _setup(8, 4, 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock")
+    y_ref = np.asarray(struct_vcycle_apply(h, jnp.asarray(b, jnp.float32)))
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    bsh = scatter_fine(hs, b)
+    vc = make_struct_sharded_vcycle(hs)
+    y = gather_fine(hs, vc(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+
+
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_sharded_struct_pcg_device_count_invariant(ndev):
+    if len(jax.devices("cpu")) < ndev:
+        pytest.skip("needs virtual device mesh")
+    s, A, b, geo = _setup(8, 8, 3)   # brick=1 so BX=8 divides every ndev
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock")
+    _, it_ref, _ = struct_pcg_solve(h, jnp.asarray(b, jnp.float32),
+                                    max_iter=80)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    bsh = scatter_fine(hs, b)
+    solve = make_struct_sharded_pcg(hs, rel_tol=1e-6, max_iter=80)
+    x, it = solve(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
+    xh = gather_fine(hs, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel

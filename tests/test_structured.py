@@ -83,7 +83,8 @@ def test_struct_R_P_match_tent(num_levels=2):
     from saamge_tpu.solve.structured import coarse_brick_numbering
     cd_brick, slot, bs, _ = coarse_brick_numbering(
         s.ml.levels[0].rels, tg0.interp_data.mis_numcoarsedof)
-    flat_id = cd_brick * bs + slot
+    # slot-major padded coarse layout
+    flat_id = slot * geo.num_bricks + cd_brick
 
     rng = np.random.default_rng(0)
     r = rng.standard_normal(P.shape[0]).astype(np.float32)
@@ -104,6 +105,26 @@ def test_struct_R_P_match_tent(num_levels=2):
     assert np.allclose(y, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max()))
 
 
+@pytest.mark.parametrize("fine_layout", ["flat", "zlane"])
+@pytest.mark.parametrize("mid_format", ["dense", "brickblock"])
+def test_struct_layout_variants_match(fine_layout, mid_format):
+    """Every (fine layout, mid format) combination is the same
+    preconditioner: identical V-cycle output (up to f32 order) and PCG
+    iteration counts."""
+    s, b, geo = _setup(8, 2, 3)
+    h_ref = compile_structured(s.ml, geo, mid_format="dense",
+                               fine_layout="flat")
+    h = compile_structured(s.ml, geo, mid_format=mid_format,
+                           fine_layout=fine_layout)
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h_ref, bdev))
+    y = np.asarray(struct_vcycle_apply(h, bdev))
+    assert np.abs(y - y_ref).max() <= 5e-4 * np.abs(y_ref).max()
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=60)
+    _, it, _ = struct_pcg_solve(h, bdev, max_iter=60)
+    assert int(it) == int(it_ref)
+
+
 def test_struct_bf16_mid_level_iterations():
     """bf16 mid-level operator (bench configuration) only mildly perturbs
     the preconditioner: iteration count within +2 of the f32 variant."""
@@ -115,3 +136,22 @@ def test_struct_bf16_mid_level_iterations():
     _, it32, _ = struct_pcg_solve(h32, bdev, max_iter=60)
     _, it16, _ = struct_pcg_solve(h16, bdev, max_iter=60)
     assert int(it16) <= int(it32) + 2
+
+
+def test_struct_full_bf16_preconditioner_iterations():
+    """The full bench configuration — bf16 smoother diagonals, bf16
+    Rst, bf16 mid blocks — still converges within +2 iterations of the
+    all-f32 preconditioner (PCG's operator matvec stays f32; only the
+    preconditioner is perturbed)."""
+    s, b, geo = _setup(8, 2, 3)
+    h32 = compile_structured(s.ml, geo)
+    h16 = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
+                             smoother_dtype=jnp.bfloat16,
+                             rp_dtype=jnp.bfloat16)
+    bdev = jnp.asarray(b, jnp.float32)
+    x32, it32, _ = struct_pcg_solve(h32, bdev, max_iter=60)
+    x16, it16, _ = struct_pcg_solve(h16, bdev, max_iter=60)
+    assert int(it16) <= int(it32) + 2
+    # both solve the SAME f32 operator to the same tolerance
+    assert np.allclose(np.asarray(x16), np.asarray(x32),
+                       atol=1e-3 * np.abs(np.asarray(x32)).max())
