@@ -36,42 +36,90 @@ import numpy as np
 
 
 def measure_peak_stream(jnp, jax):
-    """Peak HBM rate from a scan-chained round-robin triad over K
-    distinct large buffers.  The round-2 version unrolled the chain in
-    one fused elementwise kernel, which XLA collapses to a single read
-    of each operand (recorded 2292 GB/s — impossible on v5e); a lax.scan
-    step is compiled once and looped, and an optimization_barrier pins
-    the value between steps, so every step really streams
-    read-c + read-buffer + write-c = 3 N 4 bytes from HBM."""
+    """Peak HBM rate: max over two independent kernels, each streaming
+    read-c + read-buffer + write-c = 3 N 4 bytes per step.
+
+    (a) XLA chain: R barrier-separated nonlinear triad steps over K
+        round-robin buffers, unrolled in one jitted program (a lone
+        fused chain collapses to one read — the round-2 bug that
+        recorded 2292 GB/s; the barrier chain instead was seen to
+        UNDER-read at ~240 GB/s in some sessions).
+    (b) Pallas chain: the same triad as an explicit blocked kernel —
+        Mosaic cannot collapse or keep blocks resident across calls.
+
+    The max of the two honest kernels is the peak estimate; both raw
+    readings are reported so a fallback/disagreement is visible."""
     N = 64 * 1024 * 1024            # 256 MB per buffer
     K = 4
-    R = 256                         # 192 GB of traffic per call
-    B = jnp.stack([jnp.full(N, 1.0 + 0.1 * i, jnp.float32)
-                   for i in range(K)])
+
+    def run(fn, c0, ops, traffic):
+        float(fn(c0, *ops))
+        best = float("inf")
+        for k in range(2):
+            t0 = time.perf_counter()
+            float(fn(c0 * (1.0 + 1e-7 * (k + 1)), *ops))
+            best = min(best, time.perf_counter() - t0)
+        return traffic / best / 1e9
+
+    bufs = tuple(jnp.full(N, 1.0 + 0.1 * i, jnp.float32)
+                 for i in range(K))
+    c0 = jnp.ones(N, jnp.float32)
+
+    R = 128
 
     @jax.jit
-    def f(c, B):
-        def body(c, i):
-            buf = jax.lax.dynamic_index_in_dim(B, i % K, keepdims=False)
-            c = jnp.abs(c) + 0.5 * buf
-            return jax.lax.optimization_barrier(c), ()
-        c, _ = jax.lax.scan(body, c, jnp.arange(R, dtype=jnp.int32))
+    def f_xla(c, *bs):
+        # statically-indexed buffers (a dynamic_index_in_dim copies the
+        # 256 MB slice first, silently adding 2 streams per step)
+        for r in range(R):
+            c = jnp.abs(c) + 0.5 * bs[r % K]
+            c = jax.lax.optimization_barrier(c)
         return jnp.sum(c)
 
-    c0 = jnp.ones(N, jnp.float32)
-    float(f(c0, B))
-    best = float("inf")
-    for k in range(2):
-        t0 = time.perf_counter()
-        float(f(c0 * (1.0 + 1e-7 * (k + 1)), B))
-        best = min(best, time.perf_counter() - t0)
-    del B, c0
-    measured = R * 3 * N * 4 / best / 1e9
+    gb_xla = run(f_xla, c0, bufs, R * 3 * N * 4)
+
+    from jax.experimental import pallas as pl
+    BLK = 512 * 1024
+    triad = pl.pallas_call(
+        lambda a_ref, b_ref, o_ref: o_ref.__setitem__(
+            slice(None), jnp.abs(a_ref[...]) + 0.5 * b_ref[...]),
+        grid=(N // BLK,),
+        in_specs=[pl.BlockSpec((BLK,), lambda i: (i,))] * 2,
+        out_specs=pl.BlockSpec((BLK,), lambda i: (i,)),
+        out_shape=jax.ShapeDtypeStruct((N,), jnp.float32))
+    RP = 64
+
+    @jax.jit
+    def f_pl(c, *bs):
+        for r in range(RP):
+            c = jax.lax.optimization_barrier(triad(c, bs[r % K]))
+        return jnp.sum(c)
+
+    gb_pl = run(f_pl, c0, bufs, RP * 3 * N * 4)
+
+    # pure-read pattern (STREAM-style best-of: the triad's 2R+1W mix
+    # pays write-allocate overhead; a read-reduce exposes the raw read
+    # stream, which is what the stencil passes mostly are)
+    RD = 64
+
+    @jax.jit
+    def f_rd(c, *bs):
+        acc = jnp.float32(0.0) * c[0]
+        for r in range(RD):
+            acc = jax.lax.optimization_barrier(
+                acc + jnp.max(bs[r % K] * (1.0 + acc * 1e-30)))
+        return acc
+
+    gb_rd = run(f_rd, c0, bufs, RD * N * 4)
+    del bufs, c0
+    raw = {"xla_triad": round(gb_xla, 1), "pallas_triad": round(gb_pl, 1),
+           "read": round(gb_rd, 1)}
+    measured = max(gb_xla, gb_pl, gb_rd)
     # fall back to the v5e HBM spec only if the reading is implausible,
-    # and report both so the fallback is visible in the JSON
+    # and report the raw values so the fallback is visible in the JSON
     if not (100.0 < measured < 1000.0):
-        return 819.0, measured
-    return measured, measured
+        return 819.0, raw
+    return measured, raw
 
 
 def main():
@@ -162,9 +210,13 @@ def main():
         # full-bf16 PRECONDITIONER (smoother diagonals, Rst, mid blocks);
         # the PCG operator matvec stays f32 (tests:
         # test_struct_full_bf16_preconditioner_iterations)
+        # z-lane fine layout: 3 stencil lane-shift groups, measured
+        # faster end-to-end than flat at n=96 (7.35 vs 9.5 ms cycle)
+        # and identical to the sharded path's layout
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
-                               rp_dtype=jnp.bfloat16)
+                               rp_dtype=jnp.bfloat16,
+                               fine_layout="zlane")
 
         def vcycle_once(hier, b0, c):
             # NB: must use the traced argument, not a closure — closure-
@@ -190,9 +242,9 @@ def main():
     iters = int(iters)
 
     if on_tpu:
-        peak_gbps, measured_gbps = measure_peak_stream(jnp, jax)
+        peak_gbps, raw_stream = measure_peak_stream(jnp, jax)
     else:
-        peak_gbps = measured_gbps = 0.0
+        peak_gbps, raw_stream = 0.0, {}
 
     # --- setup eigensolver throughput vs MXU dense capability ---------
     # (the BASELINE >=70%-of-MXU target, unreported in rounds 1-2):
@@ -374,7 +426,7 @@ def main():
                 TIMERS.total("setup.device_pipeline.rr"), 2),
             "compile_s": round(compile_s, 2),
             "peak_stream_gbps": round(peak_gbps, 1),
-            "measured_stream_gbps": round(measured_gbps, 1),
+            "measured_stream_gbps": raw_stream,
             "roofline_model_ms": round(roofline_ms, 3),
             "roofline_fraction": round(roofline_fraction, 3),
             "format_traffic_ms": round(format_ms, 3),

@@ -45,6 +45,10 @@ class Mesh:
     # all elements congruent up to translation (structured generators set
     # this): assembly can integrate ONE element and broadcast
     uniform: bool = False
+    # element-grid shape (nx, ny[, nz]) for lexicographic Cartesian
+    # generators (hex_mesh/quad_mesh): enables the slab-add stencil
+    # assembly (assemble.assemble_global_stencil_grid) and O(1) centers
+    grid: tuple = None
 
     @property
     def num_vertices(self) -> int:
@@ -58,7 +62,18 @@ class Mesh:
     def elem_centers(self) -> np.ndarray:
         cached = getattr(self, "_elem_centers_cache", None)
         if cached is None:
-            cached = self.vertices[self.elements].mean(axis=1)
+            if self.grid is not None and self.dim == len(self.grid):
+                # rectilinear grid: center = midpoint of the main
+                # diagonal — strided slices, no (NE, nv, d) gather
+                V = self.vertices.reshape(
+                    tuple(g + 1 for g in self.grid) + (self.dim,))
+                if self.dim == 3:
+                    cached = 0.5 * (V[:-1, :-1, :-1] + V[1:, 1:, 1:])
+                else:
+                    cached = 0.5 * (V[:-1, :-1] + V[1:, 1:])
+                cached = cached.reshape(-1, self.dim)
+            else:
+                cached = self.vertices[self.elements].mean(axis=1)
             object.__setattr__(self, "_elem_centers_cache", cached)
         return cached
 
@@ -426,7 +441,8 @@ def hex_mesh(nx: int, ny: int = None, nz: int = None, sx: float = 1.0,
     return Mesh(3, vertices, elems.astype(np.int64), "hex",
                 np.ones(len(elems), dtype=np.int64),
                 np.concatenate(bdry_parts).astype(np.int64),
-                np.concatenate(battr_parts), uniform=True)
+                np.concatenate(battr_parts), uniform=True,
+                grid=(nx, ny, nz))
 
 
 # ---------------------------------------------------------------------------

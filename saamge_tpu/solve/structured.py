@@ -14,8 +14,10 @@ partition_cartesian_3d) the whole solve phase becomes gather-free:
    brick grid and lies inside its MASTER brick's closed dof box (master =
    lowest containing AE, the reference's lowest-owner-rank rule,
    aggregates.cpp:271-299).  Restriction is therefore
-   strided-window extraction (conv_general_dilated_patches — pure
-   strided copies) + one batched dense (MXU) contraction per brick;
+   strided-window extraction (axis-by-axis reshape+concat overlap
+   decomposition, _extract_boxes — pure strided copies, measured 5.7x
+   the conv_general_dilated_patches lowering it replaced) + one batched
+   dense contraction per brick;
    prolongation is the transposed contraction + an 8-piece static-slice
    overlap assembly (upper-half-open tiling: dof plane g = k*b belongs to
    brick k-1, so pieces are disjoint static slices — no scatter).
@@ -279,17 +281,20 @@ class StructuredHierarchy:
     # used by the smoother and residual passes INSIDE the preconditioner;
     # matvec0 (the PCG operator) always applies the f32 A0
     A0s: Optional[PallasDIA] = None
+    # pre-padded Rst copy for the Pallas contraction kernels
+    Rst_pad: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
-                 self.flat_id, self.A0s),
+                 self.flat_id, self.A0s, self.Rst_pad),
                 (self.geo, self.n_fine, self.n_flat, self.nzp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:9], aux[0], aux[1], aux[2],
-                   flat_id=children[9], nzp=aux[3], A0s=children[10])
+                   flat_id=children[9], nzp=aux[3], A0s=children[10],
+                   Rst_pad=children[11])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -319,18 +324,45 @@ class StructuredHierarchy:
         return self.unpad0(self.A0.matvec_h(self.pad0(x)), x.dtype)
 
     # -- structured tentative P/R apply ---------------------------------
+    def _extract_boxes(self, r3: jnp.ndarray) -> jnp.ndarray:
+        """(nodes) grid -> (box, NB) overlapping closed-brick windows
+        p[(dx,dy,dz), (i,j,k)] = r3[bx*i+dx, by*j+dy, bz*k+dz].
+
+        Axis-by-axis overlap decomposition instead of
+        conv_general_dilated_patches: the dx<b rows come from the plain
+        non-overlapping reshape and the dx=b row is the next brick's
+        first plane (one strided slice) — 3 reshape+concat passes of
+        pure strided copies.  Measured 0.154 vs 0.875 ms for the conv
+        patches at n=96 (the conv lowers gather-heavy on TPU)."""
+        def expand(x, axis, b, nb):
+            main = jax.lax.slice_in_dim(x, 0, nb * b, axis=axis)
+            main = main.reshape(x.shape[:axis] + (nb, b)
+                                + x.shape[axis + 1:])
+            extra = jax.lax.slice_in_dim(x, b, nb * b + 1, stride=b,
+                                         axis=axis)
+            extra = extra.reshape(x.shape[:axis] + (nb, 1)
+                                  + x.shape[axis + 1:])
+            return jnp.concatenate([main, extra], axis=axis + 1)
+
+        (BX, BY, BZ) = self.geo.bricks
+        (bx, by, bz) = self.geo.brick_elems
+        X = expand(r3, 0, bx, BX)          # (BX, bx+1, NYn, NZn)
+        X = expand(X, 2, by, BY)           # (BX, bx+1, BY, by+1, NZn)
+        X = expand(X, 4, bz, BZ)
+        return X.transpose(1, 3, 5, 0, 2, 4).reshape(self.geo.box, -1)
+
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
         """coarse = R res: strided window extraction + slot-major
         multiply-reduce (brick axis in lanes, VPU-streaming); output in
         the slot-major padded layout."""
-        (BX, BY, BZ) = self.geo.bricks
-        (bx, by, bz) = self.geo.brick_elems
         r3 = res_flat.reshape(self.geo.nodes)
-        p = jax.lax.conv_general_dilated_patches(
-            r3[None, None], filter_shape=(bx + 1, by + 1, bz + 1),
-            window_strides=(bx, by, bz), padding="VALID")[0]
-        boxes = p.reshape(self.geo.box, -1)       # (box, NB)
-        yc = jnp.sum(self.Rst * boxes[None], axis=1)   # (bs, NB)
+        boxes = self._extract_boxes(r3)           # (box, NB)
+        if self.Rst_pad is not None:
+            from saamge_tpu.ops.pallas_contract import contract_R
+            yc = contract_R(self.Rst_pad, boxes,
+                            interpret=self.A0.interpret)
+        else:
+            yc = jnp.sum(self.Rst * boxes[None], axis=1)   # (bs, NB)
         return yc.reshape(-1)
 
     def apply_P(self, xc_flat: jnp.ndarray) -> jnp.ndarray:
@@ -342,7 +374,12 @@ class StructuredHierarchy:
         (bx, by, bz) = self.geo.brick_elems
         bs = self.Rst.shape[0]
         xc = xc_flat.reshape(bs, -1)              # (bs, NB)
-        C = jnp.sum(self.Rst * xc[:, None, :], axis=0)  # (box, NB)
+        if self.Rst_pad is not None:
+            from saamge_tpu.ops.pallas_contract import contract_P
+            C = contract_P(self.Rst_pad, xc, self.geo.box,
+                           interpret=self.A0.interpret)
+        else:
+            C = jnp.sum(self.Rst * xc[:, None, :], axis=0)  # (box, NB)
         C = C.reshape(bx + 1, by + 1, bz + 1, BX, BY, BZ) \
             .transpose(3, 4, 5, 0, 1, 2)
         y3 = jnp.zeros(self.geo.nodes, dtype=jnp.float32)
@@ -482,7 +519,8 @@ def compile_structured(ml, geo: BrickGeometry,
                        mid_format: str = "brickblock",
                        fine_layout: str = "flat",
                        smoother_dtype=None,
-                       rp_dtype=jnp.float32
+                       rp_dtype=jnp.float32,
+                       use_pallas_contract: bool = False
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -513,7 +551,13 @@ def compile_structured(ml, geo: BrickGeometry,
     matvec0 — the PCG operator — keeps the f32 values.
 
     ``rp_dtype``: storage dtype of the structured tent blocks Rst
-    (P and R share the array, so the preconditioner stays symmetric)."""
+    (P and R share the array, so the preconditioner stays symmetric).
+
+    ``use_pallas_contract``: route the tent P/R contractions through the
+    blocked Pallas kernels (ops/pallas_contract.py) instead of XLA's
+    multiply-reduce.  Off by default: measured SLOWER on v5e at n=96
+    (applyR 2.10 vs 1.04 ms — the box-chunked accumulation re-reads the
+    output block per chunk); kept for experimentation."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     lv0 = ml.levels[0]
@@ -577,19 +621,30 @@ def compile_structured(ml, geo: BrickGeometry,
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
+        rst_dev = jnp.asarray(Rst, rp_dtype)
         return StructuredHierarchy(
-            A0, dinv0h, taus0, jnp.asarray(Rst, rp_dtype),
+            A0, dinv0h, taus0, rst_dev,
             A1d, dinv1, taus1, R1,
             _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
-            flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s)
+            flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
+            Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract))
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
+    rst_dev = jnp.asarray(Rst, rp_dtype)
     return StructuredHierarchy(
-        A0, dinv0h, taus0, jnp.asarray(Rst, rp_dtype),
+        A0, dinv0h, taus0, rst_dev,
         None, None, None, None,
         _device_spd_inverse(np.asarray(Ac1.todense())),
         geo, lv0.A.shape[0], n_flat,
-        flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s)
+        flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
+        Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract))
+
+
+def _maybe_pad_rst(rst_dev, use_pallas_contract: bool):
+    if not use_pallas_contract:
+        return None
+    from saamge_tpu.ops.pallas_contract import pad_rst
+    return pad_rst(rst_dev)
 
 
 def _device_spd_inverse(Ac: np.ndarray) -> jnp.ndarray:

@@ -105,6 +105,25 @@ def test_struct_R_P_match_tent(num_levels=2):
     assert np.allclose(y, y_ref, atol=1e-4 * max(1.0, np.abs(y_ref).max()))
 
 
+def test_struct_pallas_contract_matches_xla():
+    """The transposed-layout Pallas tent contractions (use_pallas_contract)
+    reproduce the XLA multiply-reduce apply_R/apply_P exactly (same
+    hierarchy, same inputs; interpret mode on CPU)."""
+    s, b, geo = _setup(8, 2, 2)
+    h_x = compile_structured(s.ml, geo)
+    h_p = compile_structured(s.ml, geo, use_pallas_contract=True)
+    assert h_p.Rst_pad is not None and h_x.Rst_pad is None
+    rng = np.random.default_rng(5)
+    r = jnp.asarray(rng.standard_normal(h_x.n_fine), jnp.float32)
+    rc_x = np.asarray(h_x.apply_R(r))
+    rc_p = np.asarray(h_p.apply_R(r))
+    assert np.abs(rc_p - rc_x).max() <= 1e-5 * max(1.0, np.abs(rc_x).max())
+    xc = jnp.asarray(rng.standard_normal(h_x.n_flat), jnp.float32)
+    y_x = np.asarray(h_x.apply_P(xc))
+    y_p = np.asarray(h_p.apply_P(xc))
+    assert np.abs(y_p - y_x).max() <= 1e-5 * max(1.0, np.abs(y_x).max())
+
+
 @pytest.mark.parametrize("fine_layout", ["flat", "zlane"])
 @pytest.mark.parametrize("mid_format", ["dense", "brickblock"])
 def test_struct_layout_variants_match(fine_layout, mid_format):
