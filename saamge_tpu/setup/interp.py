@@ -22,7 +22,7 @@ from saamge_tpu.setup.contrib import TentativeInterp, build_tentative
 from saamge_tpu.setup.spectral import Eigensolver
 from saamge_tpu.solve import smoothers
 from saamge_tpu.topology.agglomerate import AggPartRels
-from saamge_tpu.utils.logging import TIMERS, sa_print
+from saamge_tpu.utils.logging import TIMERS, sa_assert, sa_print
 
 
 @dataclasses.dataclass
@@ -268,6 +268,14 @@ def sparse_tent_assemble(rels: AggPartRels, interp_data: InterpData,
     offsets = np.zeros(rels.num_mises + 1, dtype=np.int64)
     np.cumsum(tent.mis_numcoarsedof, out=offsets[1:])
     interp_data.mis_coarsedofoffsets = offsets
+    # debug ladder: the spectral tentative P has orthonormal columns
+    # (each MIS block is an SVD U factor; blocks have disjoint row
+    # supports — interp.cpp:761's per-MIS insert), so P^T P = I.
+    # scaling_P / non-spectral variants rescale columns and are exempt.
+    if use_spectral and interp_data.scaling_P is None:
+        sa_assert(7, lambda: abs((tent.P.T @ tent.P)
+                                 - sp.identity(tent.P.shape[1])).max()
+                  <= 1e-10, "tentative P columns not orthonormal")
     return tent.P
 
 

@@ -15,7 +15,7 @@ from saamge_tpu.setup.interp import InterpData, interp_init_data
 from saamge_tpu.solve import smoothers
 from saamge_tpu.solve.coarse import make_coarse_solver
 from saamge_tpu.topology.agglomerate import AggPartRels
-from saamge_tpu.utils.logging import TIMERS, sa_print
+from saamge_tpu.utils.logging import TIMERS, sa_assert, sa_print
 
 
 @dataclasses.dataclass
@@ -149,6 +149,13 @@ def tg_coarse_matr(A: sp.csr_matrix, interp: sp.csr_matrix) -> sp.csr_matrix:
     Ac.sort_indices()
     sa_print(3, "Ac nnz: %d, A nnz: %d, OC: %g", Ac.nnz, A.nnz,
              Ac.nnz / max(A.nnz, 1) + 1.0)
+    # expensive invariants (debug ladder; reference asserts Ac SPD-ness
+    # implicitly through hypre RAP + the smoother contracts)
+    sa_assert(7, lambda: abs(Ac - Ac.T).max()
+              <= 1e-10 * max(1.0, abs(Ac).max()),
+              "RAP product not symmetric")
+    sa_assert(7, lambda: bool(np.all(Ac.diagonal() > 0)),
+              "RAP product has non-positive diagonal")
     return Ac
 
 

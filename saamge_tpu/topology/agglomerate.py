@@ -23,7 +23,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from saamge_tpu.topology.part import partition_kway
-from saamge_tpu.utils.logging import sa_print
+from saamge_tpu.utils.logging import sa_assert, sa_print
 from saamge_tpu.utils.tables import Table
 
 # DoF status flags (aggregates.hpp agg_dof_status_t)
@@ -301,6 +301,14 @@ def _create_tables(A, elem_to_dof, elem_to_elem, partitioning, bdr_flags,
         _construct_mises_local(rels)
         _finish_flags(rels, bdr_flags)
     sa_print(5, "Total number of MISes = %d", rels.num_mises)
+    # debug ladder (O(N) structural invariants, aggregates.cpp's
+    # SA_ASSERT family around agg_construct_mises): MISes partition the
+    # dofs exactly, and each MIS is contained in every AE of its dofs
+    sa_assert(6, lambda: (len(rels.mis_to_dof.indices) == ND
+                          and len(np.unique(rels.mis_to_dof.indices)) == ND),
+              "MISes do not partition the dof set")
+    sa_assert(6, lambda: bool((rels.mises_size > 0).all()),
+              "empty MIS produced")
     return rels
 
 

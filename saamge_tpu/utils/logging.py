@@ -20,6 +20,26 @@ def sa_print(level: int, msg: str, *args) -> None:
               file=CONFIG.stream, flush=True)
 
 
+def sa_assert(level: int, cond, msg: str = "", *args) -> None:
+    """Leveled invariant check (the reference's SA_ASSERT ladder:
+    asserts compile in only under SA_IS_DEBUG_LEVEL(1),
+    common.hpp:66-656; here the ladder is runtime CONFIG.debug_level).
+
+    ``cond`` may be a bool or a ZERO-ARG CALLABLE — expensive invariants
+    (O(nnz) norms, full-matrix symmetry) are passed as callables so they
+    cost nothing below their ladder level.  Levels in use:
+      1-5  cheap shape/contract checks (default level 5 runs them)
+      6    O(N) structural invariants (coverage, disjointness)
+      7+   O(nnz)+ numerical invariants (RAP symmetry, P orthonormality)
+    """
+    if CONFIG.debug_level < level:
+        return
+    ok = cond() if callable(cond) else cond
+    if not ok:
+        raise AssertionError(
+            "sa_assert[L%d]: %s" % (level, (msg % args if args else msg)))
+
+
 class PhaseTimers:
     """Accumulating named wall-clock timers (SA_*TIMER analog)."""
 

@@ -57,3 +57,45 @@ def test_high_contrast_inclusions_robust():
     assert res.iterations <= 25, res.iterations
     err = np.linalg.norm(res.x - spla.spsolve(A.tocsc(), b))
     assert err < 1e-4
+
+
+def test_debug_ladder_sa_assert():
+    """sa_assert (SA_ASSERT ladder analog, common.hpp:598-656): callables
+    are only evaluated at or above their ladder level; failures raise."""
+    from saamge_tpu.config import CONFIG
+    from saamge_tpu.utils.logging import sa_assert
+
+    calls = []
+    old = CONFIG.debug_level
+    try:
+        CONFIG.debug_level = 5
+        sa_assert(7, lambda: calls.append(1) or False, "skipped")
+        assert calls == []          # expensive check not evaluated
+        CONFIG.debug_level = 7
+        sa_assert(7, lambda: calls.append(1) or True, "passes")
+        assert calls == [1]
+        with pytest.raises(AssertionError, match="boom"):
+            sa_assert(7, False, "boom")
+    finally:
+        CONFIG.debug_level = old
+
+
+def test_debug_ladder_setup_invariants_run_clean():
+    """At debug_level 7 the expensive setup invariants (MIS partition,
+    RAP symmetry, tent-P orthonormality) all pass on a healthy problem."""
+    from saamge_tpu.config import CONFIG
+
+    old = CONFIG.debug_level
+    try:
+        CONFIG.debug_level = 7
+        mesh = quad_mesh(12)
+        ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+        A, b, em, _, _ = assemble.build_discrete_problem(
+            mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+        opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                             elems_per_agg=16)
+        s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+        res = s.solve(b)
+        assert res.converged
+    finally:
+        CONFIG.debug_level = old

@@ -18,7 +18,8 @@ from saamge_tpu.fem import assemble
 from saamge_tpu.fem.mesh import quad_mesh
 from saamge_tpu.parallel.sharded import (make_sharded_pcg,
                                          make_sharded_vcycle,
-                                         shard_hierarchy, shard_vector)
+                                         shard_hierarchy, shard_vector,
+                                         unshard_vector)
 from saamge_tpu.solve import compiled
 
 
@@ -49,7 +50,7 @@ def test_sharded_vcycle_matches_single_device(problem, ndev):
     mesh = JaxMesh(_devices(ndev), axis_names=("dp",))
     h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
     vc = make_sharded_vcycle(h)
-    z = np.asarray(vc(shard_vector(h, b)))[:h.n0]
+    z = unshard_vector(h, vc(shard_vector(h, b)))
 
     h1 = compiled.compile_hierarchy(s.ml, dtype=jnp.float64)
     z1 = np.asarray(compiled.vcycle_apply(h1, jnp.asarray(b)))
@@ -57,16 +58,24 @@ def test_sharded_vcycle_matches_single_device(problem, ndev):
 
 
 def test_halo_ops_active(problem):
-    """The fine-level operators must take the halo path (H >= 0), not the
-    all-gather fallback — this is the O(N/P)-comm contract."""
+    """EVERY level's operators must take the halo path (H >= 0), not the
+    all-gather fallback — this is the O(N/P)-comm contract (the RCM band
+    renumbering + minrow-ordered coarse numbering guarantee it)."""
     A, b, s = problem
     mesh = JaxMesh(_devices(8), axis_names=("dp",))
     h = shard_hierarchy(s.ml, mesh, dtype=jnp.float64)
+    blk = h.n0_pad // 8
+    # granularity term: one agglomerate's dof span is irreducible comm
+    # (hypre's halos are likewise bounded by interface/AE extent)
+    ae_dofs = int(s.ml.levels[0].rels.AE_to_dof.row_sizes().max())
+    bound = 3 * blk + 8 * ae_dofs
+    for i, lv in enumerate(h.levels):
+        for name, op in (("A", lv.A), ("P", lv.Pop), ("R", lv.Rop)):
+            assert op.comm_per_apply() <= bound, (
+                f"level {i} {name}: comm {op.comm_per_apply()} > {bound} "
+                f"(3x fine block {blk} + 8x AE {ae_dofs})")
     lv0 = h.levels[0]
-    assert lv0.A.H >= 0, "fine operator fell back to all_gather"
-    assert lv0.Pop.H >= 0 and lv0.Rop.H >= 0
-    blk = lv0.n // 8
-    assert lv0.A.H <= blk
+    assert lv0.A.H >= 0 and lv0.A.H <= blk
     acct = h.device_bytes()
     # per-device footprint = 1/8 of the sharded bytes + tiny replicated part
     assert acct["per_device"] < acct["sharded_total"] // 8 \
@@ -84,7 +93,7 @@ def test_sharded_pcg_iteration_parity(problem):
     solve = make_sharded_pcg(h, rel_tol=1e-6, max_iter=100)
     x, iters = solve(shard_vector(h, b))
     assert int(iters) == res_host.iterations
-    x = np.asarray(x)[:h.n0]
+    x = unshard_vector(h, x)
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel < 1e-5
 
@@ -98,7 +107,7 @@ def test_sharded_pcg_jit_matches(problem):
     solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
     x, iters = solve(shard_vector(h, b))
     assert int(iters) == res_host.iterations
-    x = np.asarray(x)[:h.n0]
+    x = unshard_vector(h, x)
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel < 1e-5
 
@@ -121,7 +130,7 @@ def test_device_count_invariance():
         solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
         x, its = solve(shard_vector(h, b))
         iters.append(int(its))
-        x = np.asarray(x)[:h.n0]
+        x = unshard_vector(h, x)
         assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-4
     assert iters[0] == iters[1] == iters[2], iters
 
