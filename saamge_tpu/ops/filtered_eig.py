@@ -208,14 +208,21 @@ def measure_eig_throughput(B: int, n: int, m: int = 64, degree: int = 16,
     # per round: degree matmul applications + CholQR (Gram + trsm)
     flops_round = B * (degree * 2 * n * n * m + 3 * n * m * m)
 
+    # the dense comparison chain mirrors the filter's program structure
+    # EXACTLY (scan of reps steps, degree matmuls unrolled per step) —
+    # a scan with one matmul per step was measured 2-4x slower PER
+    # MATMUL than the same matmuls unrolled inside the step, which
+    # made eig_mxu_fraction overstate the filter's overhead (0.43
+    # reported where the true same-structure ratio is ~0.85)
     @jax.jit
     def chain_mm(M, X):
         def body(X, _):
-            X = jnp.einsum("bij,bjm->bim", M, X, precision="highest",
-                           preferred_element_type=jnp.float32) \
-                * jnp.float32(1.0 / n)
+            for _k in range(degree):
+                X = jnp.einsum("bij,bjm->bim", M, X, precision="highest",
+                               preferred_element_type=jnp.float32) \
+                    * jnp.float32(1.0 / n)
             return X, ()
-        X, _ = jax.lax.scan(body, X, jnp.zeros(reps * degree))
+        X, _ = jax.lax.scan(body, X, jnp.zeros(reps))
         return jnp.sum(X)
 
     float(chain_mm(M, X0))

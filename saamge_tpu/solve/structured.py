@@ -613,11 +613,14 @@ def compile_structured(ml, geo: BrickGeometry,
             dinv1 = jnp.asarray(dinv1p, jnp.float32)
             R1p = np.zeros((n2, n_flat))
             R1p[:, flat_id] = R1_np
-            R1 = jnp.asarray(R1p, jnp.float32)
+            # rp_dtype (bf16 in the bench config) halves the dense
+            # coarsest-restriction stream — 0.8 GB/cycle at n=128;
+            # applies upcast to f32 (mixed-dtype matmul promotion)
+            R1 = jnp.asarray(R1p, rp_dtype)
         else:
             A1d = jnp.asarray(np.asarray(Ac1.todense()), mid_dtype)
             dinv1 = jnp.asarray(dinv1_np, jnp.float32)
-            R1 = jnp.asarray(R1_np, jnp.float32)
+            R1 = jnp.asarray(R1_np, rp_dtype)
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)

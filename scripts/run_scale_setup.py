@@ -42,6 +42,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request (the axon sitecustomize ignores
+        # the env var; the config API wins — cf. tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     on_tpu = jax.devices()[0].platform == "tpu"
 
     from saamge_tpu.api import SpectralAMGSolver

@@ -15,6 +15,9 @@ DRIVERS = [
     ("scripts/run_parttest.py", [], "nparts=2"),
     ("scripts/run_partialsmooth.py", ["--n", "20", "--num-levels", "3"],
      "converged: True"),
+    ("scripts/run_scale_setup.py", ["--n", "12", "--brick", "4",
+                                    "--levels", "2", "--host-setup"],
+     '"peak_rss_gb"'),
 ]
 
 
