@@ -308,11 +308,14 @@ def main():
         bh = h.pad0(bdev)
         xh0 = h.pad0(jnp.ones(ndof, jnp.float32))
         it0 = h.taus0[0]
+        # measure the operator the PRECONDITIONER actually streams (the
+        # bf16 twin when present), not the f32 PCG matvec operator
         timed_chain("l0_root_pass_ms",
-                    lambda xh, hh: hh.A0.root_h(it0, bh, hh.dinv0h, xh),
+                    lambda xh, hh: (hh.A0s or hh.A0).root_h(
+                        it0, bh, hh.dinv0h, xh),
                     xh0, 400, operands=(h,))
         timed_chain("l0_residual_ms",
-                    lambda xh, hh: hh.A0.residual_h(bh, xh),
+                    lambda xh, hh: (hh.A0s or hh.A0).residual_h(bh, xh),
                     xh0, 400, operands=(h,))
         res0 = jnp.ones(ndof, jnp.float32)
         timed_chain(

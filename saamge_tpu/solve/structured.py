@@ -235,6 +235,36 @@ class BrickBlockOp:
                             (BX, BY, BZ), bs)
 
 
+def extract_boxes(r3: jnp.ndarray, brick_elems, bricks) -> jnp.ndarray:
+    """Node grid -> (box, NB) overlapping closed-brick windows
+    p[(dx,dy,dz), (i,j,k)] = r3[bx*i+dx, by*j+dy, bz*k+dz].
+
+    Axis-by-axis overlap decomposition instead of
+    conv_general_dilated_patches: the dx<b rows come from the plain
+    non-overlapping reshape and the dx=b row is the next brick's first
+    plane (one strided slice) — 3 reshape+concat passes of pure strided
+    copies.  Measured 0.154 vs 0.875 ms for the conv patches at n=96
+    (the conv lowers gather-heavy on TPU and serializes the surrounding
+    cycle).  Requires r3.shape[d] == bricks[d]*brick_elems[d] + 1."""
+    def expand(x, axis, b, nb):
+        main = jax.lax.slice_in_dim(x, 0, nb * b, axis=axis)
+        main = main.reshape(x.shape[:axis] + (nb, b)
+                            + x.shape[axis + 1:])
+        extra = jax.lax.slice_in_dim(x, b, nb * b + 1, stride=b,
+                                     axis=axis)
+        extra = extra.reshape(x.shape[:axis] + (nb, 1)
+                              + x.shape[axis + 1:])
+        return jnp.concatenate([main, extra], axis=axis + 1)
+
+    (BX, BY, BZ) = bricks
+    (bx, by, bz) = brick_elems
+    X = expand(r3, 0, bx, BX)          # (BX, bx+1, NYn, NZn)
+    X = expand(X, 2, by, BY)           # (BX, bx+1, BY, by+1, NZn)
+    X = expand(X, 4, bz, BZ)
+    box = (bx + 1) * (by + 1) * (bz + 1)
+    return X.transpose(1, 3, 5, 0, 2, 4).reshape(box, -1)
+
+
 # ---------------------------------------------------------------------------
 # device-side structured hierarchy
 
@@ -324,39 +354,13 @@ class StructuredHierarchy:
         return self.unpad0(self.A0.matvec_h(self.pad0(x)), x.dtype)
 
     # -- structured tentative P/R apply ---------------------------------
-    def _extract_boxes(self, r3: jnp.ndarray) -> jnp.ndarray:
-        """(nodes) grid -> (box, NB) overlapping closed-brick windows
-        p[(dx,dy,dz), (i,j,k)] = r3[bx*i+dx, by*j+dy, bz*k+dz].
-
-        Axis-by-axis overlap decomposition instead of
-        conv_general_dilated_patches: the dx<b rows come from the plain
-        non-overlapping reshape and the dx=b row is the next brick's
-        first plane (one strided slice) — 3 reshape+concat passes of
-        pure strided copies.  Measured 0.154 vs 0.875 ms for the conv
-        patches at n=96 (the conv lowers gather-heavy on TPU)."""
-        def expand(x, axis, b, nb):
-            main = jax.lax.slice_in_dim(x, 0, nb * b, axis=axis)
-            main = main.reshape(x.shape[:axis] + (nb, b)
-                                + x.shape[axis + 1:])
-            extra = jax.lax.slice_in_dim(x, b, nb * b + 1, stride=b,
-                                         axis=axis)
-            extra = extra.reshape(x.shape[:axis] + (nb, 1)
-                                  + x.shape[axis + 1:])
-            return jnp.concatenate([main, extra], axis=axis + 1)
-
-        (BX, BY, BZ) = self.geo.bricks
-        (bx, by, bz) = self.geo.brick_elems
-        X = expand(r3, 0, bx, BX)          # (BX, bx+1, NYn, NZn)
-        X = expand(X, 2, by, BY)           # (BX, bx+1, BY, by+1, NZn)
-        X = expand(X, 4, bz, BZ)
-        return X.transpose(1, 3, 5, 0, 2, 4).reshape(self.geo.box, -1)
-
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
         """coarse = R res: strided window extraction + slot-major
         multiply-reduce (brick axis in lanes, VPU-streaming); output in
         the slot-major padded layout."""
         r3 = res_flat.reshape(self.geo.nodes)
-        boxes = self._extract_boxes(r3)           # (box, NB)
+        boxes = extract_boxes(r3, self.geo.brick_elems,
+                              self.geo.bricks)    # (box, NB)
         if self.Rst_pad is not None:
             from saamge_tpu.ops.pallas_contract import contract_R
             yc = contract_R(self.Rst_pad, boxes,

@@ -10,7 +10,8 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
-from jax.sharding import Mesh as JaxMesh
+from jax.sharding import (Mesh as JaxMesh, NamedSharding,
+                          PartitionSpec as P)
 
 from saamge_tpu.api import SpectralAMGSolver, checkerboard_coef
 from saamge_tpu.config import SolverOptions
@@ -143,3 +144,42 @@ def test_cartesian_partitioner():
     part = partition_cartesian_2d(mesh.elem_centers(), 2, 2)
     assert part.max() == 3 and np.bincount(part).tolist() == [16] * 4
     assert (partition_identity(5) == np.arange(5)).all()
+
+
+def test_far_exchange_spmv_matches_scipy():
+    """The packed far exchange (ParCSR offd analog): a matrix with
+    deliberately long-range couplings must still produce exact SpMV
+    results through the split window + packed path, with the far part
+    actually engaged (far is not None) and comm volume ~ window + F."""
+    import scipy.sparse as sp
+    from jax.experimental.shard_map import shard_map
+    from saamge_tpu.parallel.sharded import (_build_halo_op, _shard_op,
+                                             _spmv)
+
+    rng = np.random.default_rng(11)
+    n, ndev = 256, 8
+    # banded base + a handful of cross-machine couplings
+    A = sp.diags([np.ones(n - 1), 3.0 * np.ones(n), np.ones(n - 1)],
+                 [-1, 0, 1], format="lil")
+    far_pairs = [(3, 250), (100, 7), (40, 200), (255, 0), (128, 30)]
+    for i, j in far_pairs:
+        A[i, j] = 0.5
+        A[j, i] = 0.5
+    A = A.tocsr()
+
+    mesh = JaxMesh(_devices(ndev), axis_names=("dp",))
+    op = _shard_op(_build_halo_op(A, ndev, n, n, jnp.float64), mesh)
+    assert op.far is not None, "far path not engaged"
+    assert op.H < n // ndev, "window should stay sub-block"
+    assert op.comm_per_apply() < n // 2
+
+    x = rng.standard_normal(n)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+
+    def body(o, xb):
+        return _spmv(o, xb, "dp")
+
+    spec_op = jax.tree_util.tree_map(lambda _: P("dp", None), op)
+    y = shard_map(body, mesh=mesh, in_specs=(spec_op, P("dp")),
+                  out_specs=P("dp"), check_rep=False)(op, xs)
+    np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-12)
