@@ -174,3 +174,23 @@ def test_struct_full_bf16_preconditioner_iterations():
     # both solve the SAME f32 operator to the same tolerance
     assert np.allclose(np.asarray(x16), np.asarray(x32),
                        atol=1e-3 * np.abs(np.asarray(x32)).max())
+
+
+def test_extract_boxes_matches_conv_patches():
+    """extract_boxes (reshape+concat overlap decomposition) must equal
+    conv_general_dilated_patches window extraction for several brick
+    geometries (the conv is the semantics reference; the decomposition
+    replaced it for speed — CLAUDE.md round-3 facts)."""
+    from saamge_tpu.solve.structured import extract_boxes
+    rng = np.random.default_rng(2)
+    for (bricks, be) in [((2, 2, 2), (2, 2, 2)), ((3, 2, 1), (2, 3, 4)),
+                         ((1, 1, 2), (5, 2, 3))]:
+        nodes = tuple(B * b + 1 for B, b in zip(bricks, be))
+        r3 = jnp.asarray(rng.standard_normal(nodes), jnp.float32)
+        p = jax.lax.conv_general_dilated_patches(
+            r3[None, None], filter_shape=tuple(b + 1 for b in be),
+            window_strides=be, padding="VALID")[0]
+        box = np.prod([b + 1 for b in be])
+        ref = np.asarray(p.reshape(box, -1))
+        got = np.asarray(extract_boxes(r3, be, bricks))
+        np.testing.assert_array_equal(got, ref)
