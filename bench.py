@@ -181,15 +181,26 @@ def main():
 
     t0 = time.perf_counter()
     if structured:
-        from saamge_tpu.topology.part import partition_cartesian_3d
+        from saamge_tpu.topology.part import (partition_cartesian_3d,
+                                              partition_cartesian_bricks)
         nb = n // args.brick
         part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+        # superbrick 3rd-level partitioning (~64 bricks per superbrick)
+        # keeps the coarsest restriction block-diagonal
+        # (solve/structured.py build_structured_interp2)
+        sgrid = min((d for d in range(1, nb + 1) if nb % d == 0),
+                    key=lambda d: abs(d - nb / 4))
+        supers = (sgrid,) * 3 if (args.levels >= 3 and sgrid > 1) \
+            else None
+        override = (lambda i: partition_cartesian_bricks(
+            (nb,) * 3, supers)) if supers else None
         opts = SolverOptions(
             num_levels=args.levels, correct_nulspace=False,
             first_theta=theta, theta=theta, nu_relax=[3, 1],
             device_setup=not args.host_setup)
         s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
-                              partitioning=part)
+                              partitioning=part,
+                              coarse_part_override=override)
     else:
         num_levels = args.levels if ndof > 5000 else 2
         opts = SolverOptions(num_levels=num_levels, correct_nulspace=False,
@@ -220,7 +231,7 @@ def main():
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16,
-                               fine_layout=layout)
+                               fine_layout=layout, super_bricks=supers)
 
         def vcycle_once(hier, b0, c):
             # NB: must use the traced argument, not a closure — closure-
@@ -266,20 +277,23 @@ def main():
         if n_pad >= 192:
             eig_exec = measure_eig_throughput(batch, n_pad, m=64)
 
-    # --- V-cycle timing: whole rep chain inside ONE jitted call -------
-    R = args.reps
+    # --- V-cycle timing: whole rep chain inside ONE jitted call, two
+    # independently-compiled chains (different scan lengths = separate
+    # autotune draws — the tunnel's slow-process lottery, CLAUDE.md) ---
+    draws = []
+    for R in (args.reps, args.reps + 1):
+        @jax.jit
+        def chain(hier, b0):
+            def body(c, _):
+                return vcycle_once(hier, b0, c), ()
+            y, _ = jax.lax.scan(body, jnp.zeros_like(b0), jnp.zeros(R))
+            return jnp.sum(y)
 
-    @jax.jit
-    def chain(hier, b0):
-        def body(c, _):
-            return vcycle_once(hier, b0, c), ()
-        y, _ = jax.lax.scan(body, jnp.zeros_like(b0), jnp.zeros(R))
-        return jnp.sum(y)
-
-    float(chain(h, bdev))
-    t0 = time.perf_counter()
-    float(chain(h, bdev * 1.000001))
-    dt = (time.perf_counter() - t0) / R
+        float(chain(h, bdev))
+        t0 = time.perf_counter()
+        float(chain(h, bdev * 1.000001))
+        draws.append((time.perf_counter() - t0) / R)
+    dt = min(draws)
     dofs_per_sec = ndof / dt
 
     # --- measured per-component times (locates every ms of the cycle;
@@ -334,7 +348,7 @@ def main():
                         jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
             timed_chain(
                 "coarsest_ms",
-                lambda x, hh: x + hh.R1.T @ (hh.Ainv @ (hh.R1 @ x)),
+                lambda x, hh: x + hh._coarsest_correct(x),
                 jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
             deg0 = len(h.taus0)
             deg1 = len(h.taus1)
@@ -380,6 +394,12 @@ def main():
                 ba = passes * (h.A1d.nbytes + 3 * h.dinv1.shape[0] * 4)
             else:
                 ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)
+            # coarsest restriction/prolongation stream (block-diagonal
+            # superbrick tent blocks, or the dense R1 twice)
+            if h.Rst1 is not None:
+                ba += 2 * h.Rst1.size * h.Rst1.dtype.itemsize
+            elif h.R1 is not None:
+                ba += 2 * h.R1.size * h.R1.dtype.itemsize
         else:
             ba = bm
         bytes_model += bm
@@ -426,6 +446,7 @@ def main():
             "coarse_dims": [lv.tg_data.Ac.shape[0] for lv in s.ml.levels],
             "pcg_iters_1e-6": iters,
             "vcycle_ms": round(dt * 1e3, 3),
+            "vcycle_ms_draws": [round(d * 1e3, 3) for d in draws],
             "host_vcycle_ms": round(host_dt * 1e3, 3),
             "assemble_s": round(assemble_s, 2),
             "setup_s": round(setup_s, 2),

@@ -156,6 +156,65 @@ def build_structured_interp(rels, P: sp.csr_matrix,
     return Rst, cd_brick, slot, bs
 
 
+def build_structured_interp2(rels1, P1: sp.csr_matrix,
+                             mis_numcoarsedof1: np.ndarray,
+                             geo: BrickGeometry, supers,
+                             cd_brick: np.ndarray, slot: np.ndarray,
+                             bs: int):
+    """Block-diagonal level-2 tent restriction blocks over superbricks.
+
+    In the slot-major master-brick layout every level-2 tent column is
+    supported on level-1 dofs whose MASTER brick lies inside the
+    column's master superbrick: a dof with master brick p in superbrick
+    S' belongs to AE2 S' (its MIS1 is contained in brick p), so its
+    MIS2 signature-min is <= S' — a master-S MIS2 can only hold dofs
+    with master bricks in S.  Hence R1 is BLOCK-DIAGONAL over
+    superbricks (no window overlap, unlike the node-grid fine level)
+    and applies as a reshape/transpose + one batched contraction —
+    replacing the dense (n2, n_flat) restriction (7 GB/cycle at 8.12M
+    dofs) with the ~NB2*bs2*win tent blocks.
+
+    Returns (Rst1 (bs2, win, NB2), cd2_brick, slot2, bs2) with
+    win = bs*sx*sy*sz and window position ((s*sx+lx)*sy+ly)*sz+lz
+    (matching apply_R1's reshape/transpose).  Reference counterpart:
+    coarse-level Dof_TrueDof blocks, aggregates.cpp:1610-1730."""
+    (BX, BY, BZ) = geo.bricks
+    SX, SY, SZ = supers
+    if BX % SX or BY % SY or BZ % SZ:
+        raise ValueError("supers must divide the brick grid evenly")
+    sx, sy, sz = BX // SX, BY // SY, BZ // SZ
+    cd2_brick, slot2, bs2, _ = coarse_brick_numbering(
+        rels1, mis_numcoarsedof1)
+    NB2 = SX * SY * SZ
+    win = bs * sx * sy * sz
+    Pc = P1.tocsc()
+    n2 = Pc.shape[1]
+    assert len(cd2_brick) == n2, (len(cd2_brick), n2)
+    rows = Pc.indices                       # level-1 coarse dof ids
+    vals = Pc.data
+    col_of = np.repeat(np.arange(n2), np.diff(Pc.indptr))
+    p = cd_brick[rows]
+    s = slot[rows]
+    pz = p % BZ
+    py = (p // BZ) % BY
+    px = p // (BY * BZ)
+    S = cd2_brick[col_of]
+    Sz = S % SZ
+    Sy = (S // SZ) % SY
+    Sx = S // (SY * SZ)
+    lx, ly, lz = px - Sx * sx, py - Sy * sy, pz - Sz * sz
+    ok = ((lx >= 0) & (lx < sx) & (ly >= 0) & (ly < sy)
+          & (lz >= 0) & (lz < sz))
+    if not np.all(ok):
+        raise ValueError(
+            "level-2 tent column escapes its master superbrick — "
+            "the 3rd-level partitioning is not superbrick-structured")
+    winpos = ((s * sx + lx) * sy + ly) * sz + lz
+    Rst1 = np.zeros((bs2, win, NB2), dtype=np.float32)
+    Rst1[slot2[col_of], winpos, S] = vals
+    return Rst1, cd2_brick, slot2, bs2
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BrickBlockOp:
@@ -313,18 +372,27 @@ class StructuredHierarchy:
     A0s: Optional[PallasDIA] = None
     # pre-padded Rst copy for the Pallas contraction kernels
     Rst_pad: Optional[jnp.ndarray] = None
+    # structured coarsest restriction (replaces the dense R1): per-
+    # superbrick tent blocks (bs2, win, NB2), the superbrick grid, and
+    # the padded->real level-2 dof bridge (build_structured_interp2)
+    Rst1: Optional[jnp.ndarray] = None
+    supers: Optional[tuple] = None          # static (SX, SY, SZ)
+    flat_id2: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
-                 self.flat_id, self.A0s, self.Rst_pad),
-                (self.geo, self.n_fine, self.n_flat, self.nzp))
+                 self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
+                 self.flat_id2),
+                (self.geo, self.n_fine, self.n_flat, self.nzp,
+                 self.supers))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:9], aux[0], aux[1], aux[2],
                    flat_id=children[9], nzp=aux[3], A0s=children[10],
-                   Rst_pad=children[11])
+                   Rst_pad=children[11], Rst1=children[12],
+                   supers=aux[4], flat_id2=children[13])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -413,6 +481,45 @@ class StructuredHierarchy:
         y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
         return y3.reshape(-1)
 
+    # -- structured coarsest R1/P1 (block-diagonal over superbricks) ----
+    def _super_dims(self):
+        (BX, BY, BZ), (SX, SY, SZ) = self.geo.bricks, self.supers
+        return (SX, SY, SZ), (BX // SX, BY // SY, BZ // SZ)
+
+    def apply_R1(self, rc_flat: jnp.ndarray) -> jnp.ndarray:
+        """level-2 restriction on the slot-major padded level-1 vector:
+        regroup bricks by superbrick (a ~1 MB reshape/transpose) + one
+        batched contraction of the block-diagonal tent blocks."""
+        (SX, SY, SZ), (sx, sy, sz) = self._super_dims()
+        bs = self.Rst.shape[0]
+        W = rc_flat.reshape(bs, SX, sx, SY, sy, SZ, sz) \
+            .transpose(0, 2, 4, 6, 1, 3, 5) \
+            .reshape(bs * sx * sy * sz, SX * SY * SZ)
+        return jnp.sum(self.Rst1.astype(jnp.float32)
+                       * W[None].astype(jnp.float32), axis=1)  # (bs2,NB2)
+
+    def apply_P1(self, y2: jnp.ndarray) -> jnp.ndarray:
+        """adjoint of apply_R1: (bs2, NB2) -> slot-major (n_flat,)."""
+        (SX, SY, SZ), (sx, sy, sz) = self._super_dims()
+        bs = self.Rst.shape[0]
+        W = jnp.sum(self.Rst1.astype(jnp.float32)
+                    * y2[:, None, :].astype(jnp.float32), axis=0)
+        return W.reshape(bs, sx, sy, sz, SX, SY, SZ) \
+            .transpose(0, 4, 1, 5, 2, 6, 3) \
+            .reshape(-1)
+
+    def _coarsest_correct(self, r1: jnp.ndarray) -> jnp.ndarray:
+        """x1 += P1 Ainv R1 r1 term of the cycle on the padded mid
+        layout; dense-R1 or structured per what compile built."""
+        if self.Rst1 is not None:
+            rc2 = self.apply_R1(r1).reshape(-1)
+            y2 = self.Ainv @ rc2[self.flat_id2]
+            y2p = jnp.zeros_like(rc2).at[self.flat_id2].set(y2)
+            nb2 = self.Rst1.shape[2]
+            return self.apply_P1(y2p.reshape(-1, nb2))
+        y2 = self.Ainv @ (self.R1 @ r1)
+        return self.R1.T @ y2
+
     # -- cycle ----------------------------------------------------------
     def _smooth_h(self, A, taus, dinvh, bh, xh):
         for it in taus:
@@ -439,8 +546,7 @@ class StructuredHierarchy:
             for it in self.taus1:
                 x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
             r1 = b1 - self._mid_matvec(x1)
-            y2 = self.Ainv @ (self.R1 @ r1)
-            x1 = x1 + self.R1.T @ y2
+            x1 = x1 + self._coarsest_correct(r1)
             for it in self.taus1:
                 x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
             xc = x1 if padded_mid \
@@ -524,7 +630,8 @@ def compile_structured(ml, geo: BrickGeometry,
                        fine_layout: str = "flat",
                        smoother_dtype=None,
                        rp_dtype=jnp.float32,
-                       use_pallas_contract: bool = False
+                       use_pallas_contract: bool = False,
+                       super_bricks: Optional[Tuple[int, int, int]] = None
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -559,9 +666,15 @@ def compile_structured(ml, geo: BrickGeometry,
 
     ``use_pallas_contract``: route the tent P/R contractions through the
     blocked Pallas kernels (ops/pallas_contract.py) instead of XLA's
-    multiply-reduce.  Off by default: measured SLOWER on v5e at n=96
-    (applyR 2.10 vs 1.04 ms — the box-chunked accumulation re-reads the
-    output block per chunk); kept for experimentation."""
+    multiply-reduce (v3 kernels measure within noise of the XLA path).
+
+    ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
+    partitioning (topology.part.partition_cartesian_bricks passed as
+    ``coarse_part_override(1)`` at setup).  Replaces the dense
+    coarsest restriction with the block-diagonal per-superbrick tent
+    blocks (build_structured_interp2) — at 8.12M dofs the dense R1
+    streams 7 GB/cycle, the blocks ~0.08 GB.  Requires
+    mid_format='brickblock' and an unsmoothed P1."""
     if interpret is None:
         interpret = jax.devices()[0].platform == "cpu"
     lv0 = ml.levels[0]
@@ -605,8 +718,8 @@ def compile_structured(ml, geo: BrickGeometry,
         tg1 = ml.levels[1].tg_data
         pd1 = tg1.poly_data
         dinv1_np = np.asarray(pd1.dinv, np.float64)
-        R1_np = np.asarray(tg1.restr.todense(), dtype=np.float64)
-        n2 = R1_np.shape[0]
+        n2 = tg1.restr.shape[0]
+        R1 = Rst1_dev = flat_id2 = None
         if mid_format == "brickblock":
             A1d = BrickBlockOp.from_csr(Ac1, cd_brick, slot, bs,
                                         geo.bricks, mid_dtype)
@@ -615,16 +728,30 @@ def compile_structured(ml, geo: BrickGeometry,
             dinv1p = np.zeros(n_flat)
             dinv1p[flat_id] = dinv1_np
             dinv1 = jnp.asarray(dinv1p, jnp.float32)
-            R1p = np.zeros((n2, n_flat))
-            R1p[:, flat_id] = R1_np
-            # rp_dtype (bf16 in the bench config) halves the dense
-            # coarsest-restriction stream — 0.8 GB/cycle at n=128;
-            # applies upcast to f32 (mixed-dtype matmul promotion)
-            R1 = jnp.asarray(R1p, rp_dtype)
+            if super_bricks is not None:
+                assert not tg1.smooth_interp, \
+                    "structured coarsest restriction needs the tent P1"
+                Rst1_np, cd2_brick, slot2, bs2 = build_structured_interp2(
+                    ml.levels[1].rels, tg1.tent_interp,
+                    tg1.interp_data.mis_numcoarsedof, geo, super_bricks,
+                    cd_brick, slot, bs)
+                NB2 = int(np.prod(super_bricks))
+                Rst1_dev = jnp.asarray(Rst1_np, rp_dtype)
+                flat_id2 = jnp.asarray(slot2 * NB2 + cd2_brick,
+                                       jnp.int32)
+            else:
+                R1p = np.zeros((n2, n_flat))
+                R1p[:, flat_id] = np.asarray(tg1.restr.todense(),
+                                             dtype=np.float64)
+                # rp_dtype (bf16 in the bench config) halves the dense
+                # coarsest-restriction stream — 0.8 GB/cycle at n=128;
+                # applies upcast to f32 (mixed-dtype matmul promotion)
+                R1 = jnp.asarray(R1p, rp_dtype)
         else:
             A1d = jnp.asarray(np.asarray(Ac1.todense()), mid_dtype)
             dinv1 = jnp.asarray(dinv1_np, jnp.float32)
-            R1 = jnp.asarray(R1_np, rp_dtype)
+            R1 = jnp.asarray(np.asarray(tg1.restr.todense(),
+                                        dtype=np.float64), rp_dtype)
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
@@ -634,7 +761,8 @@ def compile_structured(ml, geo: BrickGeometry,
             A1d, dinv1, taus1, R1,
             _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
             flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
-            Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract))
+            Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract),
+            Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)

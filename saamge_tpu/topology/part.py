@@ -245,6 +245,26 @@ def partition_cartesian_3d(elem_centers: np.ndarray, nx: int, ny: int,
     return (ix * ny + iy) * nz + iz
 
 
+def partition_cartesian_bricks(bricks, supers) -> np.ndarray:
+    """Superbrick partitioning of a brick-grid coarse level: maps the
+    part (brick) ids of a partition_cartesian_3d level, numbered
+    (bx*BY + by)*BZ + bz, onto an SX x SY x SZ grid of superbricks with
+    the same numbering convention.  Used as ``coarse_part_override(1)``
+    so the 3rd level inherits the brick structure and the coarsest
+    restriction stays block-diagonal over superbricks
+    (solve/structured.py build_structured_interp2; the reference's
+    nested Cartesian agglomeration analog, fem.cpp:560)."""
+    (BX, BY, BZ), (SX, SY, SZ) = bricks, supers
+    if BX % SX or BY % SY or BZ % SZ:
+        raise ValueError("supers must divide the brick grid evenly")
+    sx, sy, sz = BX // SX, BY // SY, BZ // SZ
+    p = np.arange(BX * BY * BZ, dtype=np.int64)
+    pz = p % BZ
+    py = (p // BZ) % BY
+    px = p // (BY * BZ)
+    return ((px // sx) * SY + (py // sy)) * SZ + (pz // sz)
+
+
 def partition_identity(n: int) -> np.ndarray:
     """Identity partitioning: every element its own agglomerate
     (fem_create_partitioning_identity, fem.cpp:648)."""

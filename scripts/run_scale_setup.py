@@ -42,11 +42,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def solve_bundle(ml, b, out):
+def solve_bundle(ml, b, out, supers=None):
     """Minimal picklable shim of the attributes compile_structured
     reads (solve/structured.py:565-647)."""
     lv0, lv1 = ml.levels[0], ml.levels[1]
     rels = lv0.rels
+    rels1 = lv1.rels
     tg0, tg1 = lv0.tg_data, lv1.tg_data
     ml_shim = types.SimpleNamespace(levels=[
         types.SimpleNamespace(
@@ -60,10 +61,18 @@ def solve_bundle(ml, b, out):
                 interp_data=types.SimpleNamespace(
                     mis_numcoarsedof=tg0.interp_data.mis_numcoarsedof),
                 Ac=tg0.Ac)),
-        types.SimpleNamespace(tg_data=types.SimpleNamespace(
-            restr=tg1.restr, poly_data=tg1.poly_data, Ac=tg1.Ac)),
+        types.SimpleNamespace(
+            rels=types.SimpleNamespace(
+                num_mises=rels1.num_mises, mis_to_AE=rels1.mis_to_AE,
+                nparts=rels1.nparts),
+            tg_data=types.SimpleNamespace(
+                smooth_interp=tg1.smooth_interp,
+                restr=tg1.restr, tent_interp=tg1.tent_interp,
+                interp_data=types.SimpleNamespace(
+                    mis_numcoarsedof=tg1.interp_data.mis_numcoarsedof),
+                poly_data=tg1.poly_data, Ac=tg1.Ac)),
     ])
-    return {"ml": ml_shim, "b": b, "out": out}
+    return {"ml": ml_shim, "b": b, "out": out, "supers": supers}
 
 
 def main():
@@ -79,6 +88,10 @@ def main():
                          "a PCG solve (TPU only)")
     ap.add_argument("--hier-cache", type=str, default=None,
                     help="pickle the solve bundle here / reuse it")
+    ap.add_argument("--supers", type=int, default=0,
+                    help="superbrick grid side for the 3rd level "
+                         "(0 = auto: divisor of nb nearest nb/4; "
+                         "-1 = unstructured kway + dense R1)")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +106,7 @@ def main():
         with open(args.hier_cache, "rb") as f:
             bundle = pickle.load(f)
         ml_obj, b, out = bundle["ml"], bundle["b"], bundle["out"]
+        supers = bundle.get("supers")
         out["from_cache"] = True
         ndof = out["ndof"]
     else:
@@ -122,13 +136,26 @@ def main():
         part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
         phases["partition_s"] = round(time.perf_counter() - t0, 2)
 
+        sgrid = args.supers
+        if sgrid == 0:
+            sgrid = min((d for d in range(1, nb + 1) if nb % d == 0),
+                        key=lambda d: abs(d - nb / 4))
+        supers = (sgrid,) * 3 if (args.levels >= 3 and sgrid > 1) \
+            else None
+        if supers:
+            from saamge_tpu.topology.part import partition_cartesian_bricks
+            override = lambda i: partition_cartesian_bricks(  # noqa: E731
+                (nb,) * 3, supers)
+        else:
+            override = None
         opts = SolverOptions(
             num_levels=args.levels, correct_nulspace=False,
             first_theta=args.theta, theta=args.theta, nu_relax=[3, 1],
             device_setup=on_tpu and not args.host_setup)
         t0 = time.perf_counter()
         s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
-                              partitioning=part)
+                              partitioning=part,
+                              coarse_part_override=override)
         phases["setup_s"] = round(time.perf_counter() - t0, 2)
         phases["setup_device_pipeline_s"] = round(
             TIMERS.total("setup.device_pipeline"), 2)
@@ -155,7 +182,7 @@ def main():
         }
         ml_obj = s.ml
         if args.hier_cache:
-            bundle = solve_bundle(s.ml, b, out)
+            bundle = solve_bundle(s.ml, b, out, supers=supers)
             with open(args.hier_cache + ".tmp", "wb") as f:
                 pickle.dump(bundle, f)
             os.replace(args.hier_cache + ".tmp", args.hier_cache)
@@ -170,7 +197,9 @@ def main():
         t0 = time.perf_counter()
         h = compile_structured(ml_obj, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
-                               rp_dtype=jnp.bfloat16, fine_layout="zlane")
+                               rp_dtype=jnp.bfloat16, fine_layout="zlane",
+                               super_bricks=supers)
+        out["supers"] = supers
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
         x, iters, relres = struct_pcg_solve(h, bdev, max_iter=200)

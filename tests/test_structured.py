@@ -194,3 +194,40 @@ def test_extract_boxes_matches_conv_patches():
         ref = np.asarray(p.reshape(box, -1))
         got = np.asarray(extract_boxes(r3, be, bricks))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_structured_coarsest_restriction_matches_dense():
+    """super_bricks mode (block-diagonal per-superbrick R1 tent blocks,
+    build_structured_interp2) must reproduce the dense-R1 cycle: both
+    apply the same tent restriction operator."""
+    from saamge_tpu.topology.part import partition_cartesian_bricks
+    n, nb, sb = 8, 4, 2
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    rng = np.random.default_rng(3)
+    coefs = 10.0 ** rng.uniform(-1, 1, mesh.num_elements)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+
+    def override(i):
+        assert i == 1
+        return partition_cartesian_bricks((nb,) * 3, (sb,) * 3)
+
+    opts = SolverOptions(num_levels=3, correct_nulspace=False,
+                         elems_per_agg=4, device_setup=False)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                          partitioning=part,
+                          coarse_part_override=override)
+    geo = BrickGeometry((nb,) * 3, (n // nb,) * 3)
+    h_dense = compile_structured(s.ml, geo)
+    h_st = compile_structured(s.ml, geo, super_bricks=(sb,) * 3)
+    assert h_st.Rst1 is not None and h_st.R1 is None
+    bdev = jnp.asarray(b, jnp.float32)
+    y_d = np.asarray(struct_vcycle_apply(h_dense, bdev))
+    y_s = np.asarray(struct_vcycle_apply(h_st, bdev))
+    ref = np.abs(y_d).max()
+    assert np.abs(y_d - y_s).max() <= 1e-5 * ref
+    x1, it1, _ = struct_pcg_solve(h_dense, bdev, max_iter=60)
+    x2, it2, _ = struct_pcg_solve(h_st, bdev, max_iter=60)
+    assert int(it1) == int(it2)
