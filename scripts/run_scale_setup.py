@@ -19,9 +19,9 @@ Usage: python scripts/run_scale_setup.py [--n 200] [--levels 3]
 (exactly the host arrays compile_structured consumes) to PATH; when
 PATH already exists, skip setup and solve from the bundle.  Purpose:
 the tunnel's slow-process lottery (CLAUDE.md round-3 facts — identical
-compiled programs run up to 20x slower in some processes; the round-3
-8.12M run recorded 588 ms/V-cycle in its 38-min setup process while a
-fresh process measures ~35 ms for the same shapes) makes solve timings
+compiled programs run up to 20x slower in some processes; an early
+round-3 8.12M run recorded 588 ms/V-cycle in its 38-min setup process
+while the recorded run measures 62.2 ms) makes solve timings
 from the setup process unreliable; the bundle lets the solve run in a
 fresh process, and the V-cycle is additionally timed via two
 independently-compiled chains (different scan lengths = different
