@@ -146,13 +146,7 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     box = h.Rst.shape[1]
     NB = geo.num_bricks
     nb_loc = bxloc * BY * BZ
-    # h.Rst box-window rows are in slot_blocked_order (matching the
-    # single-chip extract_boxes_blocked); the sharded kernels use the
-    # lex-order extract_boxes / interleave assembly, so un-permute.
-    from saamge_tpu.solve.structured import slot_blocked_order
-    perm, _ = slot_blocked_order(geo.brick_elems)
-    inv_perm = np.argsort(perm)
-    rst_np = np.asarray(h.Rst)[:, inv_perm].reshape(bs, box, ndev, nb_loc)
+    rst_np = np.asarray(h.Rst).reshape(bs, box, ndev, nb_loc)
     rst = np.ascontiguousarray(rst_np.transpose(2, 0, 1, 3))
 
     blk = np.asarray(h.A1d.blocks, np.float32)  # (k1, bs, bs, NB)

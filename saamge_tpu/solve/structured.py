@@ -324,87 +324,6 @@ def extract_boxes(r3: jnp.ndarray, brick_elems, bricks) -> jnp.ndarray:
     return X.transpose(1, 3, 5, 0, 2, 4).reshape(box, -1)
 
 
-def slot_blocked_order(brick_elems):
-    """Permutation taking box-window slots (i,j,k) in (bx+1)(by+1)(bz+1)
-    lex order to the BLOCKED-piece order used by extract_boxes_blocked:
-    slots grouped by which non-overlapping (bx,by,bz) block of the node
-    grid they read (piece e[d]=1 <=> slot coord = brick_elems[d], i.e.
-    the closed-box face plane owned by the NEXT block).  Returns
-    (perm, pieces): new_slot q reads old slot perm[q]; pieces is the
-    static list of ((ex,ey,ez), (sx,sy,sz)) piece shapes."""
-    bx, by, bz = brick_elems
-    perm, pieces = [], []
-    import itertools
-    for ex, ey, ez in itertools.product((0, 1), repeat=3):
-        sx = bx if ex == 0 else 1
-        sy = by if ey == 0 else 1
-        sz = bz if ez == 0 else 1
-        for di in range(sx):
-            for dj in range(sy):
-                for dk in range(sz):
-                    i, j, k = di + bx * ex, dj + by * ey, dk + bz * ez
-                    perm.append((i * (by + 1) + j) * (bz + 1) + k)
-        pieces.append(((ex, ey, ez), (sx, sy, sz)))
-    return np.asarray(perm, np.int64), pieces
-
-
-def extract_boxes_blocked(r3: jnp.ndarray, brick_elems,
-                          bricks) -> jnp.ndarray:
-    """extract_boxes in the slot_blocked_order slot ordering, built
-    WITHOUT any size-(b+1) minor dims: pad the node grid to whole
-    (B_d+1) blocks, ONE non-overlapping block transpose
-    B[(di,dj,dk), (qx,qy,qz)] = grid[q*b+d], then each of the 8 window
-    pieces is a static shifted slice of the block grid.  The classic
-    expansion materializes intermediates whose minor dim is b+1=9 —
-    padded 9->128 lanes per tile by the TPU layout, which measured
-    5-6 ms for the 8.12M-dof apply_R where the contraction alone is
-    1.3 ms; the blocked form keeps every minor dim a full block-grid
-    axis.  Zero-padded planes are only ever multiplied by structurally
-    zero tent weights (every real box window lies inside the closed
-    node grid)."""
-    (BX, BY, BZ) = bricks
-    (bx, by, bz) = brick_elems
-    QX, QY, QZ = BX + 1, BY + 1, BZ + 1
-    r3p = jnp.pad(r3, ((0, QX * bx - r3.shape[0]),
-                       (0, QY * by - r3.shape[1]),
-                       (0, QZ * bz - r3.shape[2])))
-    B6 = r3p.reshape(QX, bx, QY, by, QZ, bz) \
-        .transpose(1, 3, 5, 0, 2, 4)       # (bx,by,bz, QX,QY,QZ)
-    _, pieces = slot_blocked_order(brick_elems)
-    outs = []
-    for (ex, ey, ez), (sx, sy, sz) in pieces:
-        piece = B6[0:sx, 0:sy, 0:sz,
-                   ex:ex + BX, ey:ey + BY, ez:ez + BZ]
-        outs.append(piece.reshape(sx * sy * sz, BX * BY * BZ))
-    return jnp.concatenate(outs, axis=0)
-
-
-def fold_boxes_blocked(C: jnp.ndarray, brick_elems, bricks,
-                       nodes) -> jnp.ndarray:
-    """Exact adjoint of extract_boxes_blocked: per-box window
-    contributions C (box, NB) in blocked slot order -> node grid, with
-    duplicated window reads accumulated by shifted adds in BLOCK space
-    followed by one inverse block transpose.  (For tent blocks the
-    duplicate slots carry structurally zero weights — each P entry
-    lives only in its coarse dof's master brick — so this also equals
-    the master-pick assembly it replaces.)"""
-    (BX, BY, BZ) = bricks
-    (bx, by, bz) = brick_elems
-    QX, QY, QZ = BX + 1, BY + 1, BZ + 1
-    _, pieces = slot_blocked_order(brick_elems)
-    acc = jnp.zeros((bx, by, bz, QX, QY, QZ), jnp.float32)
-    off = 0
-    for (ex, ey, ez), (sx, sy, sz) in pieces:
-        n = sx * sy * sz
-        piece = C[off:off + n].reshape(sx, sy, sz, BX, BY, BZ)
-        acc = acc.at[0:sx, 0:sy, 0:sz,
-                     ex:ex + BX, ey:ey + BY, ez:ez + BZ].add(piece)
-        off += n
-    grid = acc.transpose(3, 0, 4, 1, 5, 2) \
-        .reshape(QX * bx, QY * by, QZ * bz)
-    return grid[:nodes[0], :nodes[1], :nodes[2]]
-
-
 # ---------------------------------------------------------------------------
 # device-side structured hierarchy
 
@@ -504,14 +423,12 @@ class StructuredHierarchy:
 
     # -- structured tentative P/R apply ---------------------------------
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
-        """coarse = R res: blocked window extraction (one block
-        transpose + 8 shifted slices, no size-9 minor dims) +
-        slot-major multiply-reduce (brick axis in lanes,
-        VPU-streaming); output in the slot-major padded layout.  Rst
-        rows are stored in slot_blocked_order to match."""
+        """coarse = R res: strided window extraction + slot-major
+        multiply-reduce (brick axis in lanes, VPU-streaming); output in
+        the slot-major padded layout."""
         r3 = res_flat.reshape(self.geo.nodes)
-        boxes = extract_boxes_blocked(r3, self.geo.brick_elems,
-                                      self.geo.bricks)    # (box, NB)
+        boxes = extract_boxes(r3, self.geo.brick_elems,
+                              self.geo.bricks)    # (box, NB)
         if self.Rst_pad is not None:
             from saamge_tpu.ops.pallas_contract import contract_R
             yc = contract_R(self.Rst_pad, boxes,
@@ -521,9 +438,12 @@ class StructuredHierarchy:
         return yc.reshape(-1)
 
     def apply_P(self, xc_flat: jnp.ndarray) -> jnp.ndarray:
-        """fine = P xc: slot-major multiply-reduce + the exact adjoint
-        of the blocked extraction (shifted adds in block space + one
-        inverse block transpose, fold_boxes_blocked)."""
+        """fine = P^T-style prolongation: slot-major multiply-reduce +
+        8-piece static-slice overlap assembly (pieces are disjoint
+        because dof plane g = k*b belongs to brick k-1 — the
+        master/minimum rule)."""
+        (BX, BY, BZ) = self.geo.bricks
+        (bx, by, bz) = self.geo.brick_elems
         bs = self.Rst.shape[0]
         xc = xc_flat.reshape(bs, -1)              # (bs, NB)
         if self.Rst_pad is not None:
@@ -532,8 +452,33 @@ class StructuredHierarchy:
                            interpret=self.A0.interpret)
         else:
             C = jnp.sum(self.Rst * xc[:, None, :], axis=0)  # (box, NB)
-        y3 = fold_boxes_blocked(C, self.geo.brick_elems,
-                                self.geo.bricks, self.geo.nodes)
+        C = C.reshape(bx + 1, by + 1, bz + 1, BX, BY, BZ) \
+            .transpose(3, 4, 5, 0, 1, 2)
+        y3 = jnp.zeros(self.geo.nodes, dtype=jnp.float32)
+
+        def interleave(piece, dims):
+            # piece (B_d..., b_d...) -> transpose to (B,b) pairs, flatten
+            nd = len(dims)
+            permute = []
+            for d in range(nd):
+                permute += [d, nd + d]
+            out = piece.transpose(permute)
+            return out.reshape([piece.shape[d] * piece.shape[nd + d]
+                                for d in range(nd)])
+
+        # S = set of dims pinned at global plane 0
+        y3 = y3.at[1:, 1:, 1:].set(
+            interleave(C[:, :, :, 1:, 1:, 1:], (0, 1, 2)))
+        y3 = y3.at[0, 1:, 1:].set(
+            interleave(C[0, :, :, 0, 1:, 1:], (0, 1)))
+        y3 = y3.at[1:, 0, 1:].set(
+            interleave(C[:, 0, :, 1:, 0, 1:], (0, 1)))
+        y3 = y3.at[1:, 1:, 0].set(
+            interleave(C[:, :, 0, 1:, 1:, 0], (0, 1)))
+        y3 = y3.at[0, 0, 1:].set(interleave(C[0, 0, :, 0, 0, 1:], (0,)))
+        y3 = y3.at[0, 1:, 0].set(interleave(C[0, :, 0, 0, 1:, 0], (0,)))
+        y3 = y3.at[1:, 0, 0].set(interleave(C[:, 0, 0, 1:, 0, 0], (0,)))
+        y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
         return y3.reshape(-1)
 
     # -- structured coarsest R1/P1 (block-diagonal over superbricks) ----
@@ -762,10 +707,8 @@ def compile_structured(ml, geo: BrickGeometry,
 
     Rst_bm, cd_brick, slot, bs = build_structured_interp(
         lv0.rels, tg0.tent_interp, tg0.interp_data.mis_numcoarsedof, geo)
-    # slot-major SoA: (NB, bs, box) -> (bs, box, NB), box-window slots
-    # permuted to the blocked order matching extract_boxes_blocked
-    perm, _ = slot_blocked_order(geo.brick_elems)
-    Rst = np.ascontiguousarray(Rst_bm.transpose(1, 2, 0)[:, perm, :])
+    # slot-major SoA: (NB, bs, box) -> (bs, box, NB)
+    Rst = np.ascontiguousarray(Rst_bm.transpose(1, 2, 0))
     NB = geo.num_bricks
     n_flat = NB * bs
     flat_id = slot * NB + cd_brick

@@ -196,29 +196,6 @@ def test_extract_boxes_matches_conv_patches():
         np.testing.assert_array_equal(got, ref)
 
 
-def test_extract_boxes_blocked_matches_lex():
-    """extract_boxes_blocked must equal extract_boxes with its rows
-    permuted by slot_blocked_order, and fold_boxes_blocked must be its
-    exact adjoint (<fold(C), r> == <C, extract(r)>)."""
-    from saamge_tpu.solve.structured import (
-        extract_boxes, extract_boxes_blocked, fold_boxes_blocked,
-        slot_blocked_order)
-    rng = np.random.default_rng(5)
-    for (bricks, be) in [((2, 2, 2), (2, 2, 2)), ((3, 2, 1), (2, 3, 4)),
-                         ((1, 1, 2), (5, 2, 3)), ((4, 3, 2), (3, 3, 3))]:
-        nodes = tuple(B * b + 1 for B, b in zip(bricks, be))
-        r3 = jnp.asarray(rng.standard_normal(nodes), jnp.float32)
-        lex = np.asarray(extract_boxes(r3, be, bricks))
-        perm, _ = slot_blocked_order(be)
-        got = np.asarray(extract_boxes_blocked(r3, be, bricks))
-        np.testing.assert_array_equal(got, lex[perm])
-        C = jnp.asarray(rng.standard_normal(got.shape), jnp.float32)
-        y3 = fold_boxes_blocked(C, be, bricks, nodes)
-        lhs = float(jnp.vdot(y3, r3))
-        rhs = float(jnp.vdot(C, got))
-        assert abs(lhs - rhs) <= 1e-4 * max(1.0, abs(rhs))
-
-
 def test_structured_coarsest_restriction_matches_dense():
     """super_bricks mode (block-diagonal per-superbrick R1 tent blocks,
     build_structured_interp2) must reproduce the dense-R1 cycle: both
