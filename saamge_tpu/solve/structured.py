@@ -378,12 +378,16 @@ class StructuredHierarchy:
     Rst1: Optional[jnp.ndarray] = None
     supers: Optional[tuple] = None          # static (SX, SY, SZ)
     flat_id2: Optional[jnp.ndarray] = None
+    # fused window-contraction tables (ops/pallas_window.py, bf16 mode):
+    # (rstw, ez, s2, s2t, ezt) — replaces extract_boxes + Rst/Rst_pad in
+    # the tent applies when present
+    Wc: Optional[tuple] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
                  self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
-                 self.flat_id2),
+                 self.flat_id2, self.Wc),
                 (self.geo, self.n_fine, self.n_flat, self.nzp,
                  self.supers))
 
@@ -392,7 +396,8 @@ class StructuredHierarchy:
         return cls(*children[:9], aux[0], aux[1], aux[2],
                    flat_id=children[9], nzp=aux[3], A0s=children[10],
                    Rst_pad=children[11], Rst1=children[12],
-                   supers=aux[4], flat_id2=children[13])
+                   supers=aux[4], flat_id2=children[13],
+                   Wc=children[14])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -423,10 +428,17 @@ class StructuredHierarchy:
 
     # -- structured tentative P/R apply ---------------------------------
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
-        """coarse = R res: strided window extraction + slot-major
-        multiply-reduce (brick axis in lanes, VPU-streaming); output in
-        the slot-major padded layout."""
+        """coarse = R res: fused window-contract kernel when Wc is set
+        (bf16 mode — no HBM window array at all); otherwise strided
+        window extraction + slot-major multiply-reduce; output in the
+        slot-major padded layout."""
         r3 = res_flat.reshape(self.geo.nodes)
+        if self.Wc is not None:
+            from saamge_tpu.ops.pallas_window import window_R
+            rstw, ez, s2, _, _ = self.Wc
+            yc = window_R(r3, rstw, ez, s2, self.geo.brick_elems,
+                          self.geo.bricks, interpret=self.A0.interpret)
+            return yc.reshape(-1)
         boxes = extract_boxes(r3, self.geo.brick_elems,
                               self.geo.bricks)    # (box, NB)
         if self.Rst_pad is not None:
@@ -446,6 +458,13 @@ class StructuredHierarchy:
         (bx, by, bz) = self.geo.brick_elems
         bs = self.Rst.shape[0]
         xc = xc_flat.reshape(bs, -1)              # (bs, NB)
+        if self.Wc is not None:
+            from saamge_tpu.ops.pallas_window import window_P
+            rstw, _, _, s2t, ezt = self.Wc
+            y3 = window_P(xc, rstw, s2t, ezt, self.geo.brick_elems,
+                          self.geo.bricks, self.geo.nodes,
+                          interpret=self.A0.interpret)
+            return y3.reshape(-1)
         if self.Rst_pad is not None:
             from saamge_tpu.ops.pallas_contract import contract_P
             C = contract_P(self.Rst_pad, xc, self.geo.box,
@@ -631,6 +650,7 @@ def compile_structured(ml, geo: BrickGeometry,
                        smoother_dtype=None,
                        rp_dtype=jnp.float32,
                        use_pallas_contract: bool = False,
+                       window_contract: bool = False,
                        super_bricks: Optional[Tuple[int, int, int]] = None
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
@@ -667,6 +687,13 @@ def compile_structured(ml, geo: BrickGeometry,
     ``use_pallas_contract``: route the tent P/R contractions through the
     blocked Pallas kernels (ops/pallas_contract.py) instead of XLA's
     multiply-reduce (v3 kernels measure within noise of the XLA path).
+
+    ``window_contract``: fuse window extraction INTO the tent
+    contractions (ops/pallas_window.py) — no HBM window array; the
+    z windowing becomes one-pass bf16 MXU selection matmuls, so this
+    path truncates window values to bf16 (same perturbation class as
+    rp_dtype=bfloat16, which it is intended to accompany).  Takes
+    precedence over ``use_pallas_contract``.
 
     ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
     partitioning (topology.part.partition_cartesian_bricks passed as
@@ -761,8 +788,10 @@ def compile_structured(ml, geo: BrickGeometry,
             A1d, dinv1, taus1, R1,
             _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
             flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
-            Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract),
-            Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2)
+            Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract
+                                   and not window_contract),
+            Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2,
+            Wc=_maybe_window(Rst, geo, window_contract))
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)
@@ -772,7 +801,28 @@ def compile_structured(ml, geo: BrickGeometry,
         _device_spd_inverse(np.asarray(Ac1.todense())),
         geo, lv0.A.shape[0], n_flat,
         flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
-        Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract))
+        Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract
+                               and not window_contract),
+        Wc=_maybe_window(Rst, geo, window_contract))
+
+
+def _maybe_window(Rst_np: np.ndarray, geo: BrickGeometry,
+                  window_contract: bool):
+    """Build the fused window-contraction tables (bf16 tent slab in the
+    per-brick-row layout + the 0/1 z-selection matrices)."""
+    if not window_contract:
+        return None
+    from saamge_tpu.ops.pallas_window import (build_window_tables,
+                                              relayout_rst)
+    rstw = jnp.asarray(
+        relayout_rst(np.asarray(Rst_np, np.float32), geo.brick_elems,
+                     geo.bricks), jnp.bfloat16)
+    Ez, S2 = build_window_tables(geo.brick_elems, geo.bricks, geo.nodes)
+    return (rstw,
+            jnp.asarray(Ez, jnp.bfloat16),
+            jnp.asarray(S2, jnp.bfloat16),
+            jnp.asarray(np.ascontiguousarray(S2.T), jnp.bfloat16),
+            jnp.asarray(np.ascontiguousarray(Ez.T), jnp.bfloat16))
 
 
 def _maybe_pad_rst(rst_dev, use_pallas_contract: bool):

@@ -124,6 +124,66 @@ def test_struct_pallas_contract_matches_xla():
     assert np.abs(y_p - y_x).max() <= 1e-5 * max(1.0, np.abs(y_x).max())
 
 
+def test_struct_window_contract_matches_xla():
+    """The fused window-contraction kernels (window_contract=True,
+    ops/pallas_window.py) reproduce the XLA extract+multiply-reduce
+    applies within the bf16 operand-truncation class (~4e-3 relative:
+    the z-selection matmuls run one bf16 MXU pass), and preserve PCG
+    iteration counts."""
+    s, b, geo = _setup(8, 2, 3)
+    h_ref = compile_structured(s.ml, geo, rp_dtype=jnp.bfloat16)
+    h_w = compile_structured(s.ml, geo, rp_dtype=jnp.bfloat16,
+                             window_contract=True)
+    assert h_w.Wc is not None and h_ref.Wc is None
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.standard_normal(h_ref.n_fine), jnp.float32)
+    rc_ref = np.asarray(h_ref.apply_R(r))
+    rc_w = np.asarray(h_w.apply_R(r))
+    scale = max(1.0, np.abs(rc_ref).max())
+    assert np.abs(rc_w - rc_ref).max() <= 1e-2 * scale
+    xc = jnp.asarray(rng.standard_normal(h_ref.n_flat), jnp.float32)
+    y_ref = np.asarray(h_ref.apply_P(xc))
+    y_w = np.asarray(h_w.apply_P(xc))
+    scale = max(1.0, np.abs(y_ref).max())
+    assert np.abs(y_w - y_ref).max() <= 1e-2 * scale
+    bdev = jnp.asarray(b, jnp.float32)
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=60)
+    _, it_w, _ = struct_pcg_solve(h_w, bdev, max_iter=60)
+    assert int(it_w) <= int(it_ref) + 1
+
+
+def test_struct_window_contract_asymmetric_bricks():
+    """Window kernels on a non-cubic brick grid (different brick counts
+    and brick sizes per axis) against the plain XLA path."""
+    from saamge_tpu.solve.structured import (compile_structured as _cs,
+                                             BrickGeometry)
+    from saamge_tpu.topology.part import partition_cartesian_3d
+    n = 8
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), 2, 4, 1)
+    opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                         elems_per_agg=4, device_setup=False)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
+                          partitioning=part)
+    geo = BrickGeometry((2, 4, 1), (4, 2, 8))
+    h_ref = _cs(s.ml, geo, rp_dtype=jnp.bfloat16)
+    h_w = _cs(s.ml, geo, rp_dtype=jnp.bfloat16, window_contract=True)
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal(h_ref.n_fine), jnp.float32)
+    rc_ref = np.asarray(h_ref.apply_R(r))
+    rc_w = np.asarray(h_w.apply_R(r))
+    assert np.abs(rc_w - rc_ref).max() <= \
+        1e-2 * max(1.0, np.abs(rc_ref).max())
+    xc = jnp.asarray(rng.standard_normal(h_ref.n_flat), jnp.float32)
+    y_ref = np.asarray(h_ref.apply_P(xc))
+    y_w = np.asarray(h_w.apply_P(xc))
+    assert np.abs(y_w - y_ref).max() <= \
+        1e-2 * max(1.0, np.abs(y_ref).max())
+
+
 @pytest.mark.parametrize("fine_layout", ["flat", "zlane"])
 @pytest.mark.parametrize("mid_format", ["dense", "brickblock"])
 def test_struct_layout_variants_match(fine_layout, mid_format):
