@@ -231,7 +231,8 @@ def main():
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16,
-                               fine_layout=layout, super_bricks=supers)
+                               fine_layout=layout, super_bricks=supers,
+                               window_contract=True)
 
         def vcycle_once(hier, b0, c):
             # NB: must use the traced argument, not a closure — closure-
@@ -384,9 +385,16 @@ def main():
             npad0 = h.A0.n_rows_pad * 128
             ba = passes * (len(h.A0.offsets) * npad0 * it0sz
                            + 3 * npad0 * 4)
-            ba += (h.Rst.size * h.Rst.dtype.itemsize
-                   + 2 * h.Rst.shape[2] * h.Rst.shape[0] * 4
-                   + 2 * nrows * 4)
+            if h.Wc is not None:
+                # fused window kernels stream the Lz-padded tent slab
+                # once per apply (R and P) + 4 shifted node-grid reads
+                rstw = h.Wc[0]
+                ba += 2 * (rstw.size * rstw.dtype.itemsize
+                           + 4 * npad0 * 4) + 2 * nrows * 4
+            else:
+                ba += (h.Rst.size * h.Rst.dtype.itemsize
+                       + 2 * h.Rst.shape[2] * h.Rst.shape[0] * 4
+                       + 2 * nrows * 4)
         elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
             if isinstance(h.A1d, BrickBlockOp):

@@ -198,7 +198,8 @@ def main():
         h = compile_structured(ml_obj, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16, fine_layout="zlane",
-                               super_bricks=supers)
+                               super_bricks=supers,
+                               window_contract=True)
         out["supers"] = supers
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
