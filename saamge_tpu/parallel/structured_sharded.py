@@ -34,7 +34,7 @@ distribution; pmltest device-count invariance
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -86,13 +86,19 @@ class ShardedStructured:
     st: StructShardStatic
     mesh: Mesh
     interpret: bool
+    # fused window-contraction (ops/pallas_window.py) per shard: the
+    # x-slab slice of the tent slab (P, bxl*BY, bs, box_xy, Lzp) and
+    # the replicated (ez, s2, s2t, ezt) selection tables
+    wrst: Optional[jnp.ndarray] = None
+    wtabs: Optional[tuple] = None
 
 
 jax.tree_util.register_pytree_node(
     ShardedStructured,
     lambda s: ((s.vals0, s.dinv0, s.rst, s.blocks1, s.dinv1, s.r1,
-                s.ainv), (s.st, s.mesh, s.interpret)),
-    lambda aux, ch: ShardedStructured(*ch, *aux),
+                s.ainv, s.wrst, s.wtabs), (s.st, s.mesh, s.interpret)),
+    lambda aux, ch: ShardedStructured(*ch[:7], *aux, wrst=ch[7],
+                                      wtabs=ch[8]),
 )
 
 
@@ -172,11 +178,20 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     shard = NamedSharding(mesh, P(mesh.axis_names[0]))
     repl = NamedSharding(mesh, P())
     put = lambda a: jax.device_put(jnp.asarray(a), shard)  # noqa: E731
+    wrst = wtabs = None
+    if h.Wc is not None:
+        # per-shard x-slab slice of the window tent slab (leading dim is
+        # px-major, so slabs are contiguous); tables are replicated
+        rstw_g, ez, s2, s2t, ezt = h.Wc
+        nbxy_loc = bxloc * BY
+        wrst = put(np.asarray(rstw_g).reshape(
+            ndev, nbxy_loc, *rstw_g.shape[1:]))
+        wtabs = tuple(jax.device_put(t, repl) for t in (ez, s2, s2t, ezt))
     return ShardedStructured(
         vals0=put(vals0), dinv0=put(dinv0), rst=put(rst),
         blocks1=put(blocks1), dinv1=put(dinv1), r1=put(r1),
         ainv=jax.device_put(h.Ainv, repl), st=st, mesh=mesh,
-        interpret=h.A0.interpret)
+        interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs)
 
 
 # ---------------------------------------------------------------------------
@@ -290,53 +305,74 @@ def _mid_matvec_blk(st, blocks, x, axis):
     return y.reshape(-1)
 
 
-def _apply_R_blk(st, rst, x_flat):
-    """local coarse = R res on the closed slab (reshape+concat overlap
-    extraction — see solve/structured.extract_boxes; the conv-patches
-    lowering it replaces was the serializing hot spot single-chip)."""
-    from saamge_tpu.solve.structured import extract_boxes
+def _apply_R_blk(st, rst, win, x_flat, interpret):
+    """local coarse = R res on the closed slab.  With ``win`` set the
+    fused window-contract kernel runs per x-slab (the SAME kernel as
+    the single-chip flagship path, ops/pallas_window.py); otherwise the
+    reshape+concat overlap extraction + XLA multiply-reduce."""
     NXn, NYn, NZn = st.geo.nodes
     bx, by, bz = st.geo.brick_elems
     BX, BY, BZ = st.geo.bricks
     r3 = x_flat.reshape(st.sp1, NYn, st.nzp)[:, :, :NZn]
     bxl = st.nb_loc // (BY * BZ)
+    if win is not None:
+        from saamge_tpu.ops.pallas_window import window_R
+        wrst, ez, s2, _, _ = win
+        yc = window_R(r3, wrst, ez, s2, (bx, by, bz), (bxl, BY, BZ),
+                      interpret=interpret)
+        return yc.reshape(-1)
+    from saamge_tpu.solve.structured import extract_boxes
     boxes = extract_boxes(r3, (bx, by, bz), (bxl, BY, BZ))  # (box, nb_loc)
     return jnp.sum(rst * boxes[None], axis=1).reshape(-1)
 
 
-def _apply_P_blk(st, rst, xc, axis):
-    """local fine = P xc: local 8-piece assembly + one received plane."""
+def _apply_P_blk(st, rst, win, xc, axis, interpret):
+    """local fine = P xc, then one received plane: plane 0 on device
+    d>0 is owned by the LEFT neighbor's last brick (upper-half-open
+    tiling), whose assembled last plane arrives by ppermute.  Local
+    assembly is the fused window kernel (true adjoint accumulate —
+    equal to master-pick because every tent entry lives only in its
+    master brick's block) when ``win`` is set, else the 8-piece
+    static-slice assembly."""
     NXn, NYn, NZn = st.geo.nodes
     bx, by, bz = st.geo.brick_elems
     BX, BY, BZ = st.geo.bricks
     bxl = st.nb_loc // (BY * BZ)
     bs = st.bs
     ndev = st.ndev
-    C = jnp.sum(rst * xc.reshape(bs, -1)[:, None, :], axis=0)
-    C = C.reshape(bx + 1, by + 1, bz + 1, bxl, BY, BZ) \
-        .transpose(3, 4, 5, 0, 1, 2)
-    y3 = jnp.zeros((st.sp1, NYn, NZn), dtype=jnp.float32)
+    if win is not None:
+        from saamge_tpu.ops.pallas_window import window_P
+        wrst, _, _, s2t, ezt = win
+        y3 = window_P(xc.reshape(bs, -1), wrst, s2t, ezt,
+                      (bx, by, bz), (bxl, BY, BZ), (st.sp1, NYn, NZn),
+                      interpret=interpret)
+    else:
+        C = jnp.sum(rst * xc.reshape(bs, -1)[:, None, :], axis=0)
+        C = C.reshape(bx + 1, by + 1, bz + 1, bxl, BY, BZ) \
+            .transpose(3, 4, 5, 0, 1, 2)
+        y3 = jnp.zeros((st.sp1, NYn, NZn), dtype=jnp.float32)
 
-    def interleave(piece, dims):
-        nd = len(dims)
-        permute = []
-        for d in range(nd):
-            permute += [d, nd + d]
-        out = piece.transpose(permute)
-        return out.reshape([piece.shape[d] * piece.shape[nd + d]
-                            for d in range(nd)])
+        def interleave(piece, dims):
+            nd = len(dims)
+            permute = []
+            for d in range(nd):
+                permute += [d, nd + d]
+            out = piece.transpose(permute)
+            return out.reshape([piece.shape[d] * piece.shape[nd + d]
+                                for d in range(nd)])
 
-    y3 = y3.at[1:, 1:, 1:].set(
-        interleave(C[:, :, :, 1:, 1:, 1:], (0, 1, 2)))
-    y3 = y3.at[0, 1:, 1:].set(interleave(C[0, :, :, 0, 1:, 1:], (0, 1)))
-    y3 = y3.at[1:, 0, 1:].set(interleave(C[:, 0, :, 1:, 0, 1:], (0, 1)))
-    y3 = y3.at[1:, 1:, 0].set(interleave(C[:, :, 0, 1:, 1:, 0], (0, 1)))
-    y3 = y3.at[0, 0, 1:].set(interleave(C[0, 0, :, 0, 0, 1:], (0,)))
-    y3 = y3.at[0, 1:, 0].set(interleave(C[0, :, 0, 0, 1:, 0], (0,)))
-    y3 = y3.at[1:, 0, 0].set(interleave(C[:, 0, 0, 1:, 0, 0], (0,)))
-    y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
-    # plane 0 on device d>0 is owned by the LEFT neighbor's last brick
-    # (upper-half-open tiling): receive its assembled last plane
+        y3 = y3.at[1:, 1:, 1:].set(
+            interleave(C[:, :, :, 1:, 1:, 1:], (0, 1, 2)))
+        y3 = y3.at[0, 1:, 1:].set(
+            interleave(C[0, :, :, 0, 1:, 1:], (0, 1)))
+        y3 = y3.at[1:, 0, 1:].set(
+            interleave(C[:, 0, :, 1:, 0, 1:], (0, 1)))
+        y3 = y3.at[1:, 1:, 0].set(
+            interleave(C[:, :, 0, 1:, 1:, 0], (0, 1)))
+        y3 = y3.at[0, 0, 1:].set(interleave(C[0, 0, :, 0, 0, 1:], (0,)))
+        y3 = y3.at[0, 1:, 0].set(interleave(C[0, :, 0, 0, 1:, 0], (0,)))
+        y3 = y3.at[1:, 0, 0].set(interleave(C[:, 0, 0, 1:, 0, 0], (0,)))
+        y3 = y3.at[0, 0, 0].set(C[0, 0, 0, 0, 0, 0])
     i = jax.lax.axis_index(axis)
     right_of = [(d, (d + 1) % ndev) for d in range(ndev)]
     recv = jax.lax.ppermute(y3[-1], axis, right_of)
@@ -359,7 +395,7 @@ def _pdot(st, a, b, axis):
 
 
 def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
-                ainv, b_flat, x_flat, axis):
+                ainv, b_flat, x_flat, axis, win=None, interpret=False):
     """One V-cycle on the local closed-slab blocks."""
     bh = _pad_local(st, b_flat)
     xh = _pad_local(st, x_flat)
@@ -375,7 +411,7 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
     xh = _halo_fill(st, xh, axis)
     res_h = kernels["residual"](xh, vals0, bh)
     res = _unpad_local(st, res_h)
-    rc = _apply_R_blk(st, rst, res)
+    rc = _apply_R_blk(st, rst, win, res, interpret)
 
     # mid level smoother + coarsest
     b1 = rc
@@ -390,7 +426,8 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
         x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1, axis)) \
             * tau
 
-    xh = xh + _pad_local(st, _apply_P_blk(st, rst, x1, axis))
+    xh = xh + _pad_local(st, _apply_P_blk(st, rst, win, x1, axis,
+                                          interpret))
     xh = smooth0(xh, bh)
     return _unpad_local(st, xh)
 
@@ -408,21 +445,24 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
     kernels = _local_pallas(st, hs.interpret)
     from jax.experimental.shard_map import shard_map
 
-    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, b):
+    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
+             b):
+        win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         z = _vcycle_blk(st, kernels, vals0[0], dinv0[0], rst[0],
                         blocks1[0], dinv1[0], r1[0], ainv,
-                        b[0], jnp.zeros_like(b[0]), axis)
+                        b[0], jnp.zeros_like(b[0]), axis,
+                        win=win, interpret=hs.interpret)
         return z[None]
 
     dp, rp = _specs(hs)
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rp, P(axis)),
+                  rp, P(axis), rp, P(axis)),
         out_specs=P(axis), check_rep=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, b))
+        hs.ainv, hs.wrst, hs.wtabs, b))
 
 
 def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
@@ -434,15 +474,17 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     kernels = _local_pallas(st, hs.interpret)
     from jax.experimental.shard_map import shard_map
 
-    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, b):
+    def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
+             b):
         vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
         blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
+        win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         b = b[0]
 
         def vc(r):
             return _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1,
                                dinv1, r1, ainv, r, jnp.zeros_like(r),
-                               axis)
+                               axis, win=win, interpret=hs.interpret)
 
         def spmv(x):
             xh = _halo_fill(st, _pad_local(st, x), axis)
@@ -476,8 +518,8 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis)),
+                  P(), P(axis), P(), P(axis)),
         out_specs=(P(axis), P()), check_rep=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, b))
+        hs.ainv, hs.wrst, hs.wtabs, b))

@@ -77,3 +77,32 @@ def test_sharded_struct_pcg_device_count_invariant(ndev):
     xh = gather_fine(hs, x)
     rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
     assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_struct_window_contract_matches_single(ndev):
+    """Sharding invariance of the fused window-contraction path: the
+    per-slab window kernels (ops/pallas_window.py under shard_map) must
+    reproduce the single-device windowed V-cycle and PCG counts."""
+    s, A, b, geo = _setup(8, 4, 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock",
+                           rp_dtype=jnp.bfloat16, window_contract=True)
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h, bdev))
+    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=80)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    assert hs.wrst is not None
+    bsh = scatter_fine(hs, b)
+    vc = make_struct_sharded_vcycle(hs)
+    y = gather_fine(hs, vc(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+    solve = make_struct_sharded_pcg(hs, rel_tol=1e-6, max_iter=80)
+    x, it = solve(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
+    xh = gather_fine(hs, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
