@@ -47,7 +47,6 @@ structure instead of CSR indices.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Tuple
 
 import numpy as np
 
