@@ -79,7 +79,8 @@ class SpectralAMGSolver:
                  opts: SolverOptions, order: int = 1, vdim: int = 1,
                  ess_attr_marker: Optional[np.ndarray] = None,
                  partitioning: Optional[np.ndarray] = None,
-                 coarse_part_override=None, setup_mesh=None):
+                 coarse_part_override=None, setup_mesh=None,
+                 rap_override=None):
         opts = opts.resolved()
         self.opts = opts
         self.A = A
@@ -120,7 +121,8 @@ class SpectralAMGSolver:
                 A, rels, emp, self.mlp, coords=coords, sdim=mesh.dim,
                 num_nodes=(mesh.num_dofs(order) if vdim == 1
                            else mesh.num_dofs(order) * vdim // vdim),
-                coarse_part_override=coarse_part_override)
+                coarse_part_override=coarse_part_override,
+                rap_override=rap_override)
         if opts.double_cycle:
             from saamge_tpu.solve.double_cycle import DoubleCycle
             self.precond = DoubleCycle(A, self.ml)

@@ -118,8 +118,11 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
                     mlp: MultilevelParameters,
                     coords: Optional[np.ndarray] = None,
                     sdim: int = 0, num_nodes: int = 0,
-                    coarse_part_override=None) -> MLData:
-    """ml_produce_data (ml.cpp:379): finest coarsening then recursion."""
+                    coarse_part_override=None, rap_override=None) -> MLData:
+    """ml_produce_data (ml.cpp:379): finest coarsening then recursion.
+
+    ``rap_override(A, tg, rels, level)``: optional Galerkin-product
+    replacement (device structured RAP); None return = host product."""
     ml = MLData(coords=coords, sdim=sdim, num_nodes=num_nodes)
     from saamge_tpu.utils.logging import agg_print_stats
     agg_print_stats(rels, level=3)
@@ -136,9 +139,12 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
     tg_mod.tg_build_hierarchy(
         A, tg, rels, elem_data, mlp.avoid_ess_bdr_dofs,
         coords=coords, sdim=sdim, num_nodes=num_nodes)
+    rap_fn = None
+    if rap_override is not None:
+        rap_fn = lambda A_, tg_: rap_override(A_, tg_, rels, 0)  # noqa: E731
     tg_mod.tg_update_coarse_operator(
         A, tg, perform_solve_init=(mlp.num_coarsenings <= 1),
-        coarse_solver_kind=mlp.coarse_solver_kind)
+        coarse_solver_kind=mlp.coarse_solver_kind, rap_fn=rap_fn)
     ml.levels.append(Level(rels=rels, tg_data=tg, A=A))
     ml_produce_hierarchy_from_level(mlp.num_coarsenings, 1, ml, mlp,
                                     coarse_part_override)

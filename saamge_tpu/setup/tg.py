@@ -161,9 +161,15 @@ def tg_coarse_matr(A: sp.csr_matrix, interp: sp.csr_matrix) -> sp.csr_matrix:
 
 def tg_update_coarse_operator(A: sp.csr_matrix, tg: TGData,
                               perform_solve_init: bool,
-                              coarse_solver_kind: str = "direct") -> None:
-    """tg_update_coarse_operator (tg.cpp:979)."""
-    tg.Ac = tg_coarse_matr(A, tg.interp)
+                              coarse_solver_kind: str = "direct",
+                              rap_fn=None) -> None:
+    """tg_update_coarse_operator (tg.cpp:979).
+
+    ``rap_fn``: optional replacement for the host Galerkin product
+    (e.g. the device structured RAP, setup/device_rap.py); returning
+    None falls back to the host scipy product."""
+    Ac = rap_fn(A, tg) if rap_fn is not None else None
+    tg.Ac = Ac if Ac is not None else tg_coarse_matr(A, tg.interp)
     tg.coarse_solver = None
     if perform_solve_init:
         tg.coarse_solver = make_coarse_solver(tg.Ac, coarse_solver_kind)

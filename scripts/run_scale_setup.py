@@ -152,16 +152,26 @@ def main():
             num_levels=args.levels, correct_nulspace=False,
             first_theta=args.theta, theta=args.theta, nu_relax=[3, 1],
             device_setup=on_tpu and not args.host_setup)
+        rap_override = None
+        if on_tpu and not args.host_setup:
+            from saamge_tpu.setup.device_rap import \
+                make_structured_rap_override
+            from saamge_tpu.solve.structured import BrickGeometry
+            rap_override = make_structured_rap_override(
+                BrickGeometry((nb,) * 3, (args.brick,) * 3))
         t0 = time.perf_counter()
         s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess,
                               partitioning=part,
-                              coarse_part_override=override)
+                              coarse_part_override=override,
+                              rap_override=rap_override)
         phases["setup_s"] = round(time.perf_counter() - t0, 2)
         phases["setup_device_pipeline_s"] = round(
             TIMERS.total("setup.device_pipeline"), 2)
         phases["setup_eig_phase_s"] = round(
             TIMERS.total("setup.device_pipeline.eigh"), 2)
         phases["setup_rap_s"] = round(TIMERS.total("setup.rap"), 2)
+        phases["setup_rap_device_s"] = round(
+            TIMERS.total("setup.rap_device"), 2)
 
         out = {
             "metric": f"scale_setup_n{ndof}",
