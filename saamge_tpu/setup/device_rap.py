@@ -24,8 +24,12 @@ scattered into a scipy CSR for the rest of the (host, f64) setup.
 Relative error vs the f64 host RAP is at the f32 representation level
 (~1e-6); the device RAP is therefore OPT-IN (rap_override) for the
 large-scale device-setup pipeline, where the spectral cut is already
-computed in mixed precision.  At 8.12M dofs the host RAP costs 25-41 s;
-the device product is tens of ms plus the block fetch.
+computed in mixed precision.  The arithmetic is tens of ms at 8.12M
+dofs (vs 25-41 s host), but the 27-way highest-precision einsum
+program is COMPILE-HOSTILE through the axon remote-compile tunnel
+(>20 min observed even at n=96, CLAUDE.md round-3 facts) — hence the
+--device-rap opt-in flag in run_scale_setup; on directly-attached
+hardware the tradeoff reverses.
 
 The same contraction shards over an x-slab mesh with a one-brick-layer
 halo of APq (sharded_structured_rap) — the distributed-RAP analog of

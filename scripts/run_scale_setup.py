@@ -88,6 +88,10 @@ def main():
                          "a PCG solve (TPU only)")
     ap.add_argument("--hier-cache", type=str, default=None,
                     help="pickle the solve bundle here / reuse it")
+    ap.add_argument("--device-rap", action="store_true",
+                    help="Galerkin product on device (setup/device_rap"
+                         ".py); default off under the tunnel's "
+                         "remote-compile latency")
     ap.add_argument("--supers", type=int, default=0,
                     help="superbrick grid side for the 3rd level "
                          "(0 = auto: divisor of nb nearest nb/4; "
@@ -153,7 +157,12 @@ def main():
             first_theta=args.theta, theta=args.theta, nu_relax=[3, 1],
             device_setup=on_tpu and not args.host_setup)
         rap_override = None
-        if on_tpu and not args.host_setup:
+        if args.device_rap and on_tpu and not args.host_setup:
+            # opt-in: correct and fast-at-steady-state, but the 27-way
+            # highest-precision einsum program draws >20 min remote
+            # compiles through the axon tunnel (CLAUDE.md), dwarfing
+            # the 25-40 s host product it replaces; on local hardware
+            # flip it on
             from saamge_tpu.setup.device_rap import \
                 make_structured_rap_override
             from saamge_tpu.solve.structured import BrickGeometry
