@@ -25,11 +25,12 @@ Relative error vs the f64 host RAP is at the f32 representation level
 (~1e-6); the device RAP is therefore OPT-IN (rap_override) for the
 large-scale device-setup pipeline, where the spectral cut is already
 computed in mixed precision.  The arithmetic is tens of ms at 8.12M
-dofs (vs 25-41 s host), but the 27-way highest-precision einsum
-program is COMPILE-HOSTILE through the axon remote-compile tunnel
-(>20 min observed even at n=96, CLAUDE.md round-3 facts) — hence the
---device-rap opt-in flag in run_scale_setup; on directly-attached
-hardware the tradeoff reverses.
+dofs (vs 25-41 s host); through the axon remote-compile tunnel the
+compile latency is unbounded in degraded service windows (>20 min
+observed — though trivial matmul compiles timed out in the same
+window, so the program itself may be fine), hence the --device-rap
+opt-in flag in run_scale_setup; on directly-attached hardware the
+tradeoff clearly favors the device product.
 
 The same contraction shards over an x-slab mesh with a one-brick-layer
 halo of APq (sharded_structured_rap) — the distributed-RAP analog of

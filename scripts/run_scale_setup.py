@@ -158,11 +158,11 @@ def main():
             device_setup=on_tpu and not args.host_setup)
         rap_override = None
         if args.device_rap and on_tpu and not args.host_setup:
-            # opt-in: correct and fast-at-steady-state, but the 27-way
-            # highest-precision einsum program draws >20 min remote
-            # compiles through the axon tunnel (CLAUDE.md), dwarfing
-            # the 25-40 s host product it replaces; on local hardware
-            # flip it on
+            # opt-in: correct and fast-at-steady-state; remote-compile
+            # latency through the tunnel is unbounded in degraded
+            # windows (>20 min observed, incl. for trivial programs),
+            # dwarfing the 25-40 s host product it replaces; on local
+            # hardware flip it on
             from saamge_tpu.setup.device_rap import \
                 make_structured_rap_override
             from saamge_tpu.solve.structured import BrickGeometry
