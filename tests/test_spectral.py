@@ -123,3 +123,45 @@ def test_schur_eigensolve_minimal_energy():
     V2[rest] += 0.1 * rng.standard_normal(V2[rest].shape)
     for j in range(V.shape[1]):
         assert V[:, j] @ (A @ V[:, j]) <= V2[:, j] @ (A @ V2[:, j]) + 1e-12
+
+
+def test_svd_dedup_drops_injected_duplicate_vector():
+    """The reference's testmesh fault injection (interp.cpp:510-524):
+    appending a linearly-dependent extra eigenvector on one AE must not
+    change the coarse space — the per-MIS SVD (sigma > eps*sigma_max
+    cut, contrib.cpp SVDInsert) dedups it.  Coarse dimension and the
+    tent-P column SPACE must be identical."""
+    import scipy.sparse as sp
+    from saamge_tpu.api import SpectralAMGSolver
+    from saamge_tpu.config import SolverOptions
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import quad_mesh
+    from saamge_tpu.setup import contrib
+
+    mesh = quad_mesh(12)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess)
+    s = SpectralAMGSolver(A, mesh, em,
+                          SolverOptions(num_levels=2,
+                                        correct_nulspace=False,
+                                        elems_per_agg=16,
+                                        device_setup=False),
+                          ess_attr_marker=ess)
+    lv0 = s.ml.levels[0]
+    tg0 = lv0.tg_data
+    cut = [np.asarray(c) for c in tg0.interp_data.cut_evects_arr]
+
+    t_ref = contrib.build_tentative(lv0.rels, cut)
+    # inject a duplicate (scaled copy of the first eigenvector) on AE 0
+    cut_dup = [c.copy() for c in cut]
+    cut_dup[0] = np.hstack([cut_dup[0], 0.5 * cut_dup[0][:, :1]])
+    t_dup = contrib.build_tentative(lv0.rels, cut_dup)
+
+    assert np.array_equal(t_ref.mis_numcoarsedof, t_dup.mis_numcoarsedof)
+    P1 = t_ref.P.todense()
+    P2 = t_dup.P.todense()
+    assert P1.shape == P2.shape
+    # same column space: projections onto each other's range agree
+    Q1, _ = np.linalg.qr(P1)
+    assert np.linalg.norm(P2 - Q1 @ (Q1.T @ P2)) <= 1e-8
