@@ -104,15 +104,24 @@ def relayout_rst(Rst: np.ndarray, brick_elems, bricks) -> np.ndarray:
     return Rv
 
 
-def _row_tile(BY: int) -> int:
+def _row_tile(BY: int, per_row_bytes: int = 0) -> int:
     """Brick-rows per grid step: DMA amortization (the per-step tent
     slab goes from ~0.8 MB to ~TY x that; 625 64 KB-block steps at
     n=200 measured 2.26 ms vs a ~1.4 ms traffic model — per-step DMA
-    issue overhead)."""
+    issue overhead).  Capped so the double-buffered working set stays
+    within the raised scoped-VMEM limit."""
+    budget = 40 * 1024 * 1024              # 2x this double-buffered < 96M
     for t in range(min(8, BY), 0, -1):
-        if BY % t == 0:
+        if BY % t == 0 and (per_row_bytes == 0
+                            or t * per_row_bytes <= budget or t == 1):
             return t
     return 1
+
+
+def _tile_for(bs, bx, by, box_xy, BY, Zp, Lzp):
+    per_row = (bs * box_xy * Lzp * 2 + 4 * bx * by * Zp * 4
+               + box_xy * Zp * 4)
+    return _row_tile(BY, per_row)
 
 
 def _window_rows(a, b, c, d, bx, by, t, TY):
@@ -133,7 +142,7 @@ def _window_rows(a, b, c, d, bx, by, t, TY):
 
 @lru_cache(maxsize=16)
 def _build_window_R(bs, bx, by, box_xy, BX, BY, Zp, Lzp, interpret):
-    TY = _row_tile(BY)
+    TY = _tile_for(bs, bx, by, box_xy, BY, Zp, Lzp)
     grid = (BX, BY // TY)
 
     def kernel(ez, s2, a, b, c, d, rst, o):
@@ -182,7 +191,8 @@ def _build_window_R(bs, bx, by, box_xy, BX, BY, Zp, Lzp, interpret):
 
 @lru_cache(maxsize=16)
 def _build_window_P(bs, box_xy, BX, BY, Zp, Lzp, interpret):
-    TY = _row_tile(BY)
+    # box_xy = (bx+1)(by+1); reconstruct per-row bytes conservatively
+    TY = _tile_for(bs, 0, 0, box_xy, BY, Zp, Lzp)
     grid = (BX, BY // TY)
 
     def kernel(s2t, ezt, xc, rst, o):
@@ -237,7 +247,7 @@ def window_R(r3: jnp.ndarray, rstw: jnp.ndarray, ez: jnp.ndarray,
     BX, BY, BZ = bricks
     _, bs, box_xy, Lzp = rstw.shape
     Zp = ez.shape[0]
-    TY = _row_tile(BY)
+    TY = _tile_for(bs, bx, by, box_xy, BY, Zp, Lzp)
     r3p = jnp.pad(r3, (((0, (BX + 1) * bx - r3.shape[0]),
                         (0, (BY + TY) * by - r3.shape[1]),
                         (0, Zp - r3.shape[2]))))
