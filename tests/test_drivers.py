@@ -1,5 +1,11 @@
-"""Smoke tests for the reference-mirroring driver scripts."""
+"""Smoke tests for the reference-mirroring driver scripts.
 
+The subprocesses are pinned to CPU (JAX_PLATFORMS=cpu — honored
+explicitly by the scripts that touch jax, cf. run_scale_setup.py) so
+the smoke tests stay hermetic when the axon TPU tunnel is degraded
+(observed: jax.devices() hanging for >10 min during service windows)."""
+
+import os
 import subprocess
 import sys
 
@@ -26,6 +32,7 @@ DRIVERS = [
 def test_driver(script, args, expect):
     out = subprocess.run(
         [sys.executable, script, *args], capture_output=True, text=True,
-        timeout=240, cwd=".")
+        timeout=240, cwd=".",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr[-800:]
     assert expect in out.stdout, out.stdout[-800:]
