@@ -31,6 +31,10 @@ def main():
                     f"{args.devices}").strip()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU pin through the config API (the axon
+        # sitecustomize overrides the env var; cf. run_scale_setup.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.sharding import Mesh
 
@@ -40,7 +44,8 @@ def main():
     from saamge_tpu.fem.coefficients import anisotropic_tensor
     from saamge_tpu.fem.mesh import hex_mesh
     from saamge_tpu.parallel.sharded import (make_sharded_pcg_jit,
-                                             shard_hierarchy)
+                                             shard_hierarchy,
+                                             shard_vector, unshard_vector)
 
     devs = jax.devices()
     if len(devs) < args.devices:
@@ -62,10 +67,10 @@ def main():
 
     h = shard_hierarchy(s.ml, mesh_dev, dtype=jnp.float64)
     solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=200)
-    bpad = np.zeros(h.n0_pad)
-    bpad[:h.n0] = b
-    x, iters = solve(jnp.asarray(bpad))
-    x = np.asarray(x)[:h.n0]
+    # shard/unshard apply the band renumbering + padding (the raw
+    # padded layout is RCM-permuted — slicing it directly scrambles x)
+    x, iters = solve(shard_vector(h, b))
+    x = unshard_vector(h, x)
     rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     print(f"{mesh_dev.devices.size}-device PCG iterations: {int(iters)}, "
           f"rel res {rel:.2e}")

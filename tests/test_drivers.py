@@ -24,6 +24,8 @@ DRIVERS = [
     ("scripts/run_scale_setup.py", ["--n", "12", "--brick", "4",
                                     "--levels", "2", "--host-setup"],
      '"peak_rss_gb"'),
+    ("scripts/run_sharded.py", ["--n", "12", "--devices", "4"],
+     "device-count invariance holds"),
 ]
 
 
