@@ -193,8 +193,9 @@ def structured_rap(A: sp.csr_matrix, rels, tent_interp: sp.csr_matrix,
                 Rst_bm.transpose(1, 2, 0)).reshape(
                 bs, bx + 1, by + 1, bz + 1, BX, BY, BZ), jnp.float32)
 
-        fn = _rap_jit(be, bricks, tuple(offsets3))
-        blocks = np.asarray(fn(vals3, rst6))      # (27, bs, bs, NB)
+        fn = _rap_scan_jit(be, bricks)
+        offs = jnp.asarray(np.asarray(offsets3, np.int32))
+        blocks = np.asarray(fn(vals3, offs, rst6))  # (27, bs, bs, NB)
         return _assemble_csr(blocks, cd_brick, slot, bs, geo)
 
 
@@ -353,3 +354,89 @@ def _offsets3(offsets, nodes):
             and max(abs(t) for t in tri) <= 1, o
         out.append(tri)
     return out
+
+
+# ---------------------------------------------------------------------------
+# compile-light scan formulation
+
+
+def _rap_scan_jit(be, bricks):
+    """The same RAP as _rap_jit but with the 27-way stencil and
+    neighbor loops as ``lax.scan`` bodies (program ~27x smaller — the
+    unrolled version is a heavy compile through the remote tunnel).
+
+    Dynamic shifts use the roll-and-mask identity: placing C[w] at
+    t = w + 1 - e is a static (1,1) zero-pad followed by roll(-e) —
+    the cyclic wrap lands only on the zero pad planes, so no masking
+    is needed for the AP build; the neighbor-offset contraction rolls
+    AP by d*b - 1 per t axis (reading t' = w - d*b + 1) and by -d per
+    brick axis, masking the w overlap and the grid boundary."""
+    bx, by, bz = be
+    BX, BY, BZ = bricks
+    bvec = (bx, by, bz)
+
+    def run(vals3, offs, rst6):
+        # vals3 (k, NXn, NYn, NZn); offs (k, 3) int32; rst6 as in _rap_jit
+        bs = rst6.shape[0]
+
+        def ap_body(ap, inp):
+            g, e = inp
+            gp = jnp.pad(g, ((1, bx + 2), (1, by + 2), (1, bz + 2)))
+            X = _expand_ext(gp, 0, bx, BX)
+            X = _expand_ext(X, 2, by, BY)
+            X = _expand_ext(X, 4, bz, BZ)
+            exw = X.transpose(1, 3, 5, 0, 2, 4)   # (bx+3,by+3,bz+3,B..)
+            # window values at t = w + 1 - e: slice exw at the e-shifted
+            # w window via roll (wrap hits only out-of-window planes)
+            w_exw = exw
+            for ax in range(3):
+                w_exw = jnp.roll(w_exw, -(1 - e[ax]), axis=ax)
+            w_exw = w_exw[:bx + 1, :by + 1, :bz + 1]
+            C = w_exw * rst6                      # (bs, bx+1, .., B..)
+            D = jnp.pad(C, [(0, 0)] + [(1, 1)] * 3 + [(0, 0)] * 3)
+            for ax in range(3):
+                D = jnp.roll(D, -e[ax], axis=1 + ax)
+            return ap + D, None
+
+        ap0 = jnp.zeros((bs, bx + 3, by + 3, bz + 3, BX, BY, BZ),
+                        jnp.float32)
+        ap, _ = jax.lax.scan(ap_body, ap0, (vals3, offs))
+
+        d_list = jnp.asarray(
+            [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             for dz in (-1, 0, 1)], jnp.int32)
+
+        def blk_body(_, d):
+            B = ap
+            for ax in range(3):
+                b_ax = bvec[ax]
+                # t' = w - d*b + 1  ->  roll by d*b - 1, keep [0, b]
+                B = jnp.roll(B, d[ax] * b_ax - 1, axis=1 + ax)
+            B = B[:, :bx + 1, :by + 1, :bz + 1]
+            # w-overlap mask per axis (only face windows couple at d!=0)
+            for ax, Bn in enumerate((BX, BY, BZ)):
+                b_ax = bvec[ax]
+                w = jax.lax.iota(jnp.int32, b_ax + 1)
+                lo = jnp.where(d[ax] == 1, b_ax - 1, 0)
+                hi = jnp.where(d[ax] == -1, 1, b_ax)
+                m = ((w >= lo) & (w <= hi)).astype(jnp.float32)
+                B = B * m.reshape((1,) + (1,) * ax + (b_ax + 1,)
+                                  + (1,) * (2 - ax) + (1, 1, 1))
+                # neighbor brick p+d with zero beyond the grid
+                B = jnp.roll(B, -d[ax], axis=4 + ax)
+                p = jax.lax.iota(jnp.int32, Bn)
+                pm = ((p + d[ax] >= 0) & (p + d[ax] < Bn)) \
+                    .astype(jnp.float32)
+                B = B * pm.reshape((1, 1, 1, 1) + (1,) * ax + (Bn,)
+                                   + (1,) * (2 - ax))
+            blk = jnp.einsum(
+                "swn,zwn->szn",
+                rst6.reshape(bs, -1, BX * BY * BZ),
+                B.reshape(bs, -1, BX * BY * BZ),
+                precision="highest")
+            return None, blk
+
+        _, blocks = jax.lax.scan(blk_body, None, d_list)
+        return blocks                      # (27, bs, bs, NB)
+
+    return jax.jit(run)

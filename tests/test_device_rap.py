@@ -98,3 +98,25 @@ def test_sharded_rap_matches_host(ndev):
     d = abs(Ac_sh - Ac_host).max()
     assert d <= 1e-5 * abs(Ac_host).max(), d
     assert Ac_sh.nnz == Ac_host.nnz
+
+
+def test_scan_rap_matches_unrolled():
+    """The compile-light lax.scan formulation (_rap_scan_jit,
+    roll-and-mask dynamic shifts) equals the statically-unrolled
+    reference (_rap_jit) on asymmetric geometries."""
+    import jax
+    import jax.numpy as jnp
+    from saamge_tpu.setup.device_rap import _rap_jit, _rap_scan_jit
+    be, bricks, bs = (2, 3, 2), (3, 2, 2), 4
+    nodes = tuple(B * b + 1 for B, b in zip(bricks, be))
+    offsets3 = tuple((dx, dy, dz) for dx in (-1, 0, 1)
+                     for dy in (-1, 0, 1) for dz in (-1, 0, 1))
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    vals3 = jax.random.normal(ks[0], (27,) + nodes, jnp.float32)
+    rst6 = jax.random.normal(
+        ks[1], (bs, be[0] + 1, be[1] + 1, be[2] + 1) + bricks,
+        jnp.float32)
+    ref = np.asarray(_rap_jit(be, bricks, offsets3)(vals3, rst6))
+    offs = jnp.asarray(np.asarray(offsets3, np.int32))
+    got = np.asarray(_rap_scan_jit(be, bricks)(vals3, offs, rst6))
+    assert np.abs(got - ref).max() <= 1e-6 * max(1.0, np.abs(ref).max())
