@@ -82,3 +82,28 @@ def test_compiled_pcg_f32_converges(two_level):
     rel_res = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
     assert rel_res < 3e-4  # f32 accuracy floor
     assert int(it) < 50
+
+
+def test_compiled_vcycle_smoothed_P_matches_host():
+    """Smoothed prolongator (nu_pro > 0, the SA default in the
+    reference) through the DEVICE hierarchy: the jitted V-cycle with
+    ELL-format smoothed P/R must reproduce the host cycle exactly —
+    the device story for interp smoothing (tg_smooth_interp,
+    tg.cpp:458)."""
+    from saamge_tpu.solve.vcycle import tg_cycle
+    mesh = quad_mesh(20)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                         first_elems_per_agg=16, nu_pro=2,
+                         first_nu_pro=2)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    assert s.ml.finest.tg_data.smooth_interp
+    h = compiled.compile_hierarchy(s.ml, dtype=jnp.float64)
+    rng = np.random.default_rng(4)
+    r = rng.standard_normal(A.shape[0])
+    z_host = np.zeros_like(r)
+    tg_cycle(A, s.ml.finest.tg_data, r, z_host)
+    z_dev = np.asarray(compiled.vcycle_apply(h, jnp.asarray(r)))
+    np.testing.assert_allclose(z_dev, z_host, rtol=1e-9, atol=1e-9)
