@@ -134,8 +134,6 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     t_rows = local_pad + 2 * hr
 
     vals_np = np.asarray(A0.vals2)            # (k, n_rows_pad, 128)
-    dinv_np = np.asarray(A0.unpad(jnp.asarray(h.dinv0h).reshape(-1))
-                         ) if False else None
     # dinv0h is already haloed global; recover the global flat rows
     dinv_glob = np.asarray(h.dinv0h).reshape(-1)[
         A0.hr * LANES:A0.hr * LANES + A0.n_rows_pad * LANES] \
