@@ -124,13 +124,14 @@ def test_struct_pallas_contract_matches_xla():
     assert np.abs(y_p - y_x).max() <= 1e-5 * max(1.0, np.abs(y_x).max())
 
 
-def test_struct_window_contract_matches_xla():
+@pytest.mark.parametrize("num_levels", [2, 3])
+def test_struct_window_contract_matches_xla(num_levels):
     """The fused window-contraction kernels (window_contract=True,
     ops/pallas_window.py) reproduce the XLA extract+multiply-reduce
     applies within the bf16 operand-truncation class (~4e-3 relative:
     the z-selection matmuls run one bf16 MXU pass), and preserve PCG
     iteration counts."""
-    s, b, geo = _setup(8, 2, 3)
+    s, b, geo = _setup(8, 2, num_levels)
     h_ref = compile_structured(s.ml, geo, rp_dtype=jnp.bfloat16)
     h_w = compile_structured(s.ml, geo, rp_dtype=jnp.bfloat16,
                              window_contract=True)
