@@ -533,6 +533,113 @@ def domain_lf(mesh: Mesh, rhs: Coefficient = 1.0, order: int = 1,
     return b
 
 
+def _stencil_grid_layout(e2d: np.ndarray, grid: tuple, ndofs: int):
+    """Full layout verification for the Cartesian slab assembly (cheap):
+    element 0's corners decode to {0,1}^3 shifts, all elements are
+    translates, and element e's base corner is the lexicographic grid
+    walk.  Returns (shifts, offsets, pos) or None."""
+    nx, ny, nz = grid
+    ndx, ndy, ndz = nx + 1, ny + 1, nz + 1
+    if ndofs != ndx * ndy * ndz or e2d.shape[1] != 8:
+        return None
+    sI, sJ = ndy * ndz, ndz
+    shifts = []
+    for a in range(8):
+        v = int(e2d[0, a])
+        dx, r = divmod(v, sI)
+        dy, dz = divmod(r, sJ)
+        if not (dx in (0, 1) and dy in (0, 1) and dz in (0, 1)):
+            return None
+        shifts.append((dx, dy, dz))
+    rel = e2d - e2d[:, :1]
+    if (rel != rel[0]).any():
+        return None
+    base = np.asarray(e2d[:, 0]).reshape(nx, ny, nz)
+    i3, j3, k3 = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    if not np.array_equal(base, i3 * sI + j3 * sJ + k3):
+        return None
+    d0 = e2d[0][None, :] - e2d[0][:, None]
+    offsets = np.unique(d0)
+    pos = {int(o): i for i, o in enumerate(offsets)}
+    return shifts, offsets, pos
+
+
+def assemble_global_stencil_grid_native(
+        em0: np.ndarray, c: Optional[np.ndarray], e2d: np.ndarray,
+        grid: tuple, ndofs: int,
+        ess_mask: Optional[np.ndarray] = None
+        ) -> Optional[sp.csr_matrix]:
+    """C++ slab assembly + CSR emission (native/stencil_assemble.cpp),
+    with zero-Dirichlet elimination folded into the fill when
+    ``ess_mask`` is given (the x0 == 0 keep_diag case of
+    eliminate_essential_bc — b[ess] = 0 is the caller's side).
+    Same add order and CSR layout as assemble_global_stencil_grid
+    (identical pattern; values to ~1 ulp — FMA contraction); returns
+    None when the layout check fails or the toolchain is unavailable."""
+    import ctypes
+    from saamge_tpu import native
+    layout = _stencil_grid_layout(e2d, grid, ndofs)
+    if layout is None:
+        return None
+    lib = native.load("stencil_assemble")
+    if lib is None:
+        return None
+    nx, ny, nz = grid
+    ndx, ndy, ndz = nx + 1, ny + 1, nz + 1
+    shifts, offsets, pos = layout
+    k = len(offsets)
+    sI, sJ = ndy * ndz, ndz
+    off3 = np.empty((k, 3), np.int64)
+    for i, o in enumerate(offsets):
+        ox, r = divmod(int(o) + sI + sJ + 1, sI)
+        oy, oz = divmod(r, sJ)
+        off3[i] = (ox - 1, oy - 1, oz - 1)
+        if off3[i, 0] * sI + off3[i, 1] * sJ + off3[i, 2] != int(o) \
+                or np.abs(off3[i]).max() > 1:
+            return None
+    pos_arr = np.empty((8, 8), np.int64)
+    d0 = e2d[0][None, :] - e2d[0][:, None]
+    for a in range(8):
+        for b in range(8):
+            pos_arr[a, b] = pos[int(d0[a, b])]
+    shifts_arr = np.asarray(shifts, np.int64)
+
+    dbl_p = ctypes.POINTER(ctypes.c_double)
+    i64_p = ctypes.POINTER(ctypes.c_int64)
+    i32_p = ctypes.POINTER(ctypes.c_int32)
+    u8_p = ctypes.POINTER(ctypes.c_uint8)
+
+    def P(a, t):
+        return a.ctypes.data_as(t)
+
+    em0c = np.ascontiguousarray(em0, np.float64)
+    data = np.zeros((k, ndofs), np.float64)
+    cc = None if c is None else np.ascontiguousarray(c, np.float64)
+    lib.stencil_diagonals(
+        P(em0c, dbl_p), (P(cc, dbl_p) if cc is not None else None),
+        ctypes.c_int64(nx), ctypes.c_int64(ny), ctypes.c_int64(nz),
+        P(shifts_arr, i64_p), P(pos_arr, i64_p), ctypes.c_int64(k),
+        P(data, dbl_p))
+
+    offs64 = np.ascontiguousarray(offsets, np.int64)
+    indices = np.empty(ndofs * k, np.int32)
+    vals = np.empty(ndofs * k, np.float64)
+    indptr = np.empty(ndofs + 1, np.int64)
+    essu8 = None
+    if ess_mask is not None:
+        essu8 = np.ascontiguousarray(ess_mask, np.uint8)
+    lib.stencil_csr.restype = ctypes.c_int64
+    nnz = lib.stencil_csr(
+        P(data, dbl_p), ctypes.c_int64(k), P(offs64, i64_p),
+        P(off3, i64_p), ctypes.c_int64(ndx), ctypes.c_int64(ndy),
+        ctypes.c_int64(ndz),
+        (P(essu8, u8_p) if essu8 is not None else None),
+        P(indices, i32_p), P(vals, dbl_p), P(indptr, i64_p))
+    return sp.csr_matrix(
+        (vals[:nnz], indices[:nnz], indptr), shape=(ndofs, ndofs))
+
+
 def assemble_global_stencil_grid(em0: np.ndarray, c: Optional[np.ndarray],
                                  e2d: np.ndarray, grid: tuple,
                                  ndofs: int) -> Optional[sp.csr_matrix]:
@@ -553,34 +660,13 @@ def assemble_global_stencil_grid(em0: np.ndarray, c: Optional[np.ndarray],
 
     Reference counterpart: the serial mfem/hypre assembly loop this
     replaces (fem.cpp:453-484 fem_build_discrete_problem)."""
+    layout = _stencil_grid_layout(e2d, grid, ndofs)
+    if layout is None:
+        return None
     nx, ny, nz = grid
     ndx, ndy, ndz = nx + 1, ny + 1, nz + 1
-    if ndofs != ndx * ndy * ndz or e2d.shape[1] != 8:
-        return None
-    sI, sJ = ndy * ndz, ndz
-    # full layout verification (cheap): element 0's corners decode to
-    # {0,1}^3 shifts, all elements are translates, and element e's base
-    # corner is the lexicographic grid walk
-    shifts = []
-    for a in range(8):
-        v = int(e2d[0, a])
-        dx, r = divmod(v, sI)
-        dy, dz = divmod(r, sJ)
-        if not (dx in (0, 1) and dy in (0, 1) and dz in (0, 1)):
-            return None
-        shifts.append((dx, dy, dz))
-    rel = e2d - e2d[:, :1]
-    if (rel != rel[0]).any():
-        return None
-    base = np.asarray(e2d[:, 0]).reshape(nx, ny, nz)
-    i3, j3, k3 = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                             indexing="ij")
-    if not np.array_equal(base, i3 * sI + j3 * sJ + k3):
-        return None
-
+    shifts, offsets, pos = layout
     d0 = e2d[0][None, :] - e2d[0][:, None]
-    offsets = np.unique(d0)
-    pos = {int(o): i for i, o in enumerate(offsets)}
     k = len(offsets)
     data = np.zeros((k, ndofs))
     data3 = data.reshape(k, ndx, ndy, ndz)
@@ -768,25 +854,39 @@ def build_discrete_problem(mesh: Mesh, coef: Coefficient = 1.0,
                                                matrix_coef)
         b = domain_lf(mesh, rhs, order, vdim)
     e2d = mesh.elem_to_dof(order, vdim)
+    if ess_attr_marker is None:
+        ess_attr_marker = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    ess = ess_dofs_from_attrs(mesh, ess_attr_marker, order, vdim)
     A = None
+    eliminated = False
     if (not elasticity and vdim == 1 and order == 1
             and getattr(mesh, "grid", None) is not None
             and len(mesh.grid) == 3):
         fac = diffusion_factorized(mesh, coef, order, matrix_coef)
         if fac is not None:
             em0, c = fac
-            A = assemble_global_stencil_grid(
-                em0, c, e2d.indices.reshape(mesh.num_elements, -1),
-                mesh.grid, mesh.num_dofs(order))
+            e2d_r = e2d.indices.reshape(mesh.num_elements, -1)
+            ndofs = mesh.num_dofs(order)
+            ess_mask = np.zeros(ndofs, dtype=bool)
+            ess_mask[ess] = True
+            # native path folds the zero-Dirichlet elimination into the
+            # CSR fill (x0 = 0: the python eliminate reduces to zeroing
+            # ess rows/cols, keeping the diagonal, and b[ess] = 0)
+            A = assemble_global_stencil_grid_native(
+                em0, c, e2d_r, mesh.grid, ndofs, ess_mask)
+            if A is not None:
+                b[ess_mask] = 0.0
+                eliminated = True
+            else:
+                A = assemble_global_stencil_grid(
+                    em0, c, e2d_r, mesh.grid, ndofs)
     if A is None and getattr(mesh, "uniform", False) and vdim == 1:
         A = assemble_global_stencil(
             elem_mats, e2d.indices.reshape(mesh.num_elements, -1),
             mesh.num_dofs(order))
     if A is None:
         A = assemble_global(elem_mats, e2d, mesh.num_dofs(order) * vdim)
-    if ess_attr_marker is None:
-        ess_attr_marker = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
-    ess = ess_dofs_from_attrs(mesh, ess_attr_marker, order, vdim)
-    x0 = np.zeros_like(b)
-    A = eliminate_essential_bc(A, ess, x0, b, keep_diag=True)
+    if not eliminated:
+        x0 = np.zeros_like(b)
+        A = eliminate_essential_bc(A, ess, x0, b, keep_diag=True)
     return A, b, elem_mats, e2d, ess
