@@ -561,10 +561,31 @@ def _route_assemble(states: List[RankState], ledger: ExchangeLedger) -> None:
 
 
 def rank_spectral(states: List[RankState], theta: float,
-                  use_truncated: bool = True) -> None:
+                  use_truncated: bool = True, setup_mesh=None) -> None:
     """The setup hot loop, per rank (interp_compute_vectors,
     interp.cpp:342): AE stiffness by global-matrix extraction with
-    interface re-assembly, then the theta-cut eigensolve."""
+    interface re-assembly, then the theta-cut eigensolve.
+
+    With ``setup_mesh`` the eigensolves run as ONE mesh-sharded batched
+    device solve with the batch ordered rank-major, so each rank's AEs
+    land on its shard — the owner-computes compute placement on top of
+    the rank-local assembly (SURVEY §2.2 item 5)."""
+    if setup_mesh is not None:
+        from saamge_tpu.ops.batched_eig import batched_spectral_cut
+        mats = []
+        for s in states:
+            for p in range(s.n_ae):
+                mats.append(build_AE_stiffm_with_global(
+                    s.A, p, s.rels, s.elem_mats))
+        cut, skipped, _bd = batched_spectral_cut(
+            mats, theta, use_truncated=use_truncated, mesh=setup_mesh)
+        k = 0
+        for s in states:
+            s.cut_evects = cut[k:k + s.n_ae]
+            s.skipped = skipped[k:k + s.n_ae]
+            k += s.n_ae
+            s._account()
+        return
     for s in states:
         eig = Eigensolver(use_truncated=use_truncated)
         s.cut_evects = []
@@ -583,7 +604,7 @@ def rank_spectral(states: List[RankState], theta: float,
 
 def _route_tentative(states: List[RankState], num_mises: int,
                      avoid_ess_bdr_dofs: bool, svd_eps: float,
-                     ledger: ExchangeLedger):
+                     ledger: ExchangeLedger, svd_fn=None):
     """SharedEntityCommunication reduce + owner SVD + broadcast
     (contrib.cpp:492-716): per MIS, every sharer restricts its AEs' kept
     eigenvectors to the MIS dofs and sends the block to the MIS master;
@@ -663,9 +684,18 @@ def _route_tentative(states: List[RankState], num_mises: int,
                     M[b, :len(ess), :][ess, :] = 0.0
             nrm = np.linalg.norm(M, axis=1, keepdims=True)
             M = np.divide(M, np.where(nrm > 0.0, nrm, 1.0))
-            U, S, _ = np.linalg.svd(M, full_matrices=False)
+            if svd_fn is None:
+                U, S, _ = np.linalg.svd(M, full_matrices=False)
+                eps_use = svd_eps
+            else:
+                # mesh-sharded owner-computes SVD (dist_setup.py): the
+                # master's bucket is factored with the batch dimension
+                # sharded over the device mesh
+                U, S = svd_fn(M)
+                eps_use = max(svd_eps,
+                              getattr(svd_fn, "suggested_eps", 0.0))
             s0 = S[:, :1]
-            k_arr = ((S > svd_eps * s0) & (s0 > 0.0)).sum(axis=1)
+            k_arr = ((S > eps_use * s0) & (s0 > 0.0)).sum(axis=1)
             for b, (gid, gdofs, ess, Mblk) in enumerate(its):
                 k = int(k_arr[b])
                 if k == 0:
@@ -921,6 +951,7 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
                          partitioning: Optional[np.ndarray] = None,
                          elems_per_agg: int = 64,
                          avoid_ess_bdr_dofs: bool = True,
+                         setup_mesh=None,
                          seed: int = 0):
     """Full multilevel setup with the FINEST (memory-dominant) coarsening
     running through the SPMD pipeline and the much smaller coarse levels
@@ -951,7 +982,8 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
         e2d_global, e2e_global, elem_mats, bdr_flags, n_ranks,
         partitioning=partitioning, elems_per_agg=elems_per_agg,
         theta=mlp.get_theta(0), avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
-        use_truncated=mlp.use_truncated_eigensolver, seed=seed)
+        use_truncated=mlp.use_truncated_eigensolver,
+        setup_mesh=setup_mesh, seed=seed)
     if A is None:
         A = assemble_global_A(out)
     # level 0: assemble the TGData from the SPMD products
@@ -1022,6 +1054,7 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
                  avoid_ess_bdr_dofs: bool = True,
                  svd_eps: float = SVD_EPS,
                  use_truncated: bool = True,
+                 setup_mesh=None,
                  seed: int = 0) -> SPMDSetup:
     """One SPMD spectral coarsening: the full distributed pipeline
     (tables -> MISes -> eigensolves -> SEC SVD -> numbering -> RAP ->
@@ -1048,9 +1081,15 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
     sa_print(5, "SPMD setup: %d ranks, %d AEs, %d MISes", n_ranks,
              max(s.ae_goff + s.n_ae for s in states), num_mises)
     _route_assemble(states, ledger)
-    rank_spectral(states, theta, use_truncated=use_truncated)
+    rank_spectral(states, theta, use_truncated=use_truncated,
+                  setup_mesh=setup_mesh)
+    svd_fn = None
+    if setup_mesh is not None:
+        from saamge_tpu.parallel.dist_setup import make_sharded_svd
+        svd_fn = make_sharded_svd(setup_mesh)
     mis_ncd, offsets, masters_out = _route_tentative(
-        states, num_mises, avoid_ess_bdr_dofs, svd_eps, ledger)
+        states, num_mises, avoid_ess_bdr_dofs, svd_eps, ledger,
+        svd_fn=svd_fn)
     Ac = _route_rap(states, offsets, ledger)
     coarse_e2d, coarse_e2e, weights, c_mats = _coarse_outputs(
         states, offsets, num_mises, e2e_global, elem_rank, ledger)

@@ -192,3 +192,24 @@ def test_spmd_local_partitioner_2d():
     assert 0 < out.P.shape[1] < A.shape[0]
     it = _pcg_iters(A, b, out.P, out.Ac, theta=0.003)
     assert it <= 12, it
+
+
+def test_spmd_device_mesh_compute(problem3d):
+    """setup_mesh: rank-major batched eigensolves + mesh-sharded
+    owner-computes MIS-SVD produce the same coarse DIMENSIONS as the
+    host-compute SPMD path (f32 device solves may rotate borderline-free
+    bases; dimensions and convergence are the invariants)."""
+    import jax
+    from jax.sharding import Mesh
+    mesh_, A, b, em, e2d, e2e, flags, part = problem3d
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, axis_names=("dp",))
+    out_h = spmd_coarsen(e2d, e2e, em, flags, 8, partitioning=part.copy(),
+                         theta=0.05, use_truncated=False)
+    out_d = spmd_coarsen(e2d, e2e, em, flags, 8, partitioning=part.copy(),
+                         theta=0.05, use_truncated=False, setup_mesh=mesh)
+    assert out_d.P.shape == out_h.P.shape
+    assert out_d.num_mises == out_h.num_mises
+    it = _pcg_iters(A, b, out_d.P, out_d.Ac, theta=0.05)
+    it_h = _pcg_iters(A, b, out_h.P, out_h.Ac, theta=0.05)
+    assert it <= it_h + 1, (it, it_h)
