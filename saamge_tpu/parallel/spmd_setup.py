@@ -42,7 +42,7 @@ from saamge_tpu.setup.contrib import _pad2
 from saamge_tpu.setup.spectral import Eigensolver
 from saamge_tpu.topology.agglomerate import (FLAG_BETWEEN_AES, FLAG_ESS_BDR,
                                              FLAG_PROC_IFACE, AggPartRels,
-                                             ae_local_ids,
+                                             _ranges, ae_local_ids,
                                              build_AE_stiffm_with_global)
 from saamge_tpu.topology.part import partition_kway
 from saamge_tpu.utils.logging import sa_assert, sa_print
@@ -119,6 +119,9 @@ class RankState:
     # spectral data
     cut_evects: List[np.ndarray] = None     # per local AE
     skipped: List[float] = None
+    ae_stiffm: List[np.ndarray] = None      # cached AE stiffness (per AE,
+                                            # the interp_data.AEs_stiffm
+                                            # analog)
     # tentative data (per local mis, broadcast from masters)
     mis_ncd: np.ndarray = None
     mis_basis: List[np.ndarray] = None
@@ -148,6 +151,9 @@ class RankState:
                 b += t.indptr.nbytes + t.indices.nbytes
         if self.cut_evects is not None:
             b += sum(c.nbytes for c in self.cut_evects if c is not None)
+        if self.ae_stiffm is not None:
+            b += sum(m.nbytes for m in self.ae_stiffm
+                     if isinstance(m, np.ndarray))
         self.peak_bytes = max(self.peak_bytes, b)
 
 
@@ -187,28 +193,33 @@ def make_rank_states(e2d_global: Table, e2e_global: Table,
     SURVEY §2.2 item 2)."""
     elem_rank = np.asarray(elem_rank, dtype=np.int64)
     states: List[RankState] = []
+    epos = np.full(e2e_global.nrows, -1, dtype=np.int64)
     for r in range(n_ranks):
         elems = np.flatnonzero(elem_rank == r)
-        gd = e2d_global.indices[_concat_ranges(e2d_global.indptr, elems)]
+        sel = _concat_ranges(e2d_global.indptr, elems)
+        gd = e2d_global.indices[sel]
         ldof_gid = np.unique(gd)
-        lmap = {int(g): i for i, g in enumerate(ldof_gid)}
-        # local elem_to_dof preserving within-row order
-        rows = [np.searchsorted(ldof_gid, e2d_global.row(e)) for e in elems]
-        e2d = Table.from_rows(rows, len(ldof_gid))
+        # local elem_to_dof preserving within-row order (vectorized)
+        lens = e2d_global.indptr[elems + 1] - e2d_global.indptr[elems]
+        indptr = np.zeros(len(elems) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        e2d = Table(indptr, np.searchsorted(ldof_gid, gd),
+                    len(ldof_gid))
         # in-rank element adjacency (cross-rank edges handled separately)
-        epos = np.full(e2e_global.nrows, -1, dtype=np.int64)
         epos[elems] = np.arange(len(elems))
-        e2e_rows = []
-        for e in elems:
-            nb = e2e_global.row(e)
-            nb = nb[elem_rank[nb] == r]
-            e2e_rows.append(epos[nb])
-        e2e = Table.from_rows(e2e_rows, len(elems))
+        nsel = _concat_ranges(e2e_global.indptr, elems)
+        nb = e2e_global.indices[nsel]
+        nlens = e2e_global.indptr[elems + 1] - e2e_global.indptr[elems]
+        rows_of = np.repeat(np.arange(len(elems), dtype=np.int64), nlens)
+        keep = elem_rank[nb] == r
+        kcounts = np.bincount(rows_of[keep], minlength=len(elems))
+        kindptr = np.zeros(len(elems) + 1, dtype=np.int64)
+        np.cumsum(kcounts, out=kindptr[1:])
+        e2e = Table(kindptr, epos[nb[keep]], len(elems))
         st = RankState(
             rank=r, elems=elems, ldof_gid=ldof_gid, e2d=e2d, e2e=e2e,
             elem_mats=np.ascontiguousarray(elem_mats[elems]),
             flags=np.asarray(bdr_flags, dtype=np.uint8)[ldof_gid].copy())
-        del lmap
         st._account()
         states.append(st)
     return states
@@ -574,9 +585,9 @@ def rank_spectral(states: List[RankState], theta: float,
         from saamge_tpu.ops.batched_eig import batched_spectral_cut
         mats = []
         for s in states:
-            for p in range(s.n_ae):
-                mats.append(build_AE_stiffm_with_global(
-                    s.A, p, s.rels, s.elem_mats))
+            s.ae_stiffm = [build_AE_stiffm_with_global(
+                s.A, p, s.rels, s.elem_mats) for p in range(s.n_ae)]
+            mats.extend(s.ae_stiffm)
         cut, skipped, _bd = batched_spectral_cut(
             mats, theta, use_truncated=use_truncated, mesh=setup_mesh)
         k = 0
@@ -590,8 +601,10 @@ def rank_spectral(states: List[RankState], theta: float,
         eig = Eigensolver(use_truncated=use_truncated)
         s.cut_evects = []
         s.skipped = []
+        s.ae_stiffm = []
         for p in range(s.n_ae):
             A_T = build_AE_stiffm_with_global(s.A, p, s.rels, s.elem_mats)
+            s.ae_stiffm.append(A_T)
             evects, skipped, _B = eig.solve(A_T, theta)
             s.cut_evects.append(evects)
             s.skipped.append(skipped)
@@ -732,6 +745,41 @@ def _route_tentative(states: List[RankState], num_mises: int,
 # phase 9: rank-local P rows + distributed RAP
 
 
+def _p_rows_csr(s: RankState, NC: int) -> sp.csr_matrix:
+    """Tentative-P rows of the rank's local dofs (vectorized from the
+    broadcast MIS bases; exact zeros dropped, matching
+    contrib_tent_insert_simple)."""
+    m_of = s.mis_of_dof
+    ncd_d = s.mis_ncd[m_of]                       # per local dof
+    counts = np.bincount(m_of, minlength=s.n_mis)
+    starts = np.zeros(s.n_mis, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    order = np.argsort(m_of, kind="stable")
+    pos = np.empty(s.n_loc, dtype=np.int64)
+    pos[order] = np.arange(s.n_loc, dtype=np.int64) \
+        - np.repeat(starts, counts)
+    # flat basis buffer: each MIS's (size, ncd) block row-major
+    bsizes = counts * s.mis_ncd
+    boff = np.zeros(s.n_mis, dtype=np.int64)
+    np.cumsum(bsizes[:-1], out=boff[1:])
+    chunks = [np.ascontiguousarray(s.mis_basis[m][:, :s.mis_ncd[m]]).ravel()
+              for m in range(s.n_mis) if s.mis_ncd[m] > 0]
+    bflat = np.concatenate(chunks) if chunks else np.zeros(0)
+    # entries
+    total = int(ncd_d.sum())
+    rows = np.repeat(np.arange(s.n_loc, dtype=np.int64), ncd_d)
+    j = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(ncd_d) - ncd_d, ncd_d)
+    md = m_of[rows]
+    vals = bflat[boff[md] + pos[rows] * ncd_d[rows] + j]
+    cols = s.mis_coff[md] + j
+    nz = vals != 0.0
+    P = sp.coo_matrix((vals[nz], (rows[nz], cols[nz])),
+                      shape=(s.n_loc, NC)).tocsr()
+    P.sort_indices()
+    return P
+
+
 def _route_rap(states: List[RankState], offsets: np.ndarray,
                ledger: ExchangeLedger) -> sp.csr_matrix:
     """Distributed Galerkin product (hypre RAP analog, tg.hpp:696):
@@ -741,53 +789,35 @@ def _route_rap(states: List[RankState], offsets: np.ndarray,
     its owned-row contribution P_own^T A_own P_ext, and the router sums
     the coarse COO pieces (the ICI all-reduce over coarse ids)."""
     NC = int(offsets[-1])
-    prow_cache: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-
-    def p_row_local(s: RankState, l: int):
-        m = int(s.mis_of_dof[l])
-        ncd = int(s.mis_ncd[m])
-        if ncd == 0:
-            return (np.zeros(0, dtype=np.int64), np.zeros(0))
-        basis = s.mis_basis[m]
-        pos = int(np.searchsorted(s.mis_dofs.row(m), l))
-        vals = basis[pos, :ncd]
-        nz = vals != 0.0
-        cols = (s.mis_coff[m] + np.flatnonzero(nz)).astype(np.int64)
-        return cols, vals[nz]
-
-    # ghost P-row fetch
+    pieces = []
     for s in states:
-        for g, src in zip(s.ghost_gid, s.ghost_src):
-            key = int(g)
-            if key in prow_cache:
-                continue
-            so = states[int(src)]
-            lg = int(np.searchsorted(so.ldof_gid, g))
-            sa_assert(1, so.ldof_gid[lg] == g, "ghost row not on source")
-            cols, vals = p_row_local(so, lg)
-            prow_cache[key] = (cols, vals)
-            ledger.add("rap_ghost_rows", vals.nbytes + cols.nbytes,
-                       int(src))
-
+        P_loc = _p_rows_csr(s, NC)
+        s._P_loc = P_loc           # reused by _coarse_outputs
+        pieces.append(P_loc)
     Ac_sum = sp.csr_matrix((NC, NC))
     for s in states:
-        n_ext = s.A.shape[1]
-        rows_idx, cols_idx, vals = [], [], []
-        for l in range(s.n_loc):
-            cols, v = p_row_local(s, l)
-            rows_idx.append(np.full(len(cols), l, dtype=np.int64))
-            cols_idx.append(cols)
-            vals.append(v)
-        for gi, g in enumerate(s.ghost_gid):
-            cols, v = prow_cache[int(g)]
-            rows_idx.append(np.full(len(cols), s.n_loc + gi,
-                                    dtype=np.int64))
-            cols_idx.append(cols)
-            vals.append(v)
-        P_ext = sp.coo_matrix(
-            (np.concatenate(vals),
-             (np.concatenate(rows_idx), np.concatenate(cols_idx))),
-            shape=(n_ext, NC)).tocsr()
+        P_loc = pieces[s.rank]
+        if len(s.ghost_gid):
+            # ghost P-row fetch from the contributing ranks (grouped)
+            grows = []
+            for src in np.unique(s.ghost_src):
+                so = states[int(src)]
+                sel = s.ghost_src == src
+                lg = np.searchsorted(so.ldof_gid, s.ghost_gid[sel])
+                sa_assert(1, bool((so.ldof_gid[lg]
+                                   == s.ghost_gid[sel]).all()),
+                          "ghost row not on source")
+                block = pieces[int(src)][lg]
+                grows.append((np.flatnonzero(sel), block))
+                ledger.add("rap_ghost_rows",
+                           block.nnz * 16, int(src))
+            G = sp.vstack([b for _, b in grows]).tocsr()
+            perm = np.concatenate([i for i, _ in grows])
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            P_ext = sp.vstack([P_loc, G[inv]]).tocsr()
+        else:
+            P_ext = P_loc
         own = np.flatnonzero(s.owner_mask)
         A_own = s.A[own]
         P_own = P_ext[own]
@@ -823,57 +853,44 @@ def _coarse_outputs(states: List[RankState], offsets: np.ndarray,
     for s in states:
         elem_gae[s.elems] = s.part + s.ae_goff
     for s in states:
-        # mis ids per AE, in AE_to_dof first-encounter order (the order
-        # AE_to_dof.mult(finedof_to_dof) produces on a single host)
+        # per-dof nonzero-P-row mask (zero rows — essential dofs inside a
+        # MIS — must not trigger the first encounter, matching the
+        # ZERO-DROPPED finedof_to_dof pattern of a single host)
+        P_loc = getattr(s, "_P_loc", None)
+        if P_loc is not None:
+            has_row = np.diff(P_loc.indptr) > 0
+        else:
+            has_row = s.mis_ncd[s.mis_of_dof] > 0
         for lae in range(s.n_ae):
             gae = lae + s.ae_goff
             dofs_l = s.rels.AE_to_dof.row(lae)
             weights[gae] = len(dofs_l)
-            # first-encounter order over dofs whose P row is nonzero —
-            # exactly AE_to_dof.mult(finedof_to_dof) on a single host
-            # (finedof_to_dof is the ZERO-DROPPED tentative-P pattern,
-            # so essential-boundary dofs, whose basis rows are exactly
-            # zero, do not trigger the encounter)
-            mis_seq = s.mis_of_dof[dofs_l]
-            seen = np.zeros(s.n_mis, dtype=bool)
-            cdofs = []
-            order_mis = []
-            for dl, mm in zip(dofs_l, mis_seq):
-                if seen[mm]:
-                    continue
-                ncd = int(s.mis_ncd[mm])
-                if ncd == 0:
-                    seen[mm] = True
-                    order_mis.append(int(mm))
-                    continue
-                pos = int(np.searchsorted(s.mis_dofs.row(mm), dl))
-                if not np.any(s.mis_basis[mm][pos, :ncd] != 0.0):
-                    continue
-                seen[mm] = True
-                order_mis.append(int(mm))
-                cdofs.append(np.arange(s.mis_coff[mm],
-                                       s.mis_coff[mm] + ncd,
-                                       dtype=np.int64))
-            row = np.concatenate(cdofs) if cdofs else \
-                np.zeros(0, dtype=np.int64)
+            # mis ids per AE, first-encounter order over nonzero-row dofs
+            # (the order AE_to_dof.mult(finedof_to_dof) produces)
+            mis_seq = s.mis_of_dof[dofs_l[has_row[dofs_l]]]
+            uniq, first = np.unique(mis_seq, return_index=True)
+            order_mis = uniq[np.argsort(first, kind="stable")]
+            ncds = s.mis_ncd[order_mis]
+            row = _ranges(s.mis_coff[order_mis], ncds)
             c_e2d_rows[gae] = row
             # coarse element matrix: local RAP of the AE stiffness with
             # the stitched per-MIS tentative blocks (ascending mis gid —
             # the np.sort(AE_to_mis.row) order of CoarseProvider)
-            nloc_c = len(row)
-            pos_of = {int(d): k for k, d in enumerate(row)}
-            A_T = build_AE_stiffm_with_global(s.A, lae, s.rels, s.elem_mats)
-            local_interp = np.zeros((len(dofs_l), nloc_c))
-            for mm in sorted(order_mis, key=lambda m: int(s.mis_gid[m])):
-                ncd = int(s.mis_ncd[mm])
+            blk_start = np.zeros(len(order_mis), dtype=np.int64)
+            np.cumsum(ncds[:-1], out=blk_start[1:])
+            A_T = s.ae_stiffm[lae] if s.ae_stiffm is not None else \
+                build_AE_stiffm_with_global(s.A, lae, s.rels, s.elem_mats)
+            local_interp = np.zeros((len(dofs_l), len(row)))
+            for k in np.argsort(s.mis_gid[order_mis], kind="stable"):
+                mm = int(order_mis[k])
+                ncd = int(ncds[k])
                 if ncd == 0:
                     continue
                 mdofs = s.mis_dofs.row(mm)
                 rloc = ae_local_ids(s.rels, mdofs,
                                     np.full(len(mdofs), lae,
                                             dtype=np.int64))
-                ccols = np.array([pos_of[int(s.mis_coff[mm]) + i]
-                                  for i in range(ncd)], dtype=np.int64)
+                ccols = blk_start[k] + np.arange(ncd, dtype=np.int64)
                 local_interp[np.ix_(rloc, ccols)] += \
                     s.mis_basis[mm][:, :ncd]
             coarse_elem_mats[gae] = local_interp.T @ (A_T @ local_interp)
@@ -883,15 +900,11 @@ def _coarse_outputs(states: List[RankState], offsets: np.ndarray,
         # ascending) x (their e2e neighbors in row order)
         for lae in range(s.n_ae):
             gae = lae + s.ae_goff
-            nbr = []
-            seen = set()
-            for e in s.elems[s.rels.AE_to_elem.row(lae)]:
-                for ne in e2e_global.row(int(e)):
-                    a = int(elem_gae[ne])
-                    if a not in seen:
-                        seen.add(a)
-                        nbr.append(a)
-            c_e2e_rows[gae] = np.asarray(nbr, dtype=np.int64)
+            ge = s.elems[s.rels.AE_to_elem.row(lae)]
+            nbr_ae = elem_gae[e2e_global.indices[
+                _concat_ranges(e2e_global.indptr, ge)]]
+            uniq, first = np.unique(nbr_ae, return_index=True)
+            c_e2e_rows[gae] = uniq[np.argsort(first, kind="stable")]
     NC = int(offsets[-1])
     coarse_e2d = Table.from_rows(c_e2d_rows, NC)
     coarse_e2e = Table.from_rows(c_e2e_rows, n_ae_total)
