@@ -780,8 +780,88 @@ def _p_rows_csr(s: RankState, NC: int) -> sp.csr_matrix:
     return P
 
 
+def _fetch_ghost_rows(states: List[RankState], s: RankState,
+                      pieces: Dict[int, sp.csr_matrix],
+                      ledger: ExchangeLedger,
+                      phase: str) -> Optional[sp.csr_matrix]:
+    """Fetch the P rows of this rank's ghost columns from the ranks that
+    contributed them (SEC-style), preserving ghost order."""
+    if not len(s.ghost_gid):
+        return None
+    grows = []
+    for src in np.unique(s.ghost_src):
+        so = states[int(src)]
+        sel = s.ghost_src == src
+        lg = np.searchsorted(so.ldof_gid, s.ghost_gid[sel])
+        sa_assert(1, bool((so.ldof_gid[lg] == s.ghost_gid[sel]).all()),
+                  "ghost row not on source")
+        block = pieces[int(src)][lg]
+        grows.append((np.flatnonzero(sel), block))
+        ledger.add(phase, block.nnz * 16, int(src))
+    G = sp.vstack([b for _, b in grows]).tocsr()
+    perm = np.concatenate([i for i, _ in grows])
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return G[inv]
+
+
+def _rank_dinv(states: List[RankState], s: RankState,
+               ledger: ExchangeLedger) -> np.ndarray:
+    """Rank-local weighted-ell1 smoother diagonal (mbox_snd_D analog):
+    d_i = sum_j |a_ij| sqrt(a_ii/a_jj) over stored entries.  Ghost-column
+    diagonals are fetched from their owners (one interface exchange)."""
+    diag_l = s.A[:, :s.n_loc].diagonal()
+    diag_ext = np.concatenate([diag_l, np.zeros(len(s.ghost_gid))])
+    for src in np.unique(s.ghost_src) if len(s.ghost_gid) else []:
+        so = states[int(src)]
+        sel = s.ghost_src == src
+        lg = np.searchsorted(so.ldof_gid, s.ghost_gid[sel])
+        diag_ext[s.n_loc + np.flatnonzero(sel)] = \
+            so.A[:, :so.n_loc].diagonal()[lg]
+        ledger.add("smooth_halo", int(sel.sum()) * 8, int(src))
+    y = abs(s.A) @ (1.0 / np.sqrt(diag_ext))
+    return 1.0 / (np.sqrt(diag_l) * y)
+
+
+def _route_smooth_interp(states: List[RankState],
+                         tent_pieces: Dict[int, sp.csr_matrix],
+                         roots: np.ndarray, ledger: ExchangeLedger,
+                         times_apply: int = 1,
+                         drop_tol: float = 0.0) -> Dict[int, sp.csr_matrix]:
+    """Distributed prolongator smoothing (interp_smooth, interp.cpp:172):
+    P <- prod_k (I - (1/tau_k) D^{-1} A) P applied rank-locally, with one
+    ghost-P-row halo exchange per smoothing application (the hypre
+    ParMult halo of the reference's SpGEMM-per-root).  The ghost set is
+    fixed (the columns of the rank's assembled rows), so the exchange
+    volume stays O(interface) per root.  Returns per-rank smoothed local
+    P rows."""
+    pieces = dict(tent_pieces)
+    dinvs = {s.rank: _rank_dinv(states, s, ledger) for s in states}
+    for tau in roots:
+        for _ in range(max(times_apply, 1)):
+            # synchronous halo: everyone fetches BEFORE anyone updates
+            exts = {}
+            for s in states:
+                G = _fetch_ghost_rows(states, s, pieces, ledger,
+                                      "smooth_halo")
+                exts[s.rank] = sp.vstack([pieces[s.rank], G]).tocsr() \
+                    if G is not None else pieces[s.rank]
+            for s in states:
+                AP = s.A @ exts[s.rank]
+                Pn = (pieces[s.rank]
+                      - sp.diags(dinvs[s.rank] / tau) @ AP).tocsr()
+                pieces[s.rank] = Pn
+    if drop_tol > 0.0:
+        for r, P in pieces.items():
+            P.data[np.abs(P.data) <= drop_tol] = 0.0
+            P.eliminate_zeros()
+    return pieces
+
+
 def _route_rap(states: List[RankState], offsets: np.ndarray,
-               ledger: ExchangeLedger) -> sp.csr_matrix:
+               ledger: ExchangeLedger,
+               pieces: Optional[Dict[int, sp.csr_matrix]] = None
+               ) -> sp.csr_matrix:
     """Distributed Galerkin product (hypre RAP analog, tg.hpp:696):
     every rank forms the tentative-P rows of its local dofs from the
     broadcast MIS bases, fetches P rows for its ghost columns from the
@@ -789,35 +869,17 @@ def _route_rap(states: List[RankState], offsets: np.ndarray,
     its owned-row contribution P_own^T A_own P_ext, and the router sums
     the coarse COO pieces (the ICI all-reduce over coarse ids)."""
     NC = int(offsets[-1])
-    pieces = []
+    if pieces is None:
+        pieces = {}
+        for s in states:
+            pieces[s.rank] = _p_rows_csr(s, NC)
     for s in states:
-        P_loc = _p_rows_csr(s, NC)
-        s._P_loc = P_loc           # reused by _coarse_outputs
-        pieces.append(P_loc)
+        s._P_loc = pieces[s.rank]   # reused by _coarse_outputs
     Ac_sum = sp.csr_matrix((NC, NC))
     for s in states:
         P_loc = pieces[s.rank]
-        if len(s.ghost_gid):
-            # ghost P-row fetch from the contributing ranks (grouped)
-            grows = []
-            for src in np.unique(s.ghost_src):
-                so = states[int(src)]
-                sel = s.ghost_src == src
-                lg = np.searchsorted(so.ldof_gid, s.ghost_gid[sel])
-                sa_assert(1, bool((so.ldof_gid[lg]
-                                   == s.ghost_gid[sel]).all()),
-                          "ghost row not on source")
-                block = pieces[int(src)][lg]
-                grows.append((np.flatnonzero(sel), block))
-                ledger.add("rap_ghost_rows",
-                           block.nnz * 16, int(src))
-            G = sp.vstack([b for _, b in grows]).tocsr()
-            perm = np.concatenate([i for i, _ in grows])
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(len(perm))
-            P_ext = sp.vstack([P_loc, G[inv]]).tocsr()
-        else:
-            P_ext = P_loc
+        G = _fetch_ghost_rows(states, s, pieces, ledger, "rap_ghost_rows")
+        P_ext = sp.vstack([P_loc, G]).tocsr() if G is not None else P_loc
         own = np.flatnonzero(s.owner_mask)
         A_own = s.A[own]
         P_own = P_ext[own]
@@ -922,6 +984,7 @@ class SPMDSetup:
     n_ranks: int
     num_mises: int
     P: sp.csr_matrix                  # global tentative prolongator
+    interp: Optional[sp.csr_matrix]   # smoothed prolongator (nu_pro > 0)
     Ac: sp.csr_matrix                 # Galerkin coarse operator
     mis_numcoarsedof: np.ndarray
     mis_coarsedofoffsets: np.ndarray
@@ -987,8 +1050,6 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
     from saamge_tpu.topology.agglomerate import (_create_tables,
                                                  _strip_diagonal)
 
-    sa_assert(1, mlp.get_nu_pro(0) == 0,
-              "SPMD setup supports the tentative prolongator (nu_pro=0)")
     sa_assert(1, not mlp.use_correct_nullspace,
               "SPMD setup does not build scaling_P (correct_nullspace)")
     out = spmd_coarsen(
@@ -996,24 +1057,27 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
         partitioning=partitioning, elems_per_agg=elems_per_agg,
         theta=mlp.get_theta(0), avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
         use_truncated=mlp.use_truncated_eigensolver,
-        setup_mesh=setup_mesh, seed=seed)
+        setup_mesh=setup_mesh, nu_pro=mlp.get_nu_pro(0),
+        drop_tol=mlp.smooth_drop_tol, seed=seed)
     if A is None:
         A = assemble_global_A(out)
     # level 0: assemble the TGData from the SPMD products
     interp_data = interp_init_data(
-        _FakeRels(out.n_ae_total), 0, mlp.use_truncated_eigensolver)
+        _FakeRels(out.n_ae_total), mlp.get_nu_pro(0),
+        mlp.use_truncated_eigensolver)
     interp_data.tent = TentativeInterp(
         P=out.P, mis_tent_interps=None,
         mis_numcoarsedof=out.mis_numcoarsedof,
         local_coarse_one_representation=None)
     interp_data.mis_coarsedofoffsets = out.mis_coarsedofoffsets
     interp_data.suggested_theta = out.suggested_theta
+    interp0 = out.interp if out.interp is not None else out.P
     tg0 = tg_mod.TGData(
         interp_data=interp_data,
         poly_data=smoothers.init_poly_data(A, mlp.get_nu_relax(0), "sas"),
-        theta=mlp.get_theta(0), smooth_interp=False,
-        ltent_interp=out.P, tent_interp=out.P, interp=out.P,
-        restr=out.P.T.tocsr(), Ac=out.Ac, doing_spectral=True)
+        theta=mlp.get_theta(0), smooth_interp=out.interp is not None,
+        ltent_interp=out.P, tent_interp=out.P, interp=interp0,
+        restr=interp0.T.tocsr(), Ac=out.Ac, doing_spectral=True)
     num = mlp.num_coarsenings
     if num <= 1:
         tg0.coarse_solver = make_coarse_solver(out.Ac,
@@ -1068,6 +1132,9 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
                  svd_eps: float = SVD_EPS,
                  use_truncated: bool = True,
                  setup_mesh=None,
+                 nu_pro: int = 0,
+                 times_apply_smoother: int = 1,
+                 drop_tol: float = 0.0,
                  seed: int = 0) -> SPMDSetup:
     """One SPMD spectral coarsening: the full distributed pipeline
     (tables -> MISes -> eigensolves -> SEC SVD -> numbering -> RAP ->
@@ -1103,7 +1170,18 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
     mis_ncd, offsets, masters_out = _route_tentative(
         states, num_mises, avoid_ess_bdr_dofs, svd_eps, ledger,
         svd_fn=svd_fn)
-    Ac = _route_rap(states, offsets, ledger)
+    NC = int(offsets[-1])
+    tent_pieces = {s.rank: _p_rows_csr(s, NC) for s in states}
+    for s in states:
+        s._P_loc = tent_pieces[s.rank]   # coarse tables use the TENT
+        # pattern (create_partitioning_coarse consumes tent_interp)
+    rap_pieces = tent_pieces
+    if nu_pro > 0:
+        from saamge_tpu.solve.smoothers import sa_poly_roots
+        rap_pieces = _route_smooth_interp(
+            states, tent_pieces, sa_poly_roots(nu_pro), ledger,
+            times_apply=times_apply_smoother, drop_tol=drop_tol)
+    Ac = _route_rap(states, offsets, ledger, pieces=rap_pieces)
     coarse_e2d, coarse_e2e, weights, c_mats = _coarse_outputs(
         states, offsets, num_mises, e2e_global, elem_rank, ledger)
     # router-side global P assembly (the solve-phase input; the reference
@@ -1123,11 +1201,26 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
         (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
         shape=(ND, int(offsets[-1]))).tocsr() if rows else \
         sp.csr_matrix((ND, 0))
+    interp = None
+    if nu_pro > 0:
+        # owner-row gather of the smoothed rows (each dof's final row
+        # lives on its owner)
+        ri, ci, vi = [], [], []
+        for s in states:
+            own = np.flatnonzero(s.owner_mask)
+            Pr = rap_pieces[s.rank][own].tocoo()
+            ri.append(s.ldof_gid[own[Pr.row]])
+            ci.append(Pr.col)
+            vi.append(Pr.data)
+        interp = sp.coo_matrix(
+            (np.concatenate(vi), (np.concatenate(ri), np.concatenate(ci))),
+            shape=(ND, NC)).tocsr()
+        interp.sort_indices()
     skipped = [x for s in states for x in s.skipped if x is not None]
     suggested = 0.5 * theta + 0.5 * float(np.mean(skipped)) \
         if skipped else None
     return SPMDSetup(
-        n_ranks=n_ranks, num_mises=num_mises, P=P, Ac=Ac,
+        n_ranks=n_ranks, num_mises=num_mises, P=P, interp=interp, Ac=Ac,
         mis_numcoarsedof=mis_ncd, mis_coarsedofoffsets=offsets,
         suggested_theta=suggested,
         coarse_e2d=coarse_e2d, coarse_e2e=coarse_e2e,

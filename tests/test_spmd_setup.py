@@ -213,3 +213,25 @@ def test_spmd_device_mesh_compute(problem3d):
     it = _pcg_iters(A, b, out_d.P, out_d.Ac, theta=0.05)
     it_h = _pcg_iters(A, b, out_h.P, out_h.Ac, theta=0.05)
     assert it <= it_h + 1, (it, it_h)
+
+
+def test_spmd_smoothed_prolongator(problem3d):
+    """Distributed interp smoothing (ghost-P-row halo per root) matches
+    the single-host interp_smooth applied to the same tentative P, and
+    the distributed RAP uses the smoothed rows."""
+    from saamge_tpu.setup.interp import interp_smooth
+    from saamge_tpu.solve.smoothers import sa_poly_roots, weighted_l1_dinv
+    mesh, A, b, em, e2d, e2e, flags, part = problem3d
+    nu = 2
+    out = spmd_coarsen(e2d, e2e, em, flags, 8, partitioning=part.copy(),
+                       theta=0.05, use_truncated=False, nu_pro=nu)
+    assert out.interp is not None
+    ref = interp_smooth(A, out.P, weighted_l1_dinv(A), sa_poly_roots(nu))
+    d = abs(out.interp - ref).max() / abs(ref).max()
+    assert d < 1e-12, d
+    rap_ref = (ref.T @ A @ ref).tocsr()
+    d2 = abs(out.Ac - rap_ref).max() / abs(rap_ref).max()
+    assert d2 < 1e-11, d2
+    # smoothed-P hierarchy converges at least as fast as tentative
+    it_s = _pcg_iters(A, b, out.interp, out.Ac, theta=0.05)
+    assert it_s <= 20, it_s
