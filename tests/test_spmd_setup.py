@@ -235,3 +235,33 @@ def test_spmd_smoothed_prolongator(problem3d):
     # smoothed-P hierarchy converges at least as fast as tentative
     it_s = _pcg_iters(A, b, out.interp, out.Ac, theta=0.05)
     assert it_s <= 20, it_s
+
+
+def test_spmd_mldata_compiles_to_device(problem3d):
+    """The SPMD-built MLData drives the jitted device solve path
+    (solve/compiled.py) with host-iteration parity."""
+    import jax.numpy as jnp
+    from saamge_tpu.solve import compiled
+    mesh, A, b, em, e2d, e2e, flags, part = problem3d
+    mlp = MultilevelParameters(num_coarsenings=2, nparts_arr=[27, 4],
+                               first_theta=0.05, theta=0.05,
+                               use_correct_nullspace=False)
+    ml, out = spmd_ml_produce_data(e2d, e2e, em, flags, 8, mlp, A=A,
+                                   partitioning=part.copy())
+    h = compiled.compile_hierarchy(ml, dtype=jnp.float32)
+    x, it, _ = compiled.pcg_solve(h, jnp.asarray(b, jnp.float32),
+                                  rel_tol=1e-6, max_iter=100)
+    xh = np.asarray(x, np.float64)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+
+    sol = VCycleSolver(ml.levels[0].tg_data)
+    sol.set_operator(A)
+
+    def prec(r):
+        z = np.zeros_like(r)
+        sol.mult(r, z)
+        return z
+
+    it_h = pcg(A, b, prec, rel_tol=1e-6, max_iter=100).iterations
+    assert abs(int(it) - it_h) <= 1, (int(it), it_h)
