@@ -548,6 +548,8 @@ def _route_assemble(states: List[RankState], ledger: ExchangeLedger) -> None:
         diag = np.zeros(s.n_loc)
         rr = np.repeat(np.arange(s.n_loc), np.diff(A.indptr))
         dpos = np.flatnonzero(A.indices == rr)
+        sa_assert(1, len(dpos) == s.n_loc,
+                  "assembled local row missing its diagonal")
         diag[rr[dpos]] = A.data[dpos]
         kill = ess_row[rr] | ext_ess[A.indices]
         A.data[kill] = 0.0
@@ -1153,6 +1155,9 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
             n_ranks = int(elem_rank.max()) + 1
     states = make_rank_states(e2d_global, e2e_global, elem_mats, bdr_flags,
                               elem_rank, n_ranks)
+    sa_assert(1, all(len(s.elems) > 0 for s in states),
+              "empty rank (n_ranks exceeds what the element partition "
+              "supports)")
     _route_rendezvous(states, ledger)
     partition_ranks_local(states, partitioning, elems_per_agg, ledger,
                           seed=seed)
