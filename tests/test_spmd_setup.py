@@ -265,3 +265,30 @@ def test_spmd_mldata_compiles_to_device(problem3d):
 
     it_h = pcg(A, b, prec, rel_tol=1e-6, max_iter=100).iterations
     assert abs(int(it) - it_h) <= 1, (int(it), it_h)
+
+
+def test_spmd_hierarchy_reuse_after_matrix_change(problem3d):
+    """adapt_update_operators on an SPMD-built MLData (the threeleveladapt
+    hierarchy-reuse pattern, reference adapt.cpp:189): same coarse bases,
+    refreshed Dinv/RAP after A <- A + I."""
+    import scipy.sparse as sps
+    from saamge_tpu.setup.adapt import adapt_update_operators_ml
+    mesh, A, b, em, e2d, e2e, flags, part = problem3d
+    mlp = MultilevelParameters(num_coarsenings=2, nparts_arr=[27, 4],
+                               first_theta=0.05, theta=0.05,
+                               use_correct_nullspace=False)
+    ml, out = spmd_ml_produce_data(e2d, e2e, em, flags, 4, mlp, A=A,
+                                   partitioning=part.copy())
+    A2 = (A + sps.identity(A.shape[0], format="csr")).tocsr()
+    adapt_update_operators_ml(A2, ml, mlp)
+
+    sol = VCycleSolver(ml.levels[0].tg_data)
+    sol.set_operator(A2)
+
+    def prec(r):
+        z = np.zeros_like(r)
+        sol.mult(r, z)
+        return z
+
+    res = pcg(A2, b, prec, rel_tol=1e-6, max_iter=50)
+    assert res.converged and res.iterations <= 15, res.iterations
