@@ -134,7 +134,11 @@ class RankState:
 
     def _account(self) -> None:
         b = 0
-        for f in (self.ldof_gid, self.elem_mats, self.flags, self.part,
+        if isinstance(self.elem_mats, np.ndarray):
+            b += self.elem_mats.nbytes
+        elif self.elem_mats is not None:
+            b += sum(m.size * 8 for m in self.elem_mats)
+        for f in (self.ldof_gid, self.flags, self.part,
                   self.ghost_gid, self.sig_indptr, self.sig_ids,
                   self.mis_of_dof, self.mis_min_gdof, self.mis_gid):
             if f is not None:
@@ -216,9 +220,13 @@ def make_rank_states(e2d_global: Table, e2e_global: Table,
         kindptr = np.zeros(len(elems) + 1, dtype=np.int64)
         np.cumsum(kcounts, out=kindptr[1:])
         e2e = Table(kindptr, epos[nb[keep]], len(elems))
+        if isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3:
+            em_r = np.ascontiguousarray(elem_mats[elems])
+        else:
+            em_r = [elem_mats[int(e)] for e in elems]   # ragged (coarse)
         st = RankState(
             rank=r, elems=elems, ldof_gid=ldof_gid, e2d=e2d, e2e=e2e,
-            elem_mats=np.ascontiguousarray(elem_mats[elems]),
+            elem_mats=em_r,
             flags=np.asarray(bdr_flags, dtype=np.uint8)[ldof_gid].copy())
         st._account()
         states.append(st)
@@ -290,11 +298,14 @@ def _route_rendezvous(states: List[RankState],
 def partition_ranks_local(states: List[RankState],
                           global_partitioning: Optional[np.ndarray],
                           elems_per_agg: int,
-                          ledger: ExchangeLedger, seed: int = 0) -> None:
+                          ledger: ExchangeLedger, seed: int = 0,
+                          weights_global: Optional[np.ndarray] = None
+                          ) -> None:
     """Each rank partitions ITS elements into agglomerates (the reference
     runs METIS per rank on the local dual graph, part.cpp:120); global AE
     ids by prefix scan over ranks (proc_determine_offsets,
-    process.cpp:81)."""
+    process.cpp:81).  ``weights_global``: per-element weights (coarse
+    levels weight by AE dof counts, aggregates.cpp:1797)."""
     goff = 0
     for s in states:
         if global_partitioning is not None:
@@ -307,7 +318,19 @@ def partition_ranks_local(states: List[RankState],
             if nparts == 1:
                 s.part = np.zeros(len(s.elems), dtype=np.int64)
             else:
-                s.part = partition_kway(s.e2e, None, nparts, seed=seed)
+                # strip self-loops for the partitioner (coarse dual
+                # graphs carry them)
+                ii = np.repeat(np.arange(s.e2e.nrows, dtype=np.int64),
+                               s.e2e.row_sizes())
+                keep = s.e2e.indices != ii
+                cnt = np.bincount(ii[keep], minlength=s.e2e.nrows)
+                iptr = np.zeros(s.e2e.nrows + 1, dtype=np.int64)
+                np.cumsum(cnt, out=iptr[1:])
+                g = Table(iptr, s.e2e.indices[keep], s.e2e.ncols)
+                w = None if weights_global is None else \
+                    np.asarray(weights_global,
+                               dtype=np.float64)[s.elems]
+                s.part = partition_kway(g, w, nparts, seed=seed)
             s.n_ae = int(s.part.max()) + 1
         s.ae_goff = goff
         goff += s.n_ae                     # MPI_Scan analog
@@ -568,13 +591,62 @@ def _route_assemble(states: List[RankState], ledger: ExchangeLedger) -> None:
         s._account()
 
 
+def _route_coarse_rows(states: List[RankState], A_global: sp.csr_matrix,
+                       ledger: ExchangeLedger) -> None:
+    """Coarse-level analog of the overlapped-row assembly: the previous
+    coarsening's distributed RAP output is redistributed so each rank
+    holds the fully-assembled rows of its (overlapped) local dofs with
+    off-rank columns as ghosts — the hypre RAP-output row layout.  (The
+    router plays the owner-exchange; traffic is metered per rank.)
+    No Dirichlet elimination: coarse operators carry no essential dofs
+    (the fine elimination is inherited through the Galerkin product)."""
+    for s in states:
+        sub = A_global[s.ldof_gid]
+        cols_g = sub.indices
+        pos = np.searchsorted(s.ldof_gid, cols_g)
+        pos_c = np.clip(pos, 0, s.n_loc - 1)
+        is_loc = s.ldof_gid[pos_c] == cols_g
+        ghost_gid, inv = np.unique(cols_g[~is_loc], return_inverse=True)
+        lc = np.where(is_loc, pos_c, 0)
+        lc[~is_loc] = s.n_loc + inv
+        n_ext = s.n_loc + len(ghost_gid)
+        s.A = sp.csr_matrix((sub.data.copy(), lc, sub.indptr.copy()),
+                            shape=(s.n_loc, n_ext))
+        s.A.sort_indices()
+        s.ghost_gid = ghost_gid
+        # ghost rows live on their owner = the rank that got them from
+        # the rendezvous min-rank rule; the rendezvous didn't see these
+        # dofs (they are not local here), so resolve owners globally:
+        # every dof IS local somewhere, and the owner is the minimum
+        # such rank (same rule)
+        owner_of = _owner_map(states)
+        s.ghost_src = owner_of[ghost_gid]
+        ledger.add("coarse_rows", sub.data.nbytes + sub.indices.nbytes,
+                   s.rank)
+        s.rels.ND = n_ext
+        flags_ext = np.zeros(n_ext, dtype=np.uint8)
+        flags_ext[:s.n_loc] = s.flags
+        s.rels.agg_flags = flags_ext
+        s._account()
+
+
+def _owner_map(states: List[RankState]) -> np.ndarray:
+    """gdof -> owner rank (minimum rank holding the dof locally)."""
+    N = max(int(s.ldof_gid[-1]) for s in states) + 1
+    owner = np.full(N, np.iinfo(np.int64).max, dtype=np.int64)
+    for s in reversed(states):          # ascending rank wins
+        owner[s.ldof_gid] = np.minimum(owner[s.ldof_gid], s.rank)
+    return owner
+
+
 # ---------------------------------------------------------------------------
 # phase 6: AE stiffness + local eigensolves (rank-local, batched on device
 # when a mesh is provided)
 
 
 def rank_spectral(states: List[RankState], theta: float,
-                  use_truncated: bool = True, setup_mesh=None) -> None:
+                  use_truncated: bool = True, setup_mesh=None,
+                  ae_local_assembly: bool = False) -> None:
     """The setup hot loop, per rank (interp_compute_vectors,
     interp.cpp:342): AE stiffness by global-matrix extraction with
     interface re-assembly, then the theta-cut eigensolve.
@@ -582,13 +654,25 @@ def rank_spectral(states: List[RankState], theta: float,
     With ``setup_mesh`` the eigensolves run as ONE mesh-sharded batched
     device solve with the batch ordered rank-major, so each rank's AEs
     land on its shard — the owner-computes compute placement on top of
-    the rank-local assembly (SURVEY §2.2 item 5)."""
+    the rank-local assembly (SURVEY §2.2 item 5).
+
+    ``ae_local_assembly``: coarse levels assemble the AE matrix purely
+    from (coarse) element matrices (agg_build_AE_stiffm,
+    aggregates.cpp:959 / ElementMatrixParallelCoarse) instead of the
+    global-extraction + interface-reassembly recipe of the fine level."""
+    from saamge_tpu.topology.agglomerate import build_AE_stiffm_local
+
+    def build_one(s, p):
+        if ae_local_assembly:
+            return build_AE_stiffm_local(p, s.rels, s.elem_mats,
+                                         sparse_out=False)
+        return build_AE_stiffm_with_global(s.A, p, s.rels, s.elem_mats)
+
     if setup_mesh is not None:
         from saamge_tpu.ops.batched_eig import batched_spectral_cut
         mats = []
         for s in states:
-            s.ae_stiffm = [build_AE_stiffm_with_global(
-                s.A, p, s.rels, s.elem_mats) for p in range(s.n_ae)]
+            s.ae_stiffm = [build_one(s, p) for p in range(s.n_ae)]
             mats.extend(s.ae_stiffm)
         cut, skipped, _bd = batched_spectral_cut(
             mats, theta, use_truncated=use_truncated, mesh=setup_mesh)
@@ -605,7 +689,7 @@ def rank_spectral(states: List[RankState], theta: float,
         s.skipped = []
         s.ae_stiffm = []
         for p in range(s.n_ae):
-            A_T = build_AE_stiffm_with_global(s.A, p, s.rels, s.elem_mats)
+            A_T = build_one(s, p)
             s.ae_stiffm.append(A_T)
             evects, skipped, _B = eig.solve(A_T, theta)
             s.cut_evects.append(evects)
@@ -1001,6 +1085,39 @@ class SPMDSetup:
     states: List[RankState]
 
 
+def spmd_coarsen_from(prev: "SPMDSetup", theta: float,
+                      nparts: Optional[int] = None,
+                      partitioning: Optional[np.ndarray] = None,
+                      avoid_ess_bdr_dofs: bool = True,
+                      svd_eps: float = SVD_EPS,
+                      use_truncated: bool = True,
+                      setup_mesh=None,
+                      nu_pro: int = 0,
+                      seed: int = 0) -> "SPMDSetup":
+    """Recursive SPMD coarsening (agg_create_partitioning_coarse +
+    ml_produce_hierarchy_from_level, rank-decomposed): the previous
+    coarsening's outputs become this level's problem — coarse elements
+    are the fine AEs (kept on their ranks, as the reference keeps them
+    until the METIS repartition), element matrices are the AE-local
+    RAPs, the operator rows come from the distributed RAP output, and
+    AE stiffness is assembled purely locally."""
+    NDc = prev.Ac.shape[0]
+    flags = np.zeros(NDc, dtype=np.uint8)
+    elem_rank = np.concatenate(
+        [np.full(s.n_ae, s.rank, dtype=np.int64) for s in prev.states])
+    if nparts is None:
+        nparts = max(prev.n_ae_total // 64, 1)
+    epa = max(1, -(-prev.n_ae_total // max(nparts, 1)))
+    return spmd_coarsen(
+        prev.coarse_e2d, prev.coarse_e2e, prev.coarse_elem_mats, flags,
+        prev.n_ranks, partitioning=partitioning, elem_rank=elem_rank,
+        elems_per_agg=epa, theta=theta,
+        avoid_ess_bdr_dofs=avoid_ess_bdr_dofs, svd_eps=svd_eps,
+        use_truncated=use_truncated, setup_mesh=setup_mesh,
+        nu_pro=nu_pro, A_rows=prev.Ac, ae_local_assembly=True,
+        part_weights=prev.coarse_weights, seed=seed)
+
+
 def assemble_global_A(out: "SPMDSetup") -> sp.csr_matrix:
     """Gather the owner rows of the rank-local operators into the global
     CSR the solve phase consumes (the solve-side input, like the
@@ -1030,6 +1147,7 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
                          elems_per_agg: int = 64,
                          avoid_ess_bdr_dofs: bool = True,
                          setup_mesh=None,
+                         spmd_coarsenings: int = 1,
                          seed: int = 0):
     """Full multilevel setup with the FINEST (memory-dominant) coarsening
     running through the SPMD pipeline and the much smaller coarse levels
@@ -1054,6 +1172,29 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
 
     sa_assert(1, not mlp.use_correct_nullspace,
               "SPMD setup does not build scaling_P (correct_nullspace)")
+    num = mlp.num_coarsenings
+    k = max(1, min(int(spmd_coarsenings), num))
+
+    def tg_from(out_j, A_lv, j):
+        interp_data = interp_init_data(
+            _FakeRels(out_j.n_ae_total), mlp.get_nu_pro(j),
+            mlp.use_truncated_eigensolver)
+        interp_data.tent = TentativeInterp(
+            P=out_j.P, mis_tent_interps=None,
+            mis_numcoarsedof=out_j.mis_numcoarsedof,
+            local_coarse_one_representation=None)
+        interp_data.mis_coarsedofoffsets = out_j.mis_coarsedofoffsets
+        interp_data.suggested_theta = out_j.suggested_theta
+        interp_j = out_j.interp if out_j.interp is not None else out_j.P
+        return tg_mod.TGData(
+            interp_data=interp_data,
+            poly_data=smoothers.init_poly_data(A_lv, mlp.get_nu_relax(j),
+                                               "sas"),
+            theta=mlp.get_theta(j),
+            smooth_interp=out_j.interp is not None,
+            ltent_interp=out_j.P, tent_interp=out_j.P, interp=interp_j,
+            restr=interp_j.T.tocsr(), Ac=out_j.Ac, doing_spectral=True)
+
     out = spmd_coarsen(
         e2d_global, e2e_global, elem_mats, bdr_flags, n_ranks,
         partitioning=partitioning, elems_per_agg=elems_per_agg,
@@ -1063,54 +1204,51 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
         drop_tol=mlp.smooth_drop_tol, seed=seed)
     if A is None:
         A = assemble_global_A(out)
-    # level 0: assemble the TGData from the SPMD products
-    interp_data = interp_init_data(
-        _FakeRels(out.n_ae_total), mlp.get_nu_pro(0),
-        mlp.use_truncated_eigensolver)
-    interp_data.tent = TentativeInterp(
-        P=out.P, mis_tent_interps=None,
-        mis_numcoarsedof=out.mis_numcoarsedof,
-        local_coarse_one_representation=None)
-    interp_data.mis_coarsedofoffsets = out.mis_coarsedofoffsets
-    interp_data.suggested_theta = out.suggested_theta
-    interp0 = out.interp if out.interp is not None else out.P
-    tg0 = tg_mod.TGData(
-        interp_data=interp_data,
-        poly_data=smoothers.init_poly_data(A, mlp.get_nu_relax(0), "sas"),
-        theta=mlp.get_theta(0), smooth_interp=out.interp is not None,
-        ltent_interp=out.P, tent_interp=out.P, interp=interp0,
-        restr=interp0.T.tocsr(), Ac=out.Ac, doing_spectral=True)
-    num = mlp.num_coarsenings
-    if num <= 1:
-        tg0.coarse_solver = make_coarse_solver(out.Ac,
-                                               mlp.coarse_solver_kind)
     ml = ml_mod.MLData()
-    ml.levels.append(ml_mod.Level(rels=None, tg_data=tg0, A=A))
-    if num > 1:
-        # coarsening 1 from the per-rank coarse outputs
-        weights = out.coarse_weights
-        e2e_part = _strip_diagonal(out.coarse_e2e)
-        nparts1 = mlp.get_nparts_capped(1, out.Ac.shape[0])
+    ml.levels.append(ml_mod.Level(rels=None, tg_data=tg_from(out, A, 0),
+                                  A=A))
+    outs = [out]
+    # further SPMD coarsenings (rank-decomposed all the way down)
+    for j in range(1, k):
+        prev = outs[-1]
+        out_j = spmd_coarsen_from(
+            prev, theta=mlp.get_theta(j),
+            nparts=mlp.get_nparts_capped(j, prev.Ac.shape[0]),
+            avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
+            use_truncated=mlp.use_truncated_eigensolver,
+            setup_mesh=setup_mesh, nu_pro=mlp.get_nu_pro(j), seed=seed)
+        ml.levels.append(ml_mod.Level(
+            rels=None, tg_data=tg_from(out_j, prev.Ac, j), A=prev.Ac))
+        outs.append(out_j)
+    last = outs[-1]
+    if k == num:
+        ml.levels[-1].tg_data.coarse_solver = make_coarse_solver(
+            last.Ac, mlp.coarse_solver_kind)
+        ml_mod.ml_impose_cycle(ml)
+    else:
+        # single-host continuation (level k) from the per-rank coarse
+        # outputs, then the standard recursion
+        weights = last.coarse_weights
+        e2e_part = _strip_diagonal(last.coarse_e2e)
+        nparts1 = mlp.get_nparts_capped(k, last.Ac.shape[0])
         part1 = partition_kway(e2e_part, weights.astype(np.float64),
                                nparts1, seed=seed)
-        rels1 = _create_tables(out.Ac, out.coarse_e2d, out.coarse_e2e,
+        rels1 = _create_tables(last.Ac, last.coarse_e2d, last.coarse_e2e,
                                np.asarray(part1, dtype=np.int64), None,
                                int(np.max(part1)) + 1, False)
         tg1 = tg_mod.tg_init_data(
-            out.Ac, rels1, mlp.get_nu_pro(1), mlp.get_nu_relax(1),
-            mlp.get_theta(1), mlp.get_smooth_interp(1),
+            last.Ac, rels1, mlp.get_nu_pro(k), mlp.get_nu_relax(k),
+            mlp.get_theta(k), mlp.get_smooth_interp(k),
             use_truncated_eigensolver=mlp.use_truncated_eigensolver)
-        emp1 = DenseArrayProvider(rels1, out.coarse_elem_mats)
-        tg_mod.tg_build_hierarchy(out.Ac, tg1, rels1, emp1,
+        emp1 = DenseArrayProvider(rels1, last.coarse_elem_mats)
+        tg_mod.tg_build_hierarchy(last.Ac, tg1, rels1, emp1,
                                   avoid_ess_bdr_dofs)
         tg_mod.tg_update_coarse_operator(
-            out.Ac, tg1, perform_solve_init=(num == 2),
+            last.Ac, tg1, perform_solve_init=(num == k + 1),
             coarse_solver_kind=mlp.coarse_solver_kind)
-        ml.levels.append(ml_mod.Level(rels=rels1, tg_data=tg1, A=out.Ac))
-        # deeper levels: standard recursion
-        ml_mod.ml_produce_hierarchy_from_level(num, 2, ml, mlp)
-    else:
-        ml_mod.ml_impose_cycle(ml)
+        ml.levels.append(ml_mod.Level(rels=rels1, tg_data=tg1,
+                                      A=last.Ac))
+        ml_mod.ml_produce_hierarchy_from_level(num, k + 1, ml, mlp)
     ml_mod.ml_print_data(A, ml)
     return ml, out
 
@@ -1137,6 +1275,9 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
                  nu_pro: int = 0,
                  times_apply_smoother: int = 1,
                  drop_tol: float = 0.0,
+                 A_rows: Optional[sp.csr_matrix] = None,
+                 ae_local_assembly: bool = False,
+                 part_weights: Optional[np.ndarray] = None,
                  seed: int = 0) -> SPMDSetup:
     """One SPMD spectral coarsening: the full distributed pipeline
     (tables -> MISes -> eigensolves -> SEC SVD -> numbering -> RAP ->
@@ -1144,7 +1285,13 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
 
     ``partitioning``: optional global elem->AE map (must be rank-major;
     see rank_blocks_from_partitioning).  Without it each rank runs the
-    local k-way partitioner, like the reference runs METIS per rank."""
+    local k-way partitioner, like the reference runs METIS per rank.
+
+    Coarse recursion (``spmd_coarsen_from``): ``A_rows`` supplies the
+    level operator (the previous distributed RAP output) instead of
+    element-scatter assembly, and ``ae_local_assembly`` switches the AE
+    stiffness to pure local assembly from the (ragged) coarse element
+    matrices (ElementMatrixParallelCoarse semantics)."""
     ledger = ExchangeLedger()
     if elem_rank is None:
         if partitioning is not None:
@@ -1160,14 +1307,18 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
               "supports)")
     _route_rendezvous(states, ledger)
     partition_ranks_local(states, partitioning, elems_per_agg, ledger,
-                          seed=seed)
+                          seed=seed, weights_global=part_weights)
     _route_dof_ae_union(states, ledger)
     num_mises, mis_sizes = _route_mis_identify(states, ledger)
     sa_print(5, "SPMD setup: %d ranks, %d AEs, %d MISes", n_ranks,
              max(s.ae_goff + s.n_ae for s in states), num_mises)
-    _route_assemble(states, ledger)
+    if A_rows is None:
+        _route_assemble(states, ledger)
+    else:
+        _route_coarse_rows(states, A_rows.tocsr(), ledger)
     rank_spectral(states, theta, use_truncated=use_truncated,
-                  setup_mesh=setup_mesh)
+                  setup_mesh=setup_mesh,
+                  ae_local_assembly=ae_local_assembly)
     svd_fn = None
     if setup_mesh is not None:
         from saamge_tpu.parallel.dist_setup import make_sharded_svd

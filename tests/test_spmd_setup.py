@@ -292,3 +292,38 @@ def test_spmd_hierarchy_reuse_after_matrix_change(problem3d):
 
     res = pcg(A2, b, prec, rel_tol=1e-6, max_iter=50)
     assert res.converged and res.iterations <= 15, res.iterations
+
+
+def test_spmd_recursive_coarsenings(problem3d):
+    """spmd_coarsenings=2: BOTH coarsenings rank-decomposed (coarse
+    elements = fine AEs on their ranks, local AE assembly from ragged
+    coarse element matrices, operator rows from the distributed RAP).
+    The recursed distributed RAP matches the controller triple product
+    and the hierarchy solves at AMG-grade iteration counts."""
+    from saamge_tpu.parallel.spmd_setup import spmd_coarsen_from
+    mesh, A, b, em, e2d, e2e, flags, part = problem3d
+    out0 = spmd_coarsen(e2d, e2e, em, flags, 4, partitioning=part.copy(),
+                        theta=0.05, use_truncated=False)
+    out1 = spmd_coarsen_from(out0, theta=0.05, nparts=4,
+                             use_truncated=False)
+    ref = (out1.P.T @ out0.Ac @ out1.P).tocsr()
+    assert abs(out1.Ac - ref).max() <= 1e-12 * abs(ref).max()
+    assert out1.Ac.nnz == ref.nnz
+
+    mlp = MultilevelParameters(num_coarsenings=2, nparts_arr=[27, 4],
+                               first_theta=0.05, theta=0.05,
+                               use_correct_nullspace=False)
+    ml, _ = spmd_ml_produce_data(e2d, e2e, em, flags, 4, mlp, A=A,
+                                 partitioning=part.copy(),
+                                 spmd_coarsenings=2)
+    assert len(ml.levels) == 2
+    sol = VCycleSolver(ml.levels[0].tg_data)
+    sol.set_operator(A)
+
+    def prec(r):
+        z = np.zeros_like(r)
+        sol.mult(r, z)
+        return z
+
+    res = pcg(A, b, prec, rel_tol=1e-6, max_iter=50)
+    assert res.converged and res.iterations <= 10, res.iterations
