@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--device-compute", action="store_true",
                     help="shard the eigensolve/SVD batches over a "
                          "virtual CPU device mesh")
+    ap.add_argument("--spmd-levels", type=int, default=1,
+                    help="number of coarsenings run through the "
+                         "rank-decomposed pipeline (recursive SPMD)")
     args = ap.parse_args()
 
     if args.device_compute:
@@ -78,7 +81,8 @@ def main():
     t0 = time.perf_counter()
     ml, out = spmd_ml_produce_data(
         e2d, e2e, em, flags_arr, args.ranks, mlp, A=A,
-        elems_per_agg=args.elems_per_agg, setup_mesh=setup_mesh)
+        elems_per_agg=args.elems_per_agg, setup_mesh=setup_mesh,
+        spmd_coarsenings=args.spmd_levels)
     t_setup = time.perf_counter() - t0
     print(f"SPMD setup: {args.ranks} ranks, {t_setup:.1f}s, "
           f"{out.num_mises} MISes, {out.n_ae_total} AEs")
