@@ -327,3 +327,33 @@ def test_spmd_recursive_coarsenings(problem3d):
 
     res = pcg(A, b, prec, rel_tol=1e-6, max_iter=50)
     assert res.converged and res.iterations <= 10, res.iterations
+
+
+def test_spmd_setup_feeds_sharded_solve(problem3d):
+    """End-to-end distributed story: SPMD (rank-decomposed) setup ->
+    sharded halo-exchange solve over the 8-device mesh, with iteration
+    parity against the single-device compiled path."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from saamge_tpu.parallel.sharded import (make_sharded_pcg_jit,
+                                             shard_hierarchy, shard_vector,
+                                             unshard_vector)
+    from saamge_tpu.solve import compiled
+    mesh_, A, b, em, e2d, e2e, flags, part = problem3d
+    mlp = MultilevelParameters(num_coarsenings=1, nparts_arr=[27],
+                               first_theta=0.05, theta=0.05,
+                               use_correct_nullspace=False)
+    ml, out = spmd_ml_produce_data(e2d, e2e, em, flags, 8, mlp, A=A,
+                                   partitioning=part.copy())
+    mesh = Mesh(np.array(jax.devices("cpu")[:8]), axis_names=("dp",))
+    h = shard_hierarchy(ml, mesh, dtype=jnp.float32)
+    solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=60)
+    x, it = solve(shard_vector(h, b))
+    xh = unshard_vector(h, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+    hc = compiled.compile_hierarchy(ml, dtype=jnp.float32)
+    _, it1, _ = compiled.pcg_solve(hc, jnp.asarray(b, jnp.float32),
+                                   rel_tol=1e-6, max_iter=60)
+    assert int(it) == int(it1), (int(it), int(it1))
