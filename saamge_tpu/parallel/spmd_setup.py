@@ -172,18 +172,21 @@ def rank_blocks_from_partitioning(partitioning: np.ndarray,
     layout proc_determine_offsets produces)."""
     partitioning = np.asarray(partitioning, dtype=np.int64)
     n_ae = int(partitioning.max()) + 1
+    if n_ranks > n_ae:
+        raise ValueError(f"n_ranks={n_ranks} exceeds the {n_ae} AEs")
     counts = np.bincount(partitioning, minlength=n_ae)
-    target = len(partitioning) / n_ranks
+    # block boundaries at the element-count quantiles, forced strictly
+    # increasing (and leaving room at the tail) so EVERY rank gets at
+    # least one AE
+    cum = np.cumsum(counts)
+    bounds = np.searchsorted(
+        cum, cum[-1] * (np.arange(1, n_ranks) / n_ranks)) + 1
+    lo = np.arange(1, n_ranks)
+    hi = n_ae - n_ranks + np.arange(1, n_ranks)
+    bounds = np.clip(bounds, lo, hi)
     ae_rank = np.zeros(n_ae, dtype=np.int64)
-    acc, r = 0, 0
-    for a in range(n_ae):
-        # close the block when the NEXT AE would overshoot the remaining
-        # per-rank average (keeps every rank non-empty)
-        if r < n_ranks - 1 and acc + counts[a] / 2.0 > target * (r + 1) \
-                and acc > 0:
-            r += 1
-        ae_rank[a] = r
-        acc += counts[a]
+    ae_rank[bounds.astype(np.int64)] = 1
+    ae_rank = np.cumsum(ae_rank)
     return ae_rank[partitioning]
 
 
@@ -234,13 +237,9 @@ def make_rank_states(e2d_global: Table, e2e_global: Table,
 
 
 def _concat_ranges(indptr: np.ndarray, rows: np.ndarray) -> np.ndarray:
-    lens = indptr[rows + 1] - indptr[rows]
-    total = int(lens.sum())
-    if total == 0:
-        return np.zeros(0, dtype=np.int64)
-    ends = np.cumsum(lens)
-    idx = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
-    return np.repeat(indptr[rows], lens) + idx
+    """Concatenated index ranges of the selected CSR rows (delegates to
+    topology.agglomerate._ranges)."""
+    return _ranges(indptr[rows], indptr[rows + 1] - indptr[rows])
 
 
 # ---------------------------------------------------------------------------
@@ -307,12 +306,14 @@ def partition_ranks_local(states: List[RankState],
     process.cpp:81).  ``weights_global``: per-element weights (coarse
     levels weight by AE dof counts, aggregates.cpp:1797)."""
     goff = 0
+    uniqs = {}
     for s in states:
         if global_partitioning is not None:
             loc = np.asarray(global_partitioning, dtype=np.int64)[s.elems]
             uniq, inv = np.unique(loc, return_inverse=True)
             s.part = inv.astype(np.int64)
             s.n_ae = len(uniq)
+            uniqs[s.rank] = uniq
         else:
             nparts = max(1, int(round(len(s.elems) / elems_per_agg)))
             if nparts == 1:
@@ -340,8 +341,7 @@ def partition_ranks_local(states: List[RankState],
         # prefix-scan ids coincide with it (rank_blocks_from_partitioning
         # guarantees this)
         for s in states:
-            uniq = np.unique(
-                np.asarray(global_partitioning, dtype=np.int64)[s.elems])
+            uniq = uniqs[s.rank]
             sa_assert(1, bool((uniq == np.arange(s.ae_goff,
                                                  s.ae_goff + s.n_ae)).all()),
                       "global partitioning is not rank-major; "
@@ -381,7 +381,6 @@ def _route_dof_ae_union(states: List[RankState],
             ledger.add("dof_ae_union", gaes.nbytes, s.rank)
     for s in states:
         d2ae = s.rels.dof_to_AE
-        sizes = d2ae.row_sizes().copy()
         rows: List[np.ndarray] = [None] * s.n_loc
         for i, l in enumerate(s.shared_ldofs):
             per = msgs[int(s.ldof_gid[l])]
@@ -413,7 +412,7 @@ def _route_mis_identify(states: List[RankState],
     dofs by AE signature; cross-rank MISes are unified by signature; the
     router assigns global ids by ascending minimum dof id (the
     single-host ordering — SortByTrueDof determinism, aggregates.cpp:271)
-    and returns (num_mises, mis sizes by gid)."""
+    and returns num_mises."""
     records = []   # (min_gdof, size, rank, local mis id, shared?)
     for s in states:
         sizes = np.diff(s.sig_indptr)
@@ -479,7 +478,7 @@ def _route_mis_identify(states: List[RankState],
         sa_assert(1, bool((s.mis_gid >= 0).all()), "unnumbered MIS")
         ledger.add("mis_identify", 8 * s.n_mis, s.rank)
         s._account()
-    return num_mises, np.asarray(mis_sizes, dtype=np.int64)
+    return num_mises
 
 
 # ---------------------------------------------------------------------------
@@ -600,6 +599,7 @@ def _route_coarse_rows(states: List[RankState], A_global: sp.csr_matrix,
     router plays the owner-exchange; traffic is metered per rank.)
     No Dirichlet elimination: coarse operators carry no essential dofs
     (the fine elimination is inherited through the Galerkin product)."""
+    owner_of = _owner_map(states)
     for s in states:
         sub = A_global[s.ldof_gid]
         cols_g = sub.indices
@@ -614,12 +614,9 @@ def _route_coarse_rows(states: List[RankState], A_global: sp.csr_matrix,
                             shape=(s.n_loc, n_ext))
         s.A.sort_indices()
         s.ghost_gid = ghost_gid
-        # ghost rows live on their owner = the rank that got them from
-        # the rendezvous min-rank rule; the rendezvous didn't see these
-        # dofs (they are not local here), so resolve owners globally:
-        # every dof IS local somewhere, and the owner is the minimum
-        # such rank (same rule)
-        owner_of = _owner_map(states)
+        # ghost rows live on their owners (min-rank rule — every dof
+        # is local somewhere; the rendezvous didn't see these dofs
+        # because they are not local here)
         s.ghost_src = owner_of[ghost_gid]
         ledger.add("coarse_rows", sub.data.nbytes + sub.indices.nbytes,
                    s.rank)
@@ -897,6 +894,8 @@ def _rank_dinv(states: List[RankState], s: RankState,
     d_i = sum_j |a_ij| sqrt(a_ii/a_jj) over stored entries.  Ghost-column
     diagonals are fetched from their owners (one interface exchange)."""
     diag_l = s.A[:, :s.n_loc].diagonal()
+    sa_assert(1, bool((diag_l > 0).all()),
+              "non-positive diagonal in rank-local operator")
     diag_ext = np.concatenate([diag_l, np.zeros(len(s.ghost_gid))])
     for src in np.unique(s.ghost_src) if len(s.ghost_gid) else []:
         so = states[int(src)]
@@ -905,6 +904,8 @@ def _rank_dinv(states: List[RankState], s: RankState,
         diag_ext[s.n_loc + np.flatnonzero(sel)] = \
             so.A[:, :so.n_loc].diagonal()[lg]
         ledger.add("smooth_halo", int(sel.sum()) * 8, int(src))
+    sa_assert(1, bool((diag_ext[s.n_loc:] > 0).all()) if len(s.ghost_gid)
+              else True, "ghost diagonal missing or non-positive")
     y = abs(s.A) @ (1.0 / np.sqrt(diag_ext))
     return 1.0 / (np.sqrt(diag_l) * y)
 
@@ -959,8 +960,6 @@ def _route_rap(states: List[RankState], offsets: np.ndarray,
         pieces = {}
         for s in states:
             pieces[s.rank] = _p_rows_csr(s, NC)
-    for s in states:
-        s._P_loc = pieces[s.rank]   # reused by _coarse_outputs
     Ac_sum = sp.csr_matrix((NC, NC))
     for s in states:
         P_loc = pieces[s.rank]
@@ -982,8 +981,7 @@ def _route_rap(states: List[RankState], offsets: np.ndarray,
 
 
 def _coarse_outputs(states: List[RankState], offsets: np.ndarray,
-                    num_mises: int, e2e_global: Table,
-                    elem_rank: np.ndarray, ledger: ExchangeLedger):
+                    e2e_global: Table, ledger: ExchangeLedger):
     """Per-rank construction of everything the next (much smaller) level
     needs: coarse elem(=AE)_to_dof rows, the coarse dual graph, AE dof
     weights, and the coarse element matrices (AE-local RAP — exactly
@@ -1093,6 +1091,7 @@ def spmd_coarsen_from(prev: "SPMDSetup", theta: float,
                       use_truncated: bool = True,
                       setup_mesh=None,
                       nu_pro: int = 0,
+                      drop_tol: float = 0.0,
                       seed: int = 0) -> "SPMDSetup":
     """Recursive SPMD coarsening (agg_create_partitioning_coarse +
     ml_produce_hierarchy_from_level, rank-decomposed): the previous
@@ -1114,18 +1113,18 @@ def spmd_coarsen_from(prev: "SPMDSetup", theta: float,
         elems_per_agg=epa, theta=theta,
         avoid_ess_bdr_dofs=avoid_ess_bdr_dofs, svd_eps=svd_eps,
         use_truncated=use_truncated, setup_mesh=setup_mesh,
-        nu_pro=nu_pro, A_rows=prev.Ac, ae_local_assembly=True,
-        part_weights=prev.coarse_weights, seed=seed)
+        nu_pro=nu_pro, drop_tol=drop_tol, A_rows=prev.Ac,
+        ae_local_assembly=True, part_weights=prev.coarse_weights,
+        seed=seed)
 
 
 def assemble_global_A(out: "SPMDSetup") -> sp.csr_matrix:
     """Gather the owner rows of the rank-local operators into the global
     CSR the solve phase consumes (the solve-side input, like the
     reference's assembled ParCSR; setup itself never used this)."""
-    N = 0
+    N = out.P.shape[0]
     rows, cols, vals = [], [], []
     for s in out.states:
-        N = max(N, int(s.ldof_gid[-1]) + 1)
         gmap = np.concatenate([s.ldof_gid, s.ghost_gid]) \
             if len(s.ghost_gid) else s.ldof_gid
         own = np.flatnonzero(s.owner_mask)
@@ -1157,9 +1156,10 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
     aggregates.cpp:1736).  Returns (MLData, SPMDSetup).
 
     ``A``: optional pre-assembled global operator for the solve phase;
-    assembled from the rank-local owner rows when omitted.  The SPMD
-    level supports the tentative (nu_pro = 0) prolongator — the same
-    contract as the structured fast path."""
+    assembled from the rank-local owner rows when omitted.  nu_pro > 0
+    runs the distributed prolongator smoothing; ``spmd_coarsenings``
+    chains further rank-decomposed coarsenings before the single-host
+    continuation."""
     from saamge_tpu.setup import ml as ml_mod
     from saamge_tpu.setup import tg as tg_mod
     from saamge_tpu.setup.contrib import TentativeInterp
@@ -1216,7 +1216,8 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
             nparts=mlp.get_nparts_capped(j, prev.Ac.shape[0]),
             avoid_ess_bdr_dofs=avoid_ess_bdr_dofs,
             use_truncated=mlp.use_truncated_eigensolver,
-            setup_mesh=setup_mesh, nu_pro=mlp.get_nu_pro(j), seed=seed)
+            setup_mesh=setup_mesh, nu_pro=mlp.get_nu_pro(j),
+            drop_tol=mlp.smooth_drop_tol, seed=seed)
         ml.levels.append(ml_mod.Level(
             rels=None, tg_data=tg_from(out_j, prev.Ac, j), A=prev.Ac))
         outs.append(out_j)
@@ -1239,6 +1240,7 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
         tg1 = tg_mod.tg_init_data(
             last.Ac, rels1, mlp.get_nu_pro(k), mlp.get_nu_relax(k),
             mlp.get_theta(k), mlp.get_smooth_interp(k),
+            mlp.smooth_drop_tol,
             use_truncated_eigensolver=mlp.use_truncated_eigensolver)
         emp1 = DenseArrayProvider(rels1, last.coarse_elem_mats)
         tg_mod.tg_build_hierarchy(last.Ac, tg1, rels1, emp1,
@@ -1309,7 +1311,7 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
     partition_ranks_local(states, partitioning, elems_per_agg, ledger,
                           seed=seed, weights_global=part_weights)
     _route_dof_ae_union(states, ledger)
-    num_mises, mis_sizes = _route_mis_identify(states, ledger)
+    num_mises = _route_mis_identify(states, ledger)
     sa_print(5, "SPMD setup: %d ranks, %d AEs, %d MISes", n_ranks,
              max(s.ae_goff + s.n_ae for s in states), num_mises)
     if A_rows is None:
@@ -1339,7 +1341,7 @@ def spmd_coarsen(e2d_global: Table, e2e_global: Table,
             times_apply=times_apply_smoother, drop_tol=drop_tol)
     Ac = _route_rap(states, offsets, ledger, pieces=rap_pieces)
     coarse_e2d, coarse_e2e, weights, c_mats = _coarse_outputs(
-        states, offsets, num_mises, e2e_global, elem_rank, ledger)
+        states, offsets, e2e_global, ledger)
     # router-side global P assembly (the solve-phase input; the reference
     # equally materializes the ParCSR P)
     ND = int(e2d_global.ncols)
