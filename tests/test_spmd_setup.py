@@ -357,3 +357,37 @@ def test_spmd_setup_feeds_sharded_solve(problem3d):
     _, it1, _ = compiled.pcg_solve(hc, jnp.asarray(b, jnp.float32),
                                    rel_tol=1e-6, max_iter=60)
     assert int(it) == int(it1), (int(it), int(it1))
+
+
+def test_spmd_high_order_and_elasticity():
+    """The SPMD pipeline is discretization-agnostic: order-2 scalar FEM
+    and vector-valued (2D elasticity, byVDIM) problems go through the
+    same rank-decomposed path with distributed-RAP exactness and
+    AMG-grade convergence."""
+    n = 10
+    mesh = quad_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+
+    # order-2 scalar
+    A2, b2, em2, e2d2, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess, order=2)
+    fl2 = bdr_dof_flags(mesh, ess, order=2)
+    e2e = mesh.elem_to_elem()
+    out = spmd_coarsen(e2d2, e2e, em2, fl2, 4, partitioning=None,
+                       elems_per_agg=25, theta=0.003, use_truncated=False)
+    ref = (out.P.T @ A2 @ out.P).tocsr()
+    assert abs(out.Ac - ref).max() <= 1e-12 * abs(ref).max()
+    assert _pcg_iters(A2, b2, out.P, out.Ac, theta=0.003) <= 15
+
+    # 2D elasticity (vector dofs, byVDIM)
+    Ae, be, eme, e2de, _ = assemble.build_discrete_problem(
+        mesh, coef=1.0, rhs=1.0, ess_attr_marker=ess, elasticity=True)
+    fle = bdr_dof_flags(mesh, ess, order=1, vdim=mesh.dim)
+    oute = spmd_coarsen(e2de, e2e, eme, fle, 4, partitioning=None,
+                        elems_per_agg=25, theta=0.01, use_truncated=False)
+    refe = (oute.P.T @ Ae @ oute.P).tocsr()
+    assert abs(oute.Ac - refe).max() <= 1e-12 * abs(refe).max()
+    be2 = np.random.default_rng(0).standard_normal(Ae.shape[0])
+    ess_dofs = np.flatnonzero(fle & 1)
+    be2[ess_dofs] = 0.0
+    assert _pcg_iters(Ae, be2, oute.P, oute.Ac, theta=0.01) <= 25
