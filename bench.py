@@ -278,11 +278,13 @@ def main():
         if n_pad >= 192:
             eig_exec = measure_eig_throughput(batch, n_pad, m=64)
 
-    # --- V-cycle timing: whole rep chain inside ONE jitted call, two
+    # --- V-cycle timing: whole rep chain inside ONE jitted call, three
     # independently-compiled chains (different scan lengths = separate
-    # autotune draws — the tunnel's slow-process lottery, CLAUDE.md) ---
+    # autotune draws — the tunnel's slow-process lottery, CLAUDE.md; a
+    # 4.2x draw spread was observed in one process, so two draws leave
+    # too much tail risk in the single recorded number) ---
     draws = []
-    for R in (args.reps, args.reps + 1):
+    for R in (args.reps, args.reps + 1, args.reps + 2):
         @jax.jit
         def chain(hier, b0):
             def body(c, _):
