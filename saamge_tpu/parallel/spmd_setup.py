@@ -496,6 +496,11 @@ def _route_assemble(states: List[RankState], ledger: ExchangeLedger) -> None:
     partials = {}
     local_coo = {}
     for s in states:
+        sa_assert(1, isinstance(s.elem_mats, np.ndarray)
+                  and s.elem_mats.ndim == 3,
+                  "fine-level assembly needs a rectangular element batch "
+                  "(ragged inputs only arise on coarse recursion, which "
+                  "uses A_rows)")
         NE, nd, _ = s.elem_mats.shape
         dofs = s.e2d.indices.reshape(NE, nd)
         rows = np.repeat(dofs, nd, axis=1).ravel()
