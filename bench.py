@@ -226,8 +226,12 @@ def main():
         # same layout as the sharded path) — unless the z-axis pad to
         # 128 lanes would inflate the diagonal stream too much
         NZn = n + 1
+        # zlane must amortize its z-pad tax through the faster kernel:
+        # measured root passes/V-cycles — n=96 ratio 1.32: zlane wins
+        # (2.58 vs 4.09 ms cycle); n=128 ratio 1.98 and n=256 ratio
+        # 1.49: flat wins (n=256: 2.35 vs 3.22 ms/pass)
         zpad_ratio = (-(-NZn // 128) * 128) / NZn
-        layout = "zlane" if zpad_ratio <= 1.5 else "flat"
+        layout = "zlane" if zpad_ratio <= 1.35 else "flat"
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16,
@@ -401,7 +405,8 @@ def main():
             from saamge_tpu.solve.structured import BrickBlockOp
             if isinstance(h.A1d, BrickBlockOp):
                 # brick-block operator streams its (k, bs, bs, NB) blocks
-                ba = passes * (h.A1d.nbytes + 3 * h.dinv1.shape[0] * 4)
+                ba = passes * (h.A1d.traffic_bytes
+                               + 3 * h.dinv1.shape[0] * 4)
             else:
                 ba = passes * (nrows * nrows * 2 + 3 * nrows * 4)
             # coarsest restriction/prolongation stream (block-diagonal

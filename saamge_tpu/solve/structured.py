@@ -236,9 +236,17 @@ class BrickBlockOp:
     doffs: tuple             # k static (dx, dy, dz) brick offsets
     bricks: tuple            # (BX, BY, BZ) static
     bs: int                  # static
+    # per-offset used-slot rectangles (r1_k, r2_k): slot pairs beyond
+    # the rectangle are structurally zero (far brick offsets couple
+    # only low slots), so the matvec slices them away — 2.4x less
+    # HBM traffic at n=256 (4564 of 27*20^2 slot pairs read) with the
+    # dense storage layout (and hence the sharded path) unchanged.
+    # None = dense rectangles (legacy behavior).
+    rects: Optional[tuple] = None
 
     def tree_flatten(self):
-        return (self.blocks,), (self.doffs, self.bricks, self.bs)
+        return (self.blocks,), (self.doffs, self.bricks, self.bs,
+                                self.rects)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -248,21 +256,35 @@ class BrickBlockOp:
     def nbytes(self):
         return self.blocks.size * self.blocks.dtype.itemsize
 
+    @property
+    def traffic_bytes(self):
+        """Bytes the matvec actually streams (the rect slices)."""
+        NB = int(np.prod(self.bricks))
+        it = self.blocks.dtype.itemsize
+        if self.rects is None:
+            return self.blocks.size * it
+        return sum(r1 * r2 for r1, r2 in self.rects) * NB * it
+
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         (BX, BY, BZ), bs = self.bricks, self.bs
+        NB = BX * BY * BZ
         x4 = x.reshape(bs, BX, BY, BZ)
         xp = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (1, 1)))
-        views = [
-            jax.lax.slice(xp, (0, 1 + dx, 1 + dy, 1 + dz),
-                          (bs, 1 + dx + BX, 1 + dy + BY, 1 + dz + BZ))
-            .reshape(bs, -1)
-            for (dx, dy, dz) in self.doffs]
-        xs = jnp.stack(views).astype(self.blocks.dtype)  # (k, bs, NB)
-        # multiply-reduce with the brick axis minor (lanes): one stream
-        # over blocks, f32 accumulation
-        y = jnp.sum(self.blocks.astype(jnp.float32)
-                    * xs[:, None, :, :].astype(jnp.float32),
-                    axis=(0, 2))
+        rects = self.rects or ((bs, bs),) * len(self.doffs)
+        # per-offset multiply-reduce over the used-slot rectangle only;
+        # f32 accumulation, one stream over the sliced blocks
+        y = jnp.zeros((bs, NB), jnp.float32)
+        for i, (dx, dy, dz) in enumerate(self.doffs):
+            r1, r2 = rects[i]
+            view = jax.lax.slice(
+                xp, (0, 1 + dx, 1 + dy, 1 + dz),
+                (r2, 1 + dx + BX, 1 + dy + BY, 1 + dz + BZ)
+            ).reshape(r2, NB).astype(self.blocks.dtype)
+            Bk = jax.lax.slice(self.blocks, (i, 0, 0, 0),
+                               (i + 1, r1, r2, NB))[0]
+            part = jnp.sum(Bk.astype(jnp.float32)
+                           * view[None].astype(jnp.float32), axis=1)
+            y = y.at[:r1].add(part)
         return y.reshape(-1)
 
     @staticmethod
@@ -290,8 +312,15 @@ class BrickBlockOp:
                   coo.data)
         doffs = tuple((int(u) // 9 - 1, (int(u) // 3) % 3 - 1,
                        int(u) % 3 - 1) for u in used)
+        # used-slot rectangle per offset (see class docstring)
+        ki = kmap[dkey]
+        s1a, s2a = slot[coo.row], slot[coo.col]
+        rects = []
+        for j in range(len(used)):
+            m = ki == j
+            rects.append((int(s1a[m].max()) + 1, int(s2a[m].max()) + 1))
         return BrickBlockOp(jnp.asarray(blocks, dtype), doffs,
-                            (BX, BY, BZ), bs)
+                            (BX, BY, BZ), bs, rects=tuple(rects))
 
 
 def extract_boxes(r3: jnp.ndarray, brick_elems, bricks) -> jnp.ndarray:

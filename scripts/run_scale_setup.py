@@ -214,11 +214,17 @@ def main():
                                                  struct_pcg_solve)
         geo = BrickGeometry((nb, nb, nb), (args.brick,) * 3)
         t0 = time.perf_counter()
+        # layout by measured z-pad-tax rule (bench.py): zlane only when
+        # the 128-lane padding of the z lines stays under ~1.35x
+        nzn = args.n + 1
+        layout = "zlane" if (-(-nzn // 128) * 128) / nzn <= 1.35 \
+            else "flat"
         h = compile_structured(ml_obj, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
-                               rp_dtype=jnp.bfloat16, fine_layout="zlane",
+                               rp_dtype=jnp.bfloat16, fine_layout=layout,
                                super_bricks=supers,
                                window_contract=True)
+        out["fine_layout"] = layout
         out["supers"] = supers
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
