@@ -258,24 +258,44 @@ class BrickBlockOp:
 
     @property
     def traffic_bytes(self):
-        """Bytes the matvec actually streams (the rect slices)."""
+        """Bytes the matvec actually streams (rect slices when the
+        rect path is active, else the full blocks)."""
         NB = int(np.prod(self.bricks))
         it = self.blocks.dtype.itemsize
-        if self.rects is None:
+        if self.rects is None or self.nbytes < self.RECT_MIN_BYTES:
             return self.blocks.size * it
         return sum(r1 * r2 for r1, r2 in self.rects) * NB * it
+
+    # Below this blocks size the whole operator is VMEM-resident and ONE
+    # fused multiply-reduce beats 27 sliced ops (measured at n=96: 39 MB
+    # blocks, fused 0.18 ms vs sliced 0.80 — per-op dispatch dominates
+    # when nothing streams from HBM).  Above it the matvec is HBM-bound
+    # and the rectangle slicing wins (n=256: 708 MB, 2.22 -> ~1 ms).
+    RECT_MIN_BYTES = 96 * 1024 * 1024
 
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         (BX, BY, BZ), bs = self.bricks, self.bs
         NB = BX * BY * BZ
         x4 = x.reshape(bs, BX, BY, BZ)
         xp = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (1, 1)))
-        rects = self.rects or ((bs, bs),) * len(self.doffs)
+        use_rect = (self.rects is not None
+                    and self.nbytes >= self.RECT_MIN_BYTES)
+        if not use_rect:
+            views = [
+                jax.lax.slice(xp, (0, 1 + dx, 1 + dy, 1 + dz),
+                              (bs, 1 + dx + BX, 1 + dy + BY, 1 + dz + BZ))
+                .reshape(bs, -1)
+                for (dx, dy, dz) in self.doffs]
+            xs = jnp.stack(views).astype(self.blocks.dtype)  # (k, bs, NB)
+            y = jnp.sum(self.blocks.astype(jnp.float32)
+                        * xs[:, None, :, :].astype(jnp.float32),
+                        axis=(0, 2))
+            return y.reshape(-1)
         # per-offset multiply-reduce over the used-slot rectangle only;
         # f32 accumulation, one stream over the sliced blocks
         y = jnp.zeros((bs, NB), jnp.float32)
         for i, (dx, dy, dz) in enumerate(self.doffs):
-            r1, r2 = rects[i]
+            r1, r2 = self.rects[i]
             view = jax.lax.slice(
                 xp, (0, 1 + dx, 1 + dy, 1 + dz),
                 (r2, 1 + dx + BX, 1 + dy + BY, 1 + dz + BZ)
