@@ -92,7 +92,7 @@ def _dia_local(vals_blk: jnp.ndarray, offsets, H: int,
 def halo_spmv_fn(A: HaloDIA):
     """Returns a jitted y = A @ x with x sharded (dp) and halo exchange."""
     axis = A.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def local(vals_blk, x_blk):
         xe = _halo_extend(x_blk, A.H, axis)
@@ -100,7 +100,7 @@ def halo_spmv_fn(A: HaloDIA):
 
     sm = shard_map(local, mesh=A.mesh,
                    in_specs=(P(None, axis), P(axis)), out_specs=P(axis),
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(lambda x: sm(A.vals, x))
 
 
@@ -109,7 +109,7 @@ def halo_smoother_fn(A: HaloDIA, dinv: np.ndarray, roots: np.ndarray,
     """Jitted sharded polynomial smoother x <- x + D^{-1}(b - A x)/tau per
     root — the solve-phase hot loop with neighbor-only communication."""
     axis = A.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     dpad = np.zeros(A.n_pad)
     dpad[:A.n] = dinv
@@ -128,5 +128,5 @@ def halo_smoother_fn(A: HaloDIA, dinv: np.ndarray, roots: np.ndarray,
 
     sm = shard_map(local, mesh=A.mesh,
                    in_specs=(P(None, axis), P(axis), P(), P(axis), P(axis)),
-                   out_specs=P(axis), check_rep=False)
+                   out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b, x: sm(A.vals, dinv_d, roots_d, b, x))

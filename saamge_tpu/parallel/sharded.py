@@ -490,7 +490,7 @@ def make_sharded_vcycle(h: ShardedHierarchy):
     """Returns a jitted z = B^{-1} b on dp-SHARDED vectors (pass b with a
     P(axis) sharding; the result is sharded the same way)."""
     axis = h.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def body(levels, chol, b_blk):
         return _vcycle_blk(levels, chol, b_blk, jnp.zeros_like(b_blk), 0,
@@ -498,7 +498,7 @@ def make_sharded_vcycle(h: ShardedHierarchy):
 
     smapped = shard_map(body, mesh=h.mesh,
                         in_specs=(_level_specs(h), P(), P(axis)),
-                        out_specs=P(axis), check_rep=False)
+                        out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b: smapped(h.levels, h.chol, b))
 
 
@@ -510,7 +510,7 @@ def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
 
     Returns solve(b) -> (x, iters) with b and x dp-sharded."""
     axis = h.mesh.axis_names[0]
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     lv0 = h.levels[0]
 
     def pdot(a, b):
@@ -549,7 +549,7 @@ def make_sharded_pcg_jit(h: ShardedHierarchy, rel_tol: float = 1e-6,
 
     smapped = shard_map(body, mesh=h.mesh,
                         in_specs=(_level_specs(h), P(), P(axis)),
-                        out_specs=(P(axis), P()), check_rep=False)
+                        out_specs=(P(axis), P()), check_vma=False)
     return jax.jit(lambda b: smapped(h.levels, h.chol, b))
 
 

@@ -116,6 +116,9 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     assert h.nzp > 0, "sharded structured path requires fine_layout='zlane'"
     assert isinstance(h.A1d, BrickBlockOp), \
         "sharded structured path requires mid_format='brickblock'"
+    assert h.R1 is not None, \
+        "sharded structured path needs the dense coarsest restriction " \
+        "(compile_structured without super_bricks)"
     assert BX % ndev == 0, (BX, ndev)
     nzp = h.nzp
     prow = NYn * nzp // LANES
@@ -297,7 +300,7 @@ def _mid_matvec_blk(st, blocks, x, axis):
                       (bs, 1 + dx + bxl, 1 + dy + BY, 1 + dz + BZ))
         .reshape(bs, -1)
         for (dx, dy, dz) in st.doffs]
-    xs = jnp.stack(views).astype(blocks.dtype)       # (k1, bs, nb_loc)
+    xs = jnp.stack(views)                            # (k1, bs, nb_loc)
     y = jnp.sum(blocks.astype(jnp.float32)
                 * xs[:, None, :, :].astype(jnp.float32), axis=(0, 2))
     return y.reshape(-1)
@@ -430,10 +433,6 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
     return _unpad_local(st, xh)
 
 
-def _specs(hs: ShardedStructured):
-    axis = hs.mesh.axis_names[0]
-    dp = P(axis)
-    return ((dp,) * 6, P())
 
 
 def make_struct_sharded_vcycle(hs: ShardedStructured):
@@ -441,7 +440,7 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
     axis = hs.mesh.axis_names[0]
     st = hs.st
     kernels = _local_pallas(st, hs.interpret)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
              b):
@@ -452,12 +451,12 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
                         win=win, interpret=hs.interpret)
         return z[None]
 
-    dp, rp = _specs(hs)
+    rp = P()
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                   rp, P(axis), rp, P(axis)),
-        out_specs=P(axis), check_rep=False)
+        out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
         hs.ainv, hs.wrst, hs.wtabs, b))
@@ -470,10 +469,10 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     axis = hs.mesh.axis_names[0]
     st = hs.st
     kernels = _local_pallas(st, hs.interpret)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             b):
+             b, rtol2):
         vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
         blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
@@ -493,7 +492,10 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
 
         z = vc(b)
         nom0 = pdot(z, b)
-        lim = nom0 * rel_tol * rel_tol
+        # rtol2 is a traced operand: changing the tolerance through the
+        # returned solver does NOT retrace (struct_pcg_solve's
+        # no-retrace-per-tolerance contract, solve/structured.py)
+        lim = nom0 * rtol2
 
         def cond(stt):
             x, r, d, Ad, nom, it = stt
@@ -516,8 +518,14 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis), P(), P(axis)),
-        out_specs=(P(axis), P()), check_rep=False)
-    return jax.jit(lambda b: smapped(
+                  P(), P(axis), P(), P(axis), P()),
+        out_specs=(P(axis), P()), check_vma=False)
+    jitted = jax.jit(lambda b, rtol2: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, b))
+        hs.ainv, hs.wrst, hs.wtabs, b, rtol2))
+
+    def solve(b, rel_tol_override=None):
+        rt = rel_tol if rel_tol_override is None else rel_tol_override
+        return jitted(b, jnp.float32(rt * rt))
+
+    return solve

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+from functools import lru_cache
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -268,7 +270,7 @@ def sharded_structured_rap(A: sp.csr_matrix, rels,
     ``ppermute`` (the interface data of the product), and contracts
     its own 27 coarse blocks.  Device-count invariant by construction;
     single-controller assembly of the CSR from the gathered blocks."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     from saamge_tpu.solve.structured import build_structured_interp
 
@@ -330,7 +332,7 @@ def sharded_structured_rap(A: sp.csr_matrix, rels,
 
         smapped = shard_map(
             body, mesh=mesh, in_specs=(P(axis), P(axis)),
-            out_specs=P(axis), check_rep=False)
+            out_specs=P(axis), check_vma=False)
         put = lambda a: jax.device_put(  # noqa: E731
             jnp.asarray(a), NamedSharding(mesh, P(axis)))
         blocks_sh = np.asarray(jax.jit(smapped)(
@@ -360,6 +362,7 @@ def _offsets3(offsets, nodes):
 # compile-light scan formulation
 
 
+@lru_cache(maxsize=8)
 def _rap_scan_jit(be, bricks):
     """The same RAP as _rap_jit but with the 27-way stencil and
     neighbor loops as ``lax.scan`` bodies (program ~27x smaller — the

@@ -152,7 +152,7 @@ def test_far_exchange_spmv_matches_scipy():
     results through the split window + packed path, with the far part
     actually engaged (far is not None) and comm volume ~ window + F."""
     import scipy.sparse as sp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from saamge_tpu.parallel.sharded import (_build_halo_op, _shard_op,
                                              _spmv)
 
@@ -181,5 +181,5 @@ def test_far_exchange_spmv_matches_scipy():
 
     spec_op = jax.tree_util.tree_map(lambda _: P("dp", None), op)
     y = shard_map(body, mesh=mesh, in_specs=(spec_op, P("dp")),
-                  out_specs=P("dp"), check_rep=False)(op, xs)
+                  out_specs=P("dp"), check_vma=False)(op, xs)
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-12)
