@@ -29,6 +29,13 @@ neighbor ``ppermute`` of statically-sliced rows:
 Reference counterparts: tg_cycle_atb (tg.cpp:91) under MPI/hypre
 distribution; pmltest device-count invariance
 (amg/CMakeLists.txt:198-203).
+
+Known dtype limitation: the sharded path streams the f32 fine operator
+and f32 mid blocks — the single-chip bf16 smoother twin
+(smoother_dtype) and bf16 mid storage are not threaded through here
+yet, so per-pass HBM traffic is ~2x the single-chip flagship
+configuration's.  Exact-equality tests against single-chip therefore
+compile the single-chip hierarchy without the bf16 twins.
 """
 
 from __future__ import annotations
