@@ -30,12 +30,11 @@ Reference counterparts: tg_cycle_atb (tg.cpp:91) under MPI/hypre
 distribution; pmltest device-count invariance
 (amg/CMakeLists.txt:198-203).
 
-Known dtype limitation: the sharded path streams the f32 fine operator
-and f32 mid blocks — the single-chip bf16 smoother twin
-(smoother_dtype) and bf16 mid storage are not threaded through here
-yet, so per-pass HBM traffic is ~2x the single-chip flagship
-configuration's.  Exact-equality tests against single-chip therefore
-compile the single-chip hierarchy without the bf16 twins.
+Dtype parity with single-chip: the bf16 smoother twin (smoother_dtype)
+and bf16 mid blocks are threaded through — preconditioner passes
+stream the twin while the PCG matvec keeps the f32 operator, matching
+the flagship configuration's traffic and its bitwise results per
+shard.
 """
 
 from __future__ import annotations
@@ -83,7 +82,7 @@ class StructShardStatic:
 @dataclasses.dataclass
 class ShardedStructured:
     """Host container: per-device-stacked arrays (leading axis = dp)."""
-    vals0: jnp.ndarray     # (P, k, local_pad, 128)
+    vals0: jnp.ndarray     # (P, k, local_pad, 128) f32 (PCG matvec)
     dinv0: jnp.ndarray     # (P, t_rows, 128) haloed layout
     rst: jnp.ndarray       # (P, bs, box, nb_loc)
     blocks1: jnp.ndarray   # (P, k1, bs, bs, nb_loc)
@@ -98,14 +97,19 @@ class ShardedStructured:
     # the replicated (ez, s2, s2t, ezt) selection tables
     wrst: Optional[jnp.ndarray] = None
     wtabs: Optional[tuple] = None
+    # bf16 smoother twin of vals0 (the single-chip smoother_dtype
+    # configuration): preconditioner passes stream it; PCG matvec keeps
+    # the f32 vals0
+    vals0s: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     ShardedStructured,
     lambda s: ((s.vals0, s.dinv0, s.rst, s.blocks1, s.dinv1, s.r1,
-                s.ainv, s.wrst, s.wtabs), (s.st, s.mesh, s.interpret)),
+                s.ainv, s.wrst, s.wtabs, s.vals0s),
+    (s.st, s.mesh, s.interpret)),
     lambda aux, ch: ShardedStructured(*ch[:7], *aux, wrst=ch[7],
-                                      wtabs=ch[8]),
+                                      wtabs=ch[8], vals0s=ch[9]),
 )
 
 
@@ -155,6 +159,15 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
         lo = d * slab * prow
         vals0[d, :, :real] = vals_np[:, lo:lo + real]
         dinv0[d, hr:hr + real] = dinv_glob[lo:lo + real]
+    # bf16 smoother twin (smoother_dtype): preconditioner passes stream
+    # it, matching the single-chip flagship configuration
+    vals0s = None
+    if h.A0s is not None:
+        vs_np = np.asarray(h.A0s.vals2)
+        vals0s = np.zeros((ndev, k, local_pad, LANES), vs_np.dtype)
+        for d in range(ndev):
+            lo = d * slab * prow
+            vals0s[d, :, :real] = vs_np[:, lo:lo + real]
 
     bs = h.Rst.shape[0]
     box = h.Rst.shape[1]
@@ -163,7 +176,8 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     rst_np = np.asarray(h.Rst).reshape(bs, box, ndev, nb_loc)
     rst = np.ascontiguousarray(rst_np.transpose(2, 0, 1, 3))
 
-    blk = np.asarray(h.A1d.blocks, np.float32)  # (k1, bs, bs, NB)
+    blk = np.asarray(h.A1d.blocks)              # (k1, bs, bs, NB),
+    # keeping the storage dtype (bf16 mid blocks stream half the bytes)
     k1 = blk.shape[0]
     blocks1 = np.ascontiguousarray(
         blk.reshape(k1, bs, bs, ndev, nb_loc).transpose(3, 0, 1, 2, 4))
@@ -198,6 +212,7 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     return ShardedStructured(
         vals0=put(vals0), dinv0=put(dinv0), rst=put(rst),
         blocks1=put(blocks1), dinv1=put(dinv1), r1=put(r1),
+        vals0s=None if vals0s is None else put(vals0s),
         ainv=jax.device_put(h.Ainv, repl), st=st, mesh=mesh,
         interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs)
 
@@ -307,7 +322,9 @@ def _mid_matvec_blk(st, blocks, x, axis):
                       (bs, 1 + dx + bxl, 1 + dy + BY, 1 + dz + BZ))
         .reshape(bs, -1)
         for (dx, dy, dz) in st.doffs]
-    xs = jnp.stack(views)                            # (k1, bs, nb_loc)
+    xs = jnp.stack(views).astype(blocks.dtype)       # (k1, bs, nb_loc)
+    # the round-trip through blocks.dtype matches the single-chip
+    # BrickBlockOp matvec bitwise when the mid blocks are bf16
     y = jnp.sum(blocks.astype(jnp.float32)
                 * xs[:, None, :, :].astype(jnp.float32), axis=(0, 2))
     return y.reshape(-1)
@@ -403,8 +420,12 @@ def _pdot(st, a, b, axis):
 
 
 def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
-                ainv, b_flat, x_flat, axis, win=None, interpret=False):
-    """One V-cycle on the local closed-slab blocks."""
+                ainv, b_flat, x_flat, axis, win=None, interpret=False,
+                vals0s=None):
+    """One V-cycle on the local closed-slab blocks.  ``vals0s``: bf16
+    smoother twin streamed by the preconditioner passes (the PCG matvec
+    outside this function keeps the f32 vals0)."""
+    vp = vals0 if vals0s is None else vals0s
     bh = _pad_local(st, b_flat)
     xh = _pad_local(st, x_flat)
 
@@ -412,12 +433,12 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
         for tau in st.taus0:
             xh = _halo_fill(st, xh, axis)
             xh = kernels["root"](
-                jnp.asarray([tau], jnp.float32), xh, vals0, bh, dinv0)
+                jnp.asarray([tau], jnp.float32), xh, vp, bh, dinv0)
         return xh
 
     xh = smooth0(xh, bh)
     xh = _halo_fill(st, xh, axis)
-    res_h = kernels["residual"](xh, vals0, bh)
+    res_h = kernels["residual"](xh, vp, bh)
     res = _unpad_local(st, res_h)
     rc = _apply_R_blk(st, rst, win, res, interpret)
 
@@ -450,23 +471,24 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
     from jax import shard_map
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             b):
+             vals0s, b):
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         z = _vcycle_blk(st, kernels, vals0[0], dinv0[0], rst[0],
                         blocks1[0], dinv1[0], r1[0], ainv,
                         b[0], jnp.zeros_like(b[0]), axis,
-                        win=win, interpret=hs.interpret)
+                        win=win, interpret=hs.interpret,
+                        vals0s=None if vals0s is None else vals0s[0])
         return z[None]
 
     rp = P()
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rp, P(axis), rp, P(axis)),
+                  rp, P(axis), rp, P(axis), P(axis)),
         out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, b))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, b))
 
 
 def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
@@ -479,16 +501,18 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     from jax import shard_map
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             b, rtol2):
+             vals0s, b, rtol2):
         vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
         blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
+        vals0s = None if vals0s is None else vals0s[0]
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         b = b[0]
 
         def vc(r):
             return _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1,
                                dinv1, r1, ainv, r, jnp.zeros_like(r),
-                               axis, win=win, interpret=hs.interpret)
+                               axis, win=win, interpret=hs.interpret,
+                               vals0s=vals0s)
 
         def spmv(x):
             xh = _halo_fill(st, _pad_local(st, x), axis)
@@ -525,11 +549,11 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis), P(), P(axis), P()),
+                  P(), P(axis), P(), P(axis), P(axis), P()),
         out_specs=(P(axis), P()), check_vma=False)
     jitted = jax.jit(lambda b, rtol2: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, b, rtol2))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, b, rtol2))
 
     def solve(b, rel_tol_override=None):
         rt = rel_tol if rel_tol_override is None else rel_tol_override

@@ -106,3 +106,31 @@ def test_sharded_struct_window_contract_matches_single(ndev):
     xh = gather_fine(hs, x)
     rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
     assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ndev", [4])
+def test_sharded_struct_bf16_twins_match_single(ndev):
+    """The flagship dtype configuration (bf16 smoother twin + bf16 mid
+    blocks + bf16 tent blocks) shards with the same per-row arithmetic:
+    sharded V-cycle equals the single-chip bf16 V-cycle."""
+    s, A, b, geo = _setup(8, 4, 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock",
+                           mid_dtype=jnp.bfloat16,
+                           smoother_dtype=jnp.bfloat16,
+                           rp_dtype=jnp.bfloat16)
+    y_ref = np.asarray(struct_vcycle_apply(h, jnp.asarray(b, jnp.float32)))
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    assert hs.vals0s is not None
+    assert hs.vals0s.dtype == jnp.bfloat16
+    assert hs.blocks1.dtype == jnp.bfloat16
+    bsh = scatter_fine(hs, b)
+    y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+    _, it_ref, _ = struct_pcg_solve(h, jnp.asarray(b, jnp.float32),
+                                    max_iter=80)
+    x, it = make_struct_sharded_pcg(hs, max_iter=80)(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
