@@ -26,6 +26,9 @@ DRIVERS = [
      '"peak_rss_gb"'),
     ("scripts/run_sharded.py", ["--n", "12", "--devices", "4"],
      "device-count invariance holds"),
+    ("scripts/run_spmd_setup.py", ["--n", "10", "--ranks", "4",
+                                   "--levels", "2"],
+     "converged"),
 ]
 
 
