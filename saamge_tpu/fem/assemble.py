@@ -310,9 +310,8 @@ def _eval_coefficient(coef: Coefficient, mesh: Mesh,
     matching the drivers' L2_0 GridFunctionCoefficient usage,
     mltest.cpp:605-611)."""
     NE, d = mesh.num_elements, mesh.dim
-    centers = mesh.elem_centers()
     if callable(coef):
-        vals = np.array([coef(c) for c in centers])
+        vals = np.array([coef(c) for c in mesh.elem_centers()])
     else:
         vals = np.asarray(coef, dtype=np.float64)
         if vals.ndim == 0:
@@ -375,16 +374,16 @@ def element_geometry(mesh: Mesh, order: int = 1):
 
     Returns (detJ (NE,nq), gradN (NE,nq,nd,d)) where gradN are physical
     gradients.  Uses Q1 geometry (straight-sided elements)."""
-    pts, wts, N, dN = reference_element(mesh.elem_type, 1)
     X = mesh.vertices[mesh.elements]            # (NE, nvert, d)
-    # J (NE, nq, d, d): dx/dxi = sum_a X_a dN_a
-    J = np.einsum("eak,qad->eqkd", X, dN, optimize=True)
-    Jinv, detJ = _inv_det_batched(J)
     if order == 1:
+        pts, wts, N, dN = reference_element(mesh.elem_type, 1)
+        # J (NE, nq, d, d): dx/dxi = sum_a X_a dN_a
+        J = np.einsum("eak,qad->eqkd", X, dN, optimize=True)
+        Jinv, detJ = _inv_det_batched(J)
         gradN = np.einsum("qad,eqdk->eqak", dN, Jinv, optimize=True)
         return pts, wts, N, detJ, gradN
-    # higher order basis on (bi/tri)linear geometry: recompute geometry
-    # at that order's quadrature rule
+    # higher order basis on (bi/tri)linear geometry: geometry factors
+    # directly at that order's quadrature rule
     pts2, wts2, N2, dN2 = reference_element(mesh.elem_type, order)
     _, dNgeo = geom_shape(mesh.elem_type, pts2)
     J = np.einsum("eak,qad->eqkd", X, dNgeo, optimize=True)
@@ -491,18 +490,39 @@ def elasticity_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
     return K
 
 
+def _mass_geometry(mesh: Mesh, order: int):
+    """element_geometry with a quadrature exact for the MASS integrand
+    N_a N_b.  The order-1 simplex rule (1-point centroid) is exact for
+    P1 stiffness but only degree-1 — using it for mass yields a RANK-1
+    element matrix (A/9 * ones instead of A/12 * [[2,1,1],...]); mfem's
+    MassIntegrator defaults to a degree-2k rule."""
+    if order == 1 and mesh.elem_type in ("tri", "tet"):
+        if mesh.elem_type == "tri":
+            pts, wts = _tri_quad_deg4()
+            N, _ = _shape_tri_p1(pts)
+        else:
+            pts, wts = _tet_quad_duffy()
+            N, _ = _shape_tet_p1(pts)
+        X = mesh.vertices[mesh.elements]
+        _, dNgeo = geom_shape(mesh.elem_type, pts)
+        J = np.einsum("eak,qad->eqkd", X, dNgeo, optimize=True)
+        _, detJ = _inv_det_batched(J)
+        return wts, N, detJ
+    pts, wts, N, detJ, _ = element_geometry(mesh, order)
+    return wts, N, detJ
+
+
 def mass_element_matrices(mesh: Mesh, coef: Coefficient = 1.0,
                           order: int = 1) -> np.ndarray:
     """(NE, nd, nd) mass batch for (c u, v) (mfem MassIntegrator —
     the reaction term of the secondorderpde drivers,
     secondorderpdetest.cpp:165)."""
     if getattr(mesh, "uniform", False):
-        pts, wts, N, detJ, _ = element_geometry(_uniform_submesh(mesh),
-                                                order)
+        wts, N, detJ = _mass_geometry(_uniform_submesh(mesh), order)
         m0 = np.einsum("q,q,qa,qb->ab", wts, detJ[0], N, N, optimize=True)
         c = _eval_coefficient(coef, mesh)
         return c[:, None, None] * m0[None, :, :]
-    pts, wts, N, detJ, _ = element_geometry(mesh, order)
+    wts, N, detJ = _mass_geometry(mesh, order)
     c = _eval_coefficient(coef, mesh)
     return np.einsum("q,eq,e,qa,qb->eab", wts, detJ, c, N, N,
                      optimize=True)
@@ -690,8 +710,26 @@ def assemble_global_stencil_grid(em0: np.ndarray, c: Optional[np.ndarray],
         for b in range(8):
             touched[pos[int(d0[a, b])]][sl] = True
     touched = touched.reshape(k, ndofs)
-    all_cols = np.arange(ndofs)[:, None] + offsets[None, :]   # (n, k)
-    maskT = touched.T & (all_cols >= 0) & (all_cols < ndofs)
+    return _stencil_csr_from_diagonals(data, touched, offsets, ndofs)
+
+
+
+def _stencil_csr_from_diagonals(data: np.ndarray, touched: np.ndarray,
+                                offsets: np.ndarray,
+                                ndofs: int) -> sp.csr_matrix:
+    """Shared diagonal->CSR emission for the stencil assemblers: per row
+    the touched offsets in ascending order give ascending columns — no
+    sort, no duplicate pass.  Column bounds are applied as slice masks
+    per offset (no (ndofs, k) index arithmetic arrays)."""
+    k = len(offsets)
+    maskT = np.empty((ndofs, k), dtype=bool)
+    for i, o in enumerate(offsets):
+        o = int(o)
+        maskT[:, i] = touched[i]
+        if o < 0:
+            maskT[:-o, i] = False
+        elif o > 0:
+            maskT[ndofs - o:, i] = False
     rows_sel, offs_sel = np.nonzero(maskT)
     indices = (rows_sel + offsets[offs_sel]).astype(np.int32)
     vals = data[offs_sel, rows_sel]
@@ -736,17 +774,7 @@ def assemble_global_stencil(elem_mats: np.ndarray, e2d: np.ndarray,
             else:
                 np.add.at(data[i], rows, em_a[:, b])
             touched[i][rows] = True
-    # direct CSR: per row the touched offsets in ascending order give
-    # ascending columns — no sort, no duplicate pass.  Gather (row, off)
-    # pairs from the mask instead of materializing transposed copies.
-    all_cols = np.arange(ndofs)[:, None] + offsets[None, :]   # (n, k)
-    maskT = touched.T & (all_cols >= 0) & (all_cols < ndofs)
-    rows_sel, offs_sel = np.nonzero(maskT)
-    indices = (rows_sel + offsets[offs_sel]).astype(np.int32)
-    vals = data[offs_sel, rows_sel]
-    indptr = np.zeros(ndofs + 1, dtype=np.int64)
-    np.cumsum(maskT.sum(axis=1), out=indptr[1:])
-    return sp.csr_matrix((vals, indices, indptr), shape=(ndofs, ndofs))
+    return _stencil_csr_from_diagonals(data, touched, offsets, ndofs)
 
 
 def assemble_global(elem_mats: np.ndarray, elem_to_dof: Table,
@@ -847,6 +875,9 @@ def build_discrete_problem(mesh: Mesh, coef: Coefficient = 1.0,
     Returns (A_csr, b, elem_mats, elem_to_dof, ess_dofs)."""
     vdim = mesh.dim if elasticity else 1
     if elasticity:
+        if order != 1:
+            raise NotImplementedError(
+                "elasticity element matrices are order-1 only")
         elem_mats = elasticity_element_matrices(mesh, coef)
         b = np.zeros(mesh.num_dofs(order) * vdim)
     else:

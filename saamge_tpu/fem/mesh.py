@@ -46,8 +46,9 @@ class Mesh:
     # this): assembly can integrate ONE element and broadcast
     uniform: bool = False
     # element-grid shape (nx, ny[, nz]) for lexicographic Cartesian
-    # generators (hex_mesh/quad_mesh): enables the slab-add stencil
-    # assembly (assemble.assemble_global_stencil_grid) and O(1) centers
+    # generators (set by hex_mesh; quad_mesh's vertex layout is j-major
+    # and does not set it): enables the slab-add stencil assembly
+    # (assemble.assemble_global_stencil_grid) and O(1) centers
     grid: tuple = None
 
     @property
@@ -94,11 +95,11 @@ class Mesh:
         if vdim == 1:
             return Table.from_rows(np.asarray(e2d), self.num_dofs(order))
         # Vector-valued flattening, byVDIM global numbering with
-        # component-major local order (fem.cpp:478 vector_valued_elem_to_dof).
-        rows = []
-        for r in e2d:
-            rows.append(np.concatenate(
-                [np.asarray(r) * vdim + vd for vd in range(vdim)]))
+        # component-major local order (fem.cpp:478 vector_valued_elem_to_dof);
+        # e2d is rectangular here, so one vectorized concat suffices
+        e2d = np.asarray(e2d)
+        rows = np.concatenate([e2d * vdim + vd for vd in range(vdim)],
+                              axis=1)
         return Table.from_rows(rows, self.num_dofs(order) * vdim)
 
     def num_dofs(self, order: int = 1) -> int:
@@ -119,11 +120,26 @@ class Mesh:
 
     # -- general-order nodal numbering -----------------------------------
     def _nodal_quant_tol(self) -> float:
+        # minimum over ALL element edges, not just v0-v1: on an
+        # anisotropic mesh the v0-v1 edge can be the LONG direction and
+        # a tolerance derived from it would merge distinct lattice nodes
+        # along the short direction (advisor-class finding)
+        edges = {
+            "tri": [(0, 1), (1, 2), (2, 0)],
+            "quad": [(0, 1), (1, 2), (2, 3), (3, 0)],
+            "tet": [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+            "hex": [(0, 1), (1, 2), (2, 3), (3, 0),
+                    (4, 5), (5, 6), (6, 7), (7, 4),
+                    (0, 4), (1, 5), (2, 6), (3, 7)],
+        }[self.elem_type]
         v = self.vertices
-        e0 = self.elements[:, 0]
-        e1 = self.elements[:, 1]
-        h = np.linalg.norm(v[e1] - v[e0], axis=1)
-        return float(h.min()) / 16.0
+        E = self.elements
+        h = np.inf
+        for a, b in edges:
+            d = np.linalg.norm(v[E[:, b]] - v[E[:, a]], axis=1)
+            if (d > 0).any():
+                h = min(h, float(d[d > 0].min()))
+        return h / 16.0
 
     def _nodal_elem_to_dof(self, order: int):
         """Arbitrary-order H1 connectivity by COORDINATE deduplication:
@@ -497,6 +513,14 @@ def read_mfem_mesh(path: str) -> Mesh:
             for i in range(n):
                 vertices[i] = [float(x) for x in next(it).split()]
     assert dim is not None and elements is not None and vertices is not None
+    if boundary is None:
+        # a file without a boundary section parses fine; synthesize
+        # empty arrays so max_bdr_attr()/ess_vertices() degrade cleanly
+        # instead of crashing on None far from the reader
+        nbv = elements.shape[1] - (1 if elem_type in ("tet", "quad")
+                                   else 2 if elem_type == "hex" else 1)
+        boundary = np.zeros((0, max(nbv, 2)), dtype=np.int64)
+        bdr_attr = np.zeros(0, dtype=np.int64)
     return Mesh(dim, vertices[:, :dim], elements, elem_type, elem_attr,
                 boundary, bdr_attr)
 
@@ -647,9 +671,12 @@ def _refine_tet(m: Mesh) -> Mesh:
         elems += [
             [v0, m01, m02, m03], [m01, v1, m12, m13],
             [m02, m12, v2, m23], [m03, m13, m23, v3],
-            # octahedron split along diagonal m01-m23
-            [m01, m02, m12, m23], [m01, m12, m13, m23],
-            [m01, m13, m03, m23], [m01, m03, m02, m23],
+            # octahedron split along diagonal m01-m23; last two vertices
+            # ordered so every child keeps POSITIVE orientation (the
+            # mfem ReorientTetMesh invariant — consumers may assume
+            # consistent signed volumes even though assembly uses |det|)
+            [m01, m02, m23, m12], [m01, m12, m23, m13],
+            [m01, m13, m23, m03], [m01, m03, m23, m02],
         ]
     bdry, battr = [], []
     for verts, attr in zip(m.boundary, m.bdr_attr):
