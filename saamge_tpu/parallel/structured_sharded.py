@@ -162,7 +162,13 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     # bf16 smoother twin (smoother_dtype): preconditioner passes stream
     # it, matching the single-chip flagship configuration
     vals0s = None
-    if h.A0s is not None:
+    if h.A0s is not None and not isinstance(h.A0s, PallasDIA):
+        # matrix-free twin (ops/pallas_mfree.py): its per-shard slab
+        # decomposition is not implemented yet — shard the stored f32
+        # operator for the smoother passes instead (correctness
+        # unchanged; the mfree path is single-chip-only for now)
+        pass
+    elif h.A0s is not None:
         vs_np = np.asarray(h.A0s.vals2)
         vals0s = np.zeros((ndev, k, local_pad, LANES), vs_np.dtype)
         for d in range(ndev):

@@ -700,7 +700,8 @@ def compile_structured(ml, geo: BrickGeometry,
                        rp_dtype=jnp.float32,
                        use_pallas_contract: bool = False,
                        window_contract: bool = False,
-                       super_bricks: Optional[Tuple[int, int, int]] = None
+                       super_bricks: Optional[Tuple[int, int, int]] = None,
+                       mfree: Optional[tuple] = None,
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -744,6 +745,15 @@ def compile_structured(ml, geo: BrickGeometry,
     rp_dtype=bfloat16, which it is intended to accompany).  Takes
     precedence over ``use_pallas_contract``.
 
+    ``mfree``: (em0, c_elem, ess_dofs) — when the fine operator factors
+    per element as ``em_e = c_e * em0`` (assemble.diffusion_factorized),
+    replace the STORED smoother/residual twin with the matrix-free
+    kernel (ops/pallas_mfree.py): the 27 diagonals are recomputed in
+    VMEM from the bf16 coefficient field each pass (~4 B/node streamed
+    vs 54 stored — the fine passes dominate the cycle at scale).  The
+    factorization is validated against every row's diagonal at build.
+    matvec0 (the PCG operator) keeps the stored f32 operator.
+
     ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
     partitioning (topology.part.partition_cartesian_bricks passed as
     ``coarse_part_override(1)`` at setup).  Replaces the dense
@@ -773,7 +783,15 @@ def compile_structured(ml, geo: BrickGeometry,
     assert dia0 is not None, "finest operator is not stencil-structured"
     A0 = PallasDIA.from_dia(dia0, interpret=interpret)
     A0s = None
-    if smoother_dtype is not None and smoother_dtype != jnp.float32:
+    if mfree is not None:
+        from saamge_tpu.ops.pallas_mfree import MatrixFreeQ1
+        em0_mf, c_mf, ess_mf = mfree
+        A0s = MatrixFreeQ1.build(
+            c_mf, ess_mf, em0_mf, geo.nodes, nzp, A0,
+            cdtype=(smoother_dtype if smoother_dtype is not None
+                    else jnp.float32),
+            interpret=interpret, A_csr=lv0.A)
+    elif smoother_dtype is not None and smoother_dtype != jnp.float32:
         A0s = PallasDIA.from_dia(dia0, interpret=interpret,
                                  dtype=smoother_dtype)
     dinv0h = A0.pad(jnp.asarray(dinv_np, jnp.float32))
