@@ -11,12 +11,20 @@ then a <=8-term weighted sum of neighboring element coefficients:
                         K[l,l'] * c(u - corner(l))
 
 so a smoother/residual pass can stream the ~1-value-per-node coefficient
-field (bf16) instead of the 27 stored diagonals (the dominant HBM
-traffic of the V-cycle: 54 B/node/pass stored vs ~4 B/node recomputed,
-at ~91 extra FMA/node — far under the VPU:HBM balance point).  This is
-the TPU analog of a matrix-free FEM operator apply; the reference has no
-equivalent (hypre stores CSR), which is why its V-cycle is CSR-stream
-bound (tg.cpp:91-131).
+field (bf16) instead of the 27 stored diagonals (54 B/node/pass stored
+vs ~4 B/node recomputed, at ~91 extra FMA/node).  This is the TPU analog
+of a matrix-free FEM operator apply; the reference has no equivalent
+(hypre stores CSR), which is why its V-cycle is CSR-stream bound
+(tg.cpp:91-131).
+
+MEASURED (v5e, multi-draw min, scripts/mfree_probe.py): the recompute is
+VPU-bound, not stream-bound — root pass 0.319 ms vs the stored-bf16
+twin's 0.326 ms at n=96 zlane (parity), 1.63 vs 1.10 ms at n=200 flat
+(182 FLOP/node executes at ~0.9 TFLOP/s, above the VPU:HBM balance
+point).  So this kernel is a MEMORY-CAPACITY feature, not a speed
+feature: it removes the k*n stored-diagonal array (918 MB bf16 at 17M
+dofs) at speed parity on the flagship geometry and a ~1.5x smoother-pass
+tax at scale.  The stored-bf16 twin remains the perf default.
 
 Essential-BC elimination (keep_diag, assemble.eliminate_essential_bc)
 is reproduced in-kernel from the node mask m (1 = free, 0 = essential):
@@ -103,7 +111,11 @@ def _build_mfree(dims: Tuple[int, int, int], nzp: int, K: tuple,
         return divmod(off, LANES)            # 0 <= b < 128
 
     all_a = [split(o)[0] for o in deltas] + [split(o)[0] for o in corn_off]
-    hpad = -(-(max(abs(a) for a in all_a) + 1) // 8) * 8
+    # 16-row alignment: the bf16 window DMA start (j*br - hpad) must be a
+    # provable multiple of the packed (2-per-sublane) row tiling; br is a
+    # power of two >= 16 here, so a 16-aligned hpad keeps it aligned.
+    hpad = -(-(max(abs(a) for a in all_a) + 1) // 16) * 16
+    assert br % 16 == 0, br
     hr = hb * br
     assert hpad <= hr, (hpad, hr)
     w = br + 2 * hpad
@@ -150,7 +162,7 @@ def _build_mfree(dims: Tuple[int, int, int], nzp: int, K: tuple,
 
         @pl.when(interior)
         def _():
-            start = j * br - hpad
+            start = pl.multiple_of(j * br - hpad, 16)
             cps = [pltpu.make_async_copy(
                 src.at[pl.ds(start, w), :], dst, sems.at[i])
                 for i, (src, dst) in enumerate(

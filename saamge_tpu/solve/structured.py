@@ -749,10 +749,13 @@ def compile_structured(ml, geo: BrickGeometry,
     per element as ``em_e = c_e * em0`` (assemble.diffusion_factorized),
     replace the STORED smoother/residual twin with the matrix-free
     kernel (ops/pallas_mfree.py): the 27 diagonals are recomputed in
-    VMEM from the bf16 coefficient field each pass (~4 B/node streamed
-    vs 54 stored — the fine passes dominate the cycle at scale).  The
-    factorization is validated against every row's diagonal at build.
-    matvec0 (the PCG operator) keeps the stored f32 operator.
+    VMEM from the bf16 coefficient field each pass.  A MEMORY-CAPACITY
+    option, not a speed one: measured VPU-bound at parity with the
+    stored-bf16 twin at n=96 zlane and ~1.5x slower at n>=200 flat
+    (see the pallas_mfree docstring), while removing the k*n diagonal
+    store (918 MB bf16 at 17M dofs).  The factorization is validated
+    against every row's diagonal at build.  matvec0 (the PCG operator)
+    keeps the stored f32 operator.
 
     ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
     partitioning (topology.part.partition_cartesian_bricks passed as
