@@ -292,3 +292,41 @@ def test_structured_coarsest_restriction_matches_dense():
     x1, it1, _ = struct_pcg_solve(h_dense, bdev, max_iter=60)
     x2, it2, _ = struct_pcg_solve(h_st, bdev, max_iter=60)
     assert int(it1) == int(it2)
+
+
+@pytest.mark.parametrize("num_levels", [2, 3])
+def test_struct_wavefront_matches_chained(num_levels):
+    """wavefront=True (temporally-blocked smoother sweeps,
+    ops/pallas_wavefront.py) is the same preconditioner as the chained
+    per-root kernels: identical V-cycle output (up to f32 order) and
+    PCG iteration counts."""
+    s, b, geo = _setup(8, 2, num_levels)
+    h_ref = compile_structured(s.ml, geo)
+    h_w = compile_structured(s.ml, geo, wavefront=True)
+    assert h_w.wavefront and not h_ref.wavefront
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h_ref, bdev))
+    y_w = np.asarray(struct_vcycle_apply(h_w, bdev))
+    assert np.abs(y_w - y_ref).max() <= 5e-4 * np.abs(y_ref).max()
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=60)
+    _, it_w, _ = struct_pcg_solve(h_w, bdev, max_iter=60)
+    assert int(it_w) == int(it_ref)
+
+
+def test_struct_wavefront_bf16_twin_matches():
+    """wavefront + the full bf16 production configuration (bf16 smoother
+    twin, bf16 Rst, bf16 mid blocks): same output as the chained bf16
+    twin cycle."""
+    s, b, geo = _setup(8, 2, 3)
+    kw = dict(mid_dtype=jnp.bfloat16, smoother_dtype=jnp.bfloat16,
+              rp_dtype=jnp.bfloat16)
+    h_ref = compile_structured(s.ml, geo, **kw)
+    h_w = compile_structured(s.ml, geo, wavefront=True, **kw)
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h_ref, bdev))
+    y_w = np.asarray(struct_vcycle_apply(h_w, bdev))
+    assert np.abs(y_w - y_ref).max() <= 5e-4 * max(
+        1.0, np.abs(y_ref).max())
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=60)
+    _, it_w, _ = struct_pcg_solve(h_w, bdev, max_iter=60)
+    assert int(it_w) == int(it_ref)
