@@ -232,11 +232,14 @@ def main():
         # 1.49: flat wins (n=256: 2.35 vs 3.22 ms/pass)
         zpad_ratio = (-(-NZn // 128) * 128) / NZn
         layout = "zlane" if zpad_ratio <= 1.35 else "flat"
+        # wavefront smoother sweeps (ops/pallas_wavefront.py): k chained
+        # roots per diagonal HBM stream; _smooth_h falls back to chained
+        # root passes whenever the sweep buffers don't fit VMEM
         h = compile_structured(s.ml, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16,
                                fine_layout=layout, super_bricks=supers,
-                               window_contract=True)
+                               window_contract=True, wavefront=True)
 
         def vcycle_once(hier, b0, c):
             # NB: must use the traced argument, not a closure — closure-
@@ -338,6 +341,27 @@ def main():
         timed_chain("l0_residual_ms",
                     lambda xh, hh: (hh.A0s or hh.A0).residual_h(bh, xh),
                     xh0, 400, operands=(h,))
+        # wavefront sweeps active? (plan may be None -> chained fallback)
+        from saamge_tpu.ops.pallas_stencil import PallasDIA
+        from saamge_tpu.ops.pallas_wavefront import plan_segments
+        A0m = h.A0s if h.A0s is not None else h.A0
+        wf_segs = None
+        if h.wavefront and isinstance(A0m, PallasDIA):
+            lead = 0 if A0m.interpret else 1
+            wf_segs = plan_segments(A0m, len(h.taus0), True, lead)
+        if wf_segs is not None:
+            def pre_body(xh, hh):
+                am = hh.A0s if hh.A0s is not None else hh.A0
+                x2, r2 = hh._smooth_h(am, hh.taus0, hh.dinv0h, bh, xh,
+                                      emit_res=True)
+                return x2 + 1e-30 * r2
+            timed_chain("l0_presmooth_ms", pre_body, xh0, 100,
+                        operands=(h,))
+            timed_chain("l0_postsmooth_ms",
+                        lambda xh, hh: hh._smooth_h(
+                            hh.A0s if hh.A0s is not None else hh.A0,
+                            hh.taus0, hh.dinv0h, bh, xh),
+                        xh0, 100, operands=(h,))
         res0 = jnp.ones(ndof, jnp.float32)
         timed_chain(
             "apply_R_ms",
@@ -359,8 +383,13 @@ def main():
                 jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
             deg0 = len(h.taus0)
             deg1 = len(h.taus1)
-            explained = (2 * deg0 * measured["l0_root_pass_ms"]
-                         + measured["l0_residual_ms"]
+            if wf_segs is not None:
+                l0_ms = (measured["l0_presmooth_ms"]
+                         + measured["l0_postsmooth_ms"])
+            else:
+                l0_ms = (2 * deg0 * measured["l0_root_pass_ms"]
+                         + measured["l0_residual_ms"])
+            explained = (l0_ms
                          + measured["apply_R_ms"] + measured["apply_P_ms"]
                          + (2 * deg1 + 1) * measured["mid_matvec_ms"]
                          + measured["coarsest_ms"])
@@ -389,8 +418,24 @@ def main():
             A0x = h.A0s if h.A0s is not None else h.A0
             it0sz = A0x.vals2.dtype.itemsize
             npad0 = h.A0.n_rows_pad * 128
-            ba = passes * (len(h.A0.offsets) * npad0 * it0sz
-                           + 3 * npad0 * 4)
+            if wf_segs is not None:
+                # wavefront sweeps: diagonals/b/dinv stream once per
+                # SEGMENT (not per root pass); x-in is overlap-amplified
+                # by the window rows w2/br; outputs 1 (+1 residual)
+                from saamge_tpu.ops.pallas_wavefront import (_geom,
+                                                             plan_segments)
+                lead0 = 0 if A0x.interpret else 1
+                segs_post = plan_segments(A0x, deg, False, lead0)
+                _, w2 = _geom(A0x.offsets, A0x.br, A0x.hb)
+                amp = w2 / A0x.br
+                ba = 0.0
+                for k_seg, emit in list(wf_segs) + list(segs_post):
+                    ba += (len(h.A0.offsets) * npad0 * it0sz
+                           + (2 + amp + 1 + (1 if emit else 0))
+                           * npad0 * 4)
+            else:
+                ba = passes * (len(h.A0.offsets) * npad0 * it0sz
+                               + 3 * npad0 * 4)
             if h.Wc is not None:
                 # fused window kernels stream the Lz-padded tent slab
                 # once per apply (R and P) + 4 shifted node-grid reads
@@ -481,6 +526,9 @@ def main():
             "format_traffic_ms": round(format_ms, 3),
             "format_fraction": round(format_fraction, 3),
             "levels": level_detail,
+            "wavefront_segments": ([list(t) for t in wf_segs]
+                                   if structured and wf_segs is not None
+                                   else None),
             "measured_components": measured,
             "eig_device_fraction": round(
                 TIMERS.total("setup.device_pipeline.eigh")

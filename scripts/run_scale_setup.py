@@ -223,7 +223,7 @@ def main():
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16, fine_layout=layout,
                                super_bricks=supers,
-                               window_contract=True)
+                               window_contract=True, wavefront=True)
         out["fine_layout"] = layout
         out["supers"] = supers
         out["compile_s"] = round(time.perf_counter() - t0, 2)
