@@ -377,6 +377,33 @@ def main():
             timed_chain("mid_matvec_ms",
                         lambda x, hh: hh._mid_matvec(x),
                         jnp.ones(n_mid, jnp.float32), 300, operands=(h,))
+            if h.A1kT is not None:
+                # VMEM-resident smoothing chains (ops/pallas_midsmooth):
+                # the cycle runs one pre chain (roots + residual) and one
+                # post chain instead of 2*deg1+1 operator streams
+                from saamge_tpu.ops.pallas_midsmooth import (mid_chain,
+                                                             pad_vec)
+                A1 = h.A1d
+                NBm = int(np.prod(A1.bricks))
+                bsm = A1.bs
+                b2m = pad_vec(jnp.ones(n_mid, jnp.float32), bsm, NBm)
+                d2m = pad_vec(h.dinv1, bsm, NBm)
+
+                def mid_pre(x2, hh, b2, d2):
+                    xo, ro = mid_chain(hh.A1kT, A1.doffs, A1.rects,
+                                       A1.bricks, bsm, NBm, hh.taus1,
+                                       b2, d2, x2, emit_res=True)
+                    return xo + 1e-30 * ro
+
+                timed_chain("mid_chain_pre_ms", mid_pre,
+                            jnp.zeros_like(b2m), 200,
+                            operands=(h, b2m, d2m))
+                timed_chain(
+                    "mid_chain_post_ms",
+                    lambda x2, hh, b2, d2: mid_chain(
+                        hh.A1kT, A1.doffs, A1.rects, A1.bricks, bsm,
+                        NBm, hh.taus1, b2, d2, x2),
+                    jnp.zeros_like(b2m), 200, operands=(h, b2m, d2m))
             timed_chain(
                 "coarsest_ms",
                 lambda x, hh: x + hh._coarsest_correct(x),
@@ -389,9 +416,14 @@ def main():
             else:
                 l0_ms = (2 * deg0 * measured["l0_root_pass_ms"]
                          + measured["l0_residual_ms"])
+            if h.A1kT is not None:
+                mid_ms = (measured["mid_chain_pre_ms"]
+                          + measured["mid_chain_post_ms"])
+            else:
+                mid_ms = (2 * deg1 + 1) * measured["mid_matvec_ms"]
             explained = (l0_ms
                          + measured["apply_R_ms"] + measured["apply_P_ms"]
-                         + (2 * deg1 + 1) * measured["mid_matvec_ms"]
+                         + mid_ms
                          + measured["coarsest_ms"])
             measured["explained_ms"] = round(explained, 3)
             measured["unexplained_ms"] = round(dt * 1e3 - explained, 3)
@@ -448,7 +480,14 @@ def main():
                        + 2 * nrows * 4)
         elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
-            if isinstance(h.A1d, BrickBlockOp):
+            if isinstance(h.A1d, BrickBlockOp) and h.A1kT is not None:
+                # VMEM-resident chains: the transposed lane-padded blocks
+                # stream HBM->VMEM once per chain, two chains per cycle;
+                # vectors (x, b, d in; x [+res] out) stream per chain
+                Lpad = h.A1kT.shape[-1]
+                ba = (2 * h.A1kT.size * h.A1kT.dtype.itemsize
+                      + 9 * h.A1d.bs * Lpad * 4)
+            elif isinstance(h.A1d, BrickBlockOp):
                 # brick-block operator streams its (k, bs, bs, NB) blocks
                 ba = passes * (h.A1d.traffic_bytes
                                + 3 * h.dinv1.shape[0] * 4)
@@ -529,6 +568,7 @@ def main():
             "wavefront_segments": ([list(t) for t in wf_segs]
                                    if structured and wf_segs is not None
                                    else None),
+            "mid_resident": bool(structured and h.A1kT is not None),
             "measured_components": measured,
             "eig_device_fraction": round(
                 TIMERS.total("setup.device_pipeline.eigh")

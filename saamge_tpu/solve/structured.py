@@ -435,12 +435,17 @@ class StructuredHierarchy:
     # all roots (+ the pre-smooth's trailing residual) per HBM diagonal
     # stream instead of one kernel per root
     wavefront: bool = False
+    # VMEM-resident mid-level smoothing (ops/pallas_midsmooth.py): the
+    # transposed lane-padded blocks (k, s2, s1, L); when set, each mid
+    # smoothing chain runs as ONE Pallas kernel that DMAs the operator
+    # to VMEM once (2 operator streams/cycle instead of 2*deg1+1)
+    A1kT: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
                  self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
-                 self.flat_id2, self.Wc),
+                 self.flat_id2, self.Wc, self.A1kT),
                 (self.geo, self.n_fine, self.n_flat, self.nzp,
                  self.supers, self.wavefront))
 
@@ -450,7 +455,8 @@ class StructuredHierarchy:
                    flat_id=children[9], nzp=aux[3], A0s=children[10],
                    Rst_pad=children[11], Rst1=children[12],
                    supers=aux[4], flat_id2=children[13],
-                   Wc=children[14], wavefront=aux[5])
+                   Wc=children[14], wavefront=aux[5],
+                   A1kT=children[15])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -630,15 +636,39 @@ class StructuredHierarchy:
         if self.A1d is not None:
             padded_mid = isinstance(self.A1d, BrickBlockOp)
             b1 = rc if padded_mid else rc[self.flat_id]
-            x1 = jnp.zeros_like(b1)
-            for it in self.taus1:
-                x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
-            r1 = b1 - self._mid_matvec(x1)
-            x1 = x1 + self._coarsest_correct(r1)
-            for it in self.taus1:
-                x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) * it[0]
-            xc = x1 if padded_mid \
-                else jnp.zeros_like(rc).at[self.flat_id].set(x1)
+            if self.A1kT is not None and padded_mid:
+                # VMEM-resident chains: operator streams to VMEM once
+                # per chain (pre+residual, post) instead of per root
+                from saamge_tpu.ops.pallas_midsmooth import (
+                    mid_chain, pad_vec, unpad_vec)
+                A1 = self.A1d
+                NBm = int(np.prod(A1.bricks))
+                b2 = pad_vec(b1, A1.bs, NBm)
+                d2 = pad_vec(self.dinv1, A1.bs, NBm)
+                x2, r2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
+                                   A1.bricks, A1.bs, NBm, self.taus1,
+                                   b2, d2, jnp.zeros_like(b2),
+                                   emit_res=True,
+                                   interpret=self.A0.interpret)
+                x1 = unpad_vec(x2, NBm) \
+                    + self._coarsest_correct(unpad_vec(r2, NBm))
+                x2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
+                               A1.bricks, A1.bs, NBm, self.taus1,
+                               b2, d2, pad_vec(x1, A1.bs, NBm),
+                               interpret=self.A0.interpret)
+                xc = unpad_vec(x2, NBm)
+            else:
+                x1 = jnp.zeros_like(b1)
+                for it in self.taus1:
+                    x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) \
+                        * it[0]
+                r1 = b1 - self._mid_matvec(x1)
+                x1 = x1 + self._coarsest_correct(r1)
+                for it in self.taus1:
+                    x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) \
+                        * it[0]
+                xc = x1 if padded_mid \
+                    else jnp.zeros_like(rc).at[self.flat_id].set(x1)
         else:
             yc = self.Ainv @ rc[self.flat_id]
             xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
@@ -723,6 +753,7 @@ def compile_structured(ml, geo: BrickGeometry,
                        super_bricks: Optional[Tuple[int, int, int]] = None,
                        mfree: Optional[tuple] = None,
                        wavefront: bool = False,
+                       mid_resident: Optional[bool] = None,
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -786,6 +817,13 @@ def compile_structured(ml, geo: BrickGeometry,
     1.25 -> 0.97 ms at n=96 zlane.  Falls back to chained passes when
     the sweep's circular buffers exceed VMEM or the smoother is the
     matrix-free twin.
+
+    ``mid_resident``: run each mid-level smoothing chain as ONE Pallas
+    kernel with the brick-block operator VMEM-resident
+    (ops/pallas_midsmooth.py) — the operator streams from HBM twice
+    per cycle (pre-chain+residual, post-chain) instead of 2*deg1+1
+    times.  None (default) = auto: on whenever mid_format='brickblock'
+    and the padded blocks fit the kernel's VMEM budget.
 
     ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
     partitioning (topology.part.partition_cartesian_bricks passed as
@@ -881,6 +919,14 @@ def compile_structured(ml, geo: BrickGeometry,
                                         dtype=np.float64), rp_dtype)
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
+        A1kT = None
+        if isinstance(A1d, BrickBlockOp):
+            from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
+                                                         prep_blocksT)
+            fits = fits_mid_kernel(A1d.blocks.shape[0], bs, NB,
+                                   A1d.blocks.dtype.itemsize)
+            if mid_resident or (mid_resident is None and fits):
+                A1kT = prep_blocksT(A1d)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         rst_dev = jnp.asarray(Rst, rp_dtype)
         return StructuredHierarchy(
@@ -892,7 +938,7 @@ def compile_structured(ml, geo: BrickGeometry,
                                    and not window_contract),
             Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2,
             Wc=_maybe_window(Rst, geo, window_contract),
-            wavefront=wavefront)
+            wavefront=wavefront, A1kT=A1kT)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)

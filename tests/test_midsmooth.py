@@ -1,0 +1,126 @@
+"""VMEM-resident mid-level smoothing chains (ops/pallas_midsmooth.py)
+vs the per-root XLA loop over BrickBlockOp.matvec: identical chained
+root semantics (smpr_compute_poly, smpr.hpp:319-339) with the operator
+blocks DMAed to VMEM once per chain."""
+
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.solve.structured import BrickBlockOp
+from saamge_tpu.ops.pallas_midsmooth import (mid_chain, prep_blocksT,
+                                             pad_vec, unpad_vec)
+
+INTERP = jax.devices()[0].platform == "cpu"
+
+
+def _brick_op(bricks, bs, seed=0, ragged_rects=False):
+    """Random brick-neighbor-coupled operator as CSR -> BrickBlockOp."""
+    BX, BY, BZ = bricks
+    NB = BX * BY * BZ
+    n = NB * bs
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    pid = np.arange(NB)
+    px, py, pz = pid // (BY * BZ), (pid // BZ) % BY, pid % BZ
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                qx, qy, qz = px + dx, py + dy, pz + dz
+                ok = ((0 <= qx) & (qx < BX) & (0 <= qy) & (qy < BY)
+                      & (0 <= qz) & (qz < BZ))
+                p_ok = pid[ok]
+                q_ok = (qx * BY + qy)[ok] * BZ + qz[ok]
+                # optionally restrict far offsets to low slots so the
+                # used-slot rectangles are genuinely ragged
+                far = abs(dx) + abs(dy) + abs(dz)
+                r1 = bs if (far == 0 or not ragged_rects) else \
+                    max(1, bs - far)
+                r2 = bs if (far == 0 or not ragged_rects) else \
+                    max(1, bs - 2 * far)
+                for s1 in range(r1):
+                    for s2 in range(r2):
+                        rows.append(s1 * NB + p_ok)
+                        cols.append(s2 * NB + q_ok)
+                        vals.append(
+                            rng.standard_normal(len(p_ok)) * 0.05
+                            + (2.0 if (far == 0 and s1 == s2) else 0.0))
+    A = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n)).tocsr()
+    cd_brick = np.tile(np.arange(NB), bs)
+    slot = np.repeat(np.arange(bs), NB)
+    return BrickBlockOp.from_csr(A, cd_brick, slot, bs, bricks,
+                                 dtype=jnp.float32), A
+
+
+def _reference_chain(op, taus, b, d, x, emit_res):
+    for t in taus:
+        x = x + d * (b - op.matvec(x)) * t[0]
+    if emit_res:
+        return x, b - op.matvec(x)
+    return x
+
+
+@pytest.mark.parametrize("bricks,bs,emit_res,ragged", [
+    ((3, 2, 2), 4, True, False),
+    ((3, 2, 2), 4, False, False),
+    ((2, 3, 4), 5, True, True),
+    ((4, 4, 4), 3, False, True),
+])
+def test_mid_chain_matches_root_loop(bricks, bs, emit_res, ragged):
+    op, _ = _brick_op(bricks, bs, seed=hash((bricks, bs)) % 1000,
+                      ragged_rects=ragged)
+    NB = int(np.prod(bricks))
+    n = NB * bs
+    rng = np.random.default_rng(7)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    d = jnp.asarray(rng.random(n) * 0.3 + 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    taus = tuple(jnp.asarray([t], jnp.float32)
+                 for t in (0.31, 0.17, 0.09, 0.23))
+
+    ref = _reference_chain(op, taus, b, d, x, emit_res)
+
+    blocksT = prep_blocksT(op)
+    out = mid_chain(blocksT, op.doffs, op.rects, op.bricks, bs, NB,
+                    taus, pad_vec(b, bs, NB), pad_vec(d, bs, NB),
+                    pad_vec(x, bs, NB), emit_res=emit_res,
+                    interpret=INTERP)
+    if emit_res:
+        x_ref, r_ref = ref
+        x_k, r_k = (unpad_vec(out[0], NB), unpad_vec(out[1], NB))
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
+                                   rtol=2e-5, atol=2e-5)
+    else:
+        x_k = unpad_vec(out, NB)
+        np.testing.assert_allclose(np.asarray(x_k), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_mid_chain_bf16_blocks_close():
+    """bf16-valued blocks relax a ~1e-2-perturbed operator (same class
+    as mid_dtype=bfloat16 on the XLA path)."""
+    op, _ = _brick_op((3, 3, 2), 4, seed=11)
+    NB, bs = 18, 4
+    n = NB * bs
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    d = jnp.asarray(rng.random(n) * 0.3 + 0.1, jnp.float32)
+    x = jnp.zeros(n, jnp.float32)
+    taus = tuple(jnp.asarray([t], jnp.float32) for t in (0.3, 0.12))
+    ref = _reference_chain(op, taus, b, d, x, False)
+    import dataclasses
+    op16 = dataclasses.replace(op, blocks=op.blocks.astype(jnp.bfloat16))
+    out = mid_chain(prep_blocksT(op16), op.doffs, op.rects, op.bricks,
+                    bs, NB, taus, pad_vec(b, bs, NB),
+                    pad_vec(d, bs, NB), pad_vec(x, bs, NB),
+                    interpret=INTERP)
+    err = np.abs(np.asarray(unpad_vec(out, NB)) - np.asarray(ref))
+    assert err.max() <= 0.05 * max(1.0, float(jnp.abs(ref).max()))

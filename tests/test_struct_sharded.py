@@ -114,11 +114,15 @@ def test_sharded_struct_bf16_twins_match_single(ndev):
     blocks + bf16 tent blocks) shards with the same per-row arithmetic:
     sharded V-cycle equals the single-chip bf16 V-cycle."""
     s, A, b, geo = _setup(8, 4, 3)
+    # mid_resident=False: the sharded path mirrors the chained-XLA mid
+    # smoother (x rounded to bf16 per pass); the VMEM-resident kernel
+    # keeps x f32, a ~1e-3 semantic difference on bf16 blocks
     h = compile_structured(s.ml, geo, fine_layout="zlane",
                            mid_format="brickblock",
                            mid_dtype=jnp.bfloat16,
                            smoother_dtype=jnp.bfloat16,
-                           rp_dtype=jnp.bfloat16)
+                           rp_dtype=jnp.bfloat16,
+                           mid_resident=False)
     y_ref = np.asarray(struct_vcycle_apply(h, jnp.asarray(b, jnp.float32)))
 
     mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
