@@ -481,12 +481,13 @@ def main():
         elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
             if isinstance(h.A1d, BrickBlockOp) and h.A1kT is not None:
-                # VMEM-resident chains: the transposed lane-padded blocks
+                # VMEM-resident chains: the packed per-offset rectangles
                 # stream HBM->VMEM once per chain, two chains per cycle;
                 # vectors (x, b, d in; x [+res] out) stream per chain
-                Lpad = h.A1kT.shape[-1]
-                ba = (2 * h.A1kT.size * h.A1kT.dtype.itemsize
-                      + 9 * h.A1d.bs * Lpad * 4)
+                Lpad = h.A1kT[0].shape[-1]
+                packed_b = sum(a.size * a.dtype.itemsize for a in h.A1kT)
+                bsp = -(-h.A1d.bs // 16) * 16
+                ba = 2 * packed_b + 9 * bsp * Lpad * 4
             elif isinstance(h.A1d, BrickBlockOp):
                 # brick-block operator streams its (k, bs, bs, NB) blocks
                 ba = passes * (h.A1d.traffic_bytes

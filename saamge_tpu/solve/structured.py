@@ -650,13 +650,13 @@ class StructuredHierarchy:
                                    b2, d2, jnp.zeros_like(b2),
                                    emit_res=True,
                                    interpret=self.A0.interpret)
-                x1 = unpad_vec(x2, NBm) \
-                    + self._coarsest_correct(unpad_vec(r2, NBm))
+                x1 = unpad_vec(x2, A1.bs, NBm) \
+                    + self._coarsest_correct(unpad_vec(r2, A1.bs, NBm))
                 x2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
                                A1.bricks, A1.bs, NBm, self.taus1,
                                b2, d2, pad_vec(x1, A1.bs, NBm),
                                interpret=self.A0.interpret)
-                xc = unpad_vec(x2, NBm)
+                xc = unpad_vec(x2, A1.bs, NBm)
             else:
                 x1 = jnp.zeros_like(b1)
                 for it in self.taus1:
@@ -923,7 +923,8 @@ def compile_structured(ml, geo: BrickGeometry,
         if isinstance(A1d, BrickBlockOp):
             from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
                                                          prep_blocksT)
-            fits = fits_mid_kernel(A1d.blocks.shape[0], bs, NB,
+            _, bs_m, _, NB_m = A1d.blocks.shape
+            fits = fits_mid_kernel(tuple(A1d.rects), bs_m, NB_m,
                                    A1d.blocks.dtype.itemsize)
             if mid_resident or (mid_resident is None and fits):
                 A1kT = prep_blocksT(A1d)

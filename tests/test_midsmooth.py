@@ -93,13 +93,13 @@ def test_mid_chain_matches_root_loop(bricks, bs, emit_res, ragged):
                     interpret=INTERP)
     if emit_res:
         x_ref, r_ref = ref
-        x_k, r_k = (unpad_vec(out[0], NB), unpad_vec(out[1], NB))
+        x_k, r_k = (unpad_vec(out[0], bs, NB), unpad_vec(out[1], bs, NB))
         np.testing.assert_allclose(np.asarray(x_k), np.asarray(x_ref),
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_ref),
                                    rtol=2e-5, atol=2e-5)
     else:
-        x_k = unpad_vec(out, NB)
+        x_k = unpad_vec(out, bs, NB)
         np.testing.assert_allclose(np.asarray(x_k), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
@@ -122,5 +122,5 @@ def test_mid_chain_bf16_blocks_close():
                     bs, NB, taus, pad_vec(b, bs, NB),
                     pad_vec(d, bs, NB), pad_vec(x, bs, NB),
                     interpret=INTERP)
-    err = np.abs(np.asarray(unpad_vec(out, NB)) - np.asarray(ref))
+    err = np.abs(np.asarray(unpad_vec(out, bs, NB)) - np.asarray(ref))
     assert err.max() <= 0.05 * max(1.0, float(jnp.abs(ref).max()))
