@@ -27,9 +27,12 @@ boundary (or wrap into the lane padding) land on structurally-zero
 block entries, so no masking is needed; lane padding of the vectors is
 kept zero by zero-padded dinv/b.
 
-Numerics: blocks convert bf16->f32 at use; x stays f32 throughout (the
-XLA fused path rounds x to bf16 before the multiply, so this kernel is
-slightly MORE accurate than the path it replaces)."""
+Numerics: the block-times-x products run in the BLOCK dtype (a f32
+upcast of the blocks is loop-invariant across the chained roots and XLA
+hoists it, keeping every offset's f32 copy live — a measured VMEM OOM
+at n=128); the slot reduction and the root updates accumulate in f32,
+and x stays f32 throughout (the XLA fused bf16 path rounds x itself to
+bf16 before the multiply, a comparable rounding class)."""
 
 from __future__ import annotations
 
@@ -44,11 +47,16 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUB = 16  # sublane tile (bf16; also a multiple of the f32 tile 8)
 
-# VMEM budget for the resident packed rectangles (v5e VMEM is 128 MB;
-# the kernel needs temp room for the per-offset f32 products).  72 MB
-# matches the wavefront kernel's proven budget; with rect packing the
-# flagship n=96 mid level is ~26 MB and n=128-class (L=4096) fits too.
-MID_VMEM_BUDGET = 72 * 1024 * 1024
+# VMEM budget for the resident packed rectangles, in PACKED bytes.
+# MEASURED gate, not a capacity bound: Mosaic's scheduler batches all
+# kd per-offset products ahead of the reduction chain, so the compiled
+# peak is ~3x the packed bytes (input + ~2x register spill slots — the
+# n=128 failure report shows 162.57M of "register allocator spill
+# slots" against 65.7 MB packed, while n=96's 28.7 MB compiles and
+# runs).  3 * 36 MB + vectors stays under the 128 MB VMEM.
+# (jax.lax.optimization_barrier would force serial products but is not
+# lowerable in Pallas TPU kernels.)
+MID_VMEM_BUDGET = 36 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,9 +102,16 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                 xk = pltpu.roll(x, (L - s) % L, 1) if s % L else x
                 r1, r2 = rects[k]
                 r1p = _round_up(max(r1, 1), SUB)
-                Bk = blk[k][...].astype(jnp.float32)  # (r2, r1p, L)
+                Bk = blk[k][...]                      # (r2, r1p, L)
                 xs = jax.lax.slice(xk, (0, 0), (r2, L))[:, None, :]
-                part = jnp.sum(Bk * xs, axis=0)       # (r1p, L)
+                # multiply in the BLOCK dtype: a Bk.astype(f32) here is
+                # loop-invariant across the chained roots and XLA hoists
+                # it, keeping EVERY offset's f32 copy live — measured
+                # 208.75 MB VMEM (= packed input + 2x-sized casts) and
+                # an OOM at n=128's 65.7 MB packed size.  The product
+                # depends on x, so its temp is reused across offsets.
+                prod = Bk * xs.astype(Bk.dtype)
+                part = jnp.sum(prod.astype(jnp.float32), axis=0)
                 if r1p < BSp:
                     # static zero-pad (scatter-add is not lowerable)
                     part = jnp.pad(part, ((0, BSp - r1p), (0, 0)))

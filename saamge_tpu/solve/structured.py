@@ -823,7 +823,7 @@ def compile_structured(ml, geo: BrickGeometry,
     (ops/pallas_midsmooth.py) — the operator streams from HBM twice
     per cycle (pre-chain+residual, post-chain) instead of 2*deg1+1
     times.  None (default) = auto: on whenever mid_format='brickblock'
-    and the padded blocks fit the kernel's VMEM budget.
+    and the packed used-slot rectangles fit the kernel's VMEM budget.
 
     ``super_bricks``: (SX, SY, SZ) superbrick grid of the 3rd-level
     partitioning (topology.part.partition_cartesian_bricks passed as
