@@ -226,6 +226,7 @@ def main():
                                window_contract=True, wavefront=True)
         out["fine_layout"] = layout
         out["supers"] = supers
+        out["mid_resident"] = h.A1kT is not None
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
         x, iters, relres = struct_pcg_solve(h, bdev, max_iter=200)
