@@ -124,3 +124,23 @@ def test_mid_chain_bf16_blocks_close():
                     interpret=INTERP)
     err = np.abs(np.asarray(unpad_vec(out, bs, NB)) - np.asarray(ref))
     assert err.max() <= 0.05 * max(1.0, float(jnp.abs(ref).max()))
+
+
+def test_fits_gate_measured_shapes():
+    """The auto-gate admits the flagship mid level and rejects the
+    measured-OOM n=128 one (ops/pallas_midsmooth.py MID_VMEM_BUDGET:
+    Mosaic spills ~2x the packed bytes in vregs, so the gate is on
+    PACKED bytes with ~3x headroom under the 128 MB VMEM)."""
+    from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
+                                                 mid_kernel_vmem_bytes)
+    # n=96 flagship: 27 offsets, bs=20, NB=1728 -> L=1792, measured
+    # 28.7 MB packed, compiles and runs (1.81 ms V-cycle)
+    rects96 = [(11, 20)] * 27       # ~ the measured 42%-dense rects
+    assert fits_mid_kernel(tuple(rects96), 20, 1728, 2)
+    # n=128: NB=4096 -> L=4096, 65.7 MB packed -> measured VMEM OOM
+    # (162.57M spill slots); must be rejected
+    rects128 = [(11, 20)] * 27
+    assert not fits_mid_kernel(tuple(rects128), 20, 4096, 2)
+    # the estimate counts r1 padded to the 16-row sublane tile
+    assert mid_kernel_vmem_bytes(((1, 1),), 4, 128, 2) \
+        >= 1 * 16 * 128 * 2
