@@ -484,9 +484,10 @@ def main():
                 # VMEM-resident chains: the packed per-offset rectangles
                 # stream HBM->VMEM once per chain, two chains per cycle;
                 # vectors (x, b, d in; x [+res] out) stream per chain
+                from saamge_tpu.ops.pallas_midsmooth import SUB
                 Lpad = h.A1kT[0].shape[-1]
                 packed_b = sum(a.size * a.dtype.itemsize for a in h.A1kT)
-                bsp = -(-h.A1d.bs // 16) * 16
+                bsp = -(-h.A1d.bs // SUB) * SUB
                 ba = 2 * packed_b + 9 * bsp * Lpad * 4
             elif isinstance(h.A1d, BrickBlockOp):
                 # brick-block operator streams its (k, bs, bs, NB) blocks

@@ -926,6 +926,12 @@ def compile_structured(ml, geo: BrickGeometry,
             _, bs_m, _, NB_m = A1d.blocks.shape
             fits = fits_mid_kernel(tuple(A1d.rects), bs_m, NB_m,
                                    A1d.blocks.dtype.itemsize)
+            if mid_resident and not fits:
+                from saamge_tpu.utils.logging import sa_print
+                sa_print(1, "mid_resident=True overrides the VMEM fits "
+                         "gate (packed blocks exceed the measured spill "
+                         "budget; expect a Mosaic VMEM OOM at compile, "
+                         "see ops/pallas_midsmooth.py)")
             if mid_resident or (mid_resident is None and fits):
                 A1kT = prep_blocksT(A1d)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)

@@ -141,6 +141,9 @@ def test_fits_gate_measured_shapes():
     # (162.57M spill slots); must be rejected
     rects128 = [(11, 20)] * 27
     assert not fits_mid_kernel(tuple(rects128), 20, 4096, 2)
-    # the estimate counts r1 padded to the 16-row sublane tile
+    # the estimate counts r1 padded to the 16-row sublane tile: r1=1
+    # and r1=16 must cost the same, r1=17 strictly more
     assert mid_kernel_vmem_bytes(((1, 1),), 4, 128, 2) \
-        >= 1 * 16 * 128 * 2
+        == mid_kernel_vmem_bytes(((16, 1),), 4, 128, 2)
+    assert mid_kernel_vmem_bytes(((17, 1),), 20, 128, 2) \
+        > mid_kernel_vmem_bytes(((16, 1),), 20, 128, 2)

@@ -45,8 +45,12 @@ def _setup(n=8, nb=4, num_levels=3):
 @pytest.mark.parametrize("ndev", [2, 4])
 def test_sharded_struct_vcycle_matches_single(ndev):
     s, A, b, geo = _setup(8, 4, 3)
+    # mid_resident=False: the sharded mirror runs the chained-XLA mid
+    # loop; the resident kernel's per-offset sequential f32 accumulation
+    # differs by rounding order, which would make the 1e-5 equality and
+    # exact-iteration asserts fragile
     h = compile_structured(s.ml, geo, fine_layout="zlane",
-                           mid_format="brickblock")
+                           mid_format="brickblock", mid_resident=False)
     y_ref = np.asarray(struct_vcycle_apply(h, jnp.asarray(b, jnp.float32)))
 
     mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
@@ -64,7 +68,7 @@ def test_sharded_struct_pcg_device_count_invariant(ndev):
         pytest.skip("needs virtual device mesh")
     s, A, b, geo = _setup(8, 8, 3)   # brick=1 so BX=8 divides every ndev
     h = compile_structured(s.ml, geo, fine_layout="zlane",
-                           mid_format="brickblock")
+                           mid_format="brickblock", mid_resident=False)
     _, it_ref, _ = struct_pcg_solve(h, jnp.asarray(b, jnp.float32),
                                     max_iter=80)
 
@@ -86,7 +90,7 @@ def test_sharded_struct_window_contract_matches_single(ndev):
     reproduce the single-device windowed V-cycle and PCG counts."""
     s, A, b, geo = _setup(8, 4, 3)
     h = compile_structured(s.ml, geo, fine_layout="zlane",
-                           mid_format="brickblock",
+                           mid_format="brickblock", mid_resident=False,
                            rp_dtype=jnp.bfloat16, window_contract=True)
     bdev = jnp.asarray(b, jnp.float32)
     y_ref = np.asarray(struct_vcycle_apply(h, bdev))
