@@ -122,6 +122,33 @@ def measure_peak_stream(jnp, jax):
     return measured, raw
 
 
+def measure_vpu_gflops(jnp, jax):
+    """Measured VPU elementwise-FMA rate (GFLOP/s) at the stencil
+    kernels' working precision mix: a long chain of dependent
+    y = |y| * a + b steps over a VMEM-resident-sized f32 block.  The
+    fine-level smoother is COMPUTE-bound (54 FLOP/node/root on the VPU),
+    so the honest denominator for its model is this rate, not HBM."""
+    N = 2 * 1024 * 1024           # 8 MB — resident, HBM out of the way
+    R = 2048
+    a = jnp.float32(0.99999)
+
+    @jax.jit
+    def f(y, b0):
+        for _ in range(R):
+            y = jnp.abs(y) * a + b0
+        return jnp.sum(y)
+
+    y0 = jnp.full(N, 0.5, jnp.float32)
+    b0 = jnp.full(N, 1e-6, jnp.float32)
+    float(f(y0, b0))
+    best = float("inf")
+    for k in range(2):
+        t0 = time.perf_counter()
+        float(f(y0 * (1.0 + 1e-7 * (k + 1)), b0))
+        best = min(best, time.perf_counter() - t0)
+    return 3.0 * N * R / best / 1e9   # abs + mul + add per step
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
@@ -266,8 +293,10 @@ def main():
 
     if on_tpu:
         peak_gbps, raw_stream = measure_peak_stream(jnp, jax)
+        vpu_gflops = measure_vpu_gflops(jnp, jax)
     else:
         peak_gbps, raw_stream = 0.0, {}
+        vpu_gflops = 0.0
 
     # --- setup eigensolver throughput vs MXU dense capability ---------
     # (the BASELINE >=70%-of-MXU target, unreported in rounds 1-2):
@@ -314,19 +343,28 @@ def main():
         def timed_chain(name, body_fn, carry0, reps_c, operands=()):
             # large arrays must arrive through ``operands`` (traced jit
             # args): closure-captured device arrays embed as program
-            # constants and blow the remote-compile request size limit
+            # constants and blow the remote-compile request size limit.
+            # UNROLL=4 applications per scan step: a one-op-per-step
+            # scan chain measures 2-4x slower than the same op composed
+            # inside a larger step (measured, CLAUDE.md round-3) — the
+            # cycle composes many ops per step, so match that structure.
+            unroll = 4
+            steps = max(1, reps_c // unroll)
+
             @jax.jit
             def cchain(c0, *ops):
                 def body(c, _):
-                    return body_fn(c, *ops), ()
-                y, _ = jax.lax.scan(body, c0, jnp.zeros(reps_c))
+                    for _ in range(unroll):
+                        c = body_fn(c, *ops)
+                    return c, ()
+                y, _ = jax.lax.scan(body, c0, jnp.zeros(steps))
                 return jax.tree_util.tree_reduce(
                     lambda a, v: a + jnp.sum(v), y, jnp.float32(0.0))
             float(cchain(carry0, *operands))
             tc = time.perf_counter()
             float(cchain(carry0, *operands))
             measured[name] = round(
-                (time.perf_counter() - tc) / reps_c * 1e3, 4)
+                (time.perf_counter() - tc) / (steps * unroll) * 1e3, 4)
 
         A0 = h.A0
         bh = h.pad0(bdev)
@@ -438,6 +476,9 @@ def main():
     bytes_model = 0.0
     bytes_actual = 0.0
     level_detail = []
+    flops_levels = []           # per-level VPU FLOPs per cycle (compute
+    #                             model: the stencil smoother is VPU-
+    #                             bound at flagship, not stream-bound)
     for i, lv in enumerate(s.ml.levels):
         tg = lv.tg_data
         deg = len(tg.poly_data.roots)
@@ -450,6 +491,17 @@ def main():
             A0x = h.A0s if h.A0s is not None else h.A0
             it0sz = A0x.vals2.dtype.itemsize
             npad0 = h.A0.n_rows_pad * 128
+            # compute model: (2 deg + 1) root-equivalent passes, each
+            # 2 FLOP per (diagonal, padded element); wavefront sweeps
+            # recompute the overlap rows (w2/br amplification)
+            from saamge_tpu.ops.pallas_wavefront import _geom as _wfgeom
+            if wf_segs is not None:
+                _, w2a = _wfgeom(A0x.offsets, A0x.br, A0x.hb)
+                c_amp = w2a / A0x.br
+            else:
+                c_amp = 1.0
+            flops_levels.append(
+                passes * 2 * len(h.A0.offsets) * c_amp * npad0)
             if wf_segs is not None:
                 # wavefront sweeps: diagonals/b/dinv stream once per
                 # SEGMENT (not per root pass); x-in is overlap-amplified
@@ -480,6 +532,12 @@ def main():
                        + 2 * nrows * 4)
         elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
+            if isinstance(h.A1d, BrickBlockOp):
+                flops_levels.append(
+                    passes * 2 * h.A1d.traffic_bytes
+                    / h.A1d.blocks.dtype.itemsize)
+            else:
+                flops_levels.append(passes * 2 * nrows * nrows)
             if isinstance(h.A1d, BrickBlockOp) and h.A1kT is not None:
                 # VMEM-resident chains: the packed per-offset rectangles
                 # stream HBM->VMEM once per chain, two chains per cycle;
@@ -503,11 +561,19 @@ def main():
                 ba += 2 * h.R1.size * h.R1.dtype.itemsize
         else:
             ba = bm
+            flops_levels.append(0.0)
         bytes_model += bm
         bytes_actual += ba
-        level_detail.append({"n": nrows, "passes": passes,
-                             "model_mb": round(bm / 1e6, 1),
-                             "actual_mb": round(ba / 1e6, 1)})
+        det = {"n": nrows, "passes": passes,
+               "model_mb": round(bm / 1e6, 1),
+               "actual_mb": round(ba / 1e6, 1)}
+        if peak_gbps and vpu_gflops:
+            st_ms = ba / (peak_gbps * 1e9) * 1e3
+            cp_ms = flops_levels[i] / (vpu_gflops * 1e9) * 1e3
+            det["stream_ms"] = round(st_ms, 3)
+            det["compute_ms"] = round(cp_ms, 3)
+            det["bound"] = "compute" if cp_ms > st_ms else "stream"
+        level_detail.append(det)
     n2 = s.ml.levels[-1].tg_data.Ac.shape[0]
     bytes_model += (n2 * n2 + 2 * n2) * 4         # coarsest dense solve
     bytes_actual += (n2 * n2 + 2 * n2) * 4
@@ -522,6 +588,18 @@ def main():
     format_ms = bytes_actual / (peak_gbps * 1e9) * 1e3 if peak_gbps \
         else float("nan")
     format_fraction = format_ms / (dt * 1e3) if peak_gbps else 0.0
+    # the BOUND model: each level costs max(its format-traffic stream
+    # time, its VPU compute time) — at flagship the fine level is
+    # compute-bound (54 FLOP/node/root vs a bf16 diagonal stream), so a
+    # stream-only model under-predicts the achievable cycle time
+    if peak_gbps and vpu_gflops:
+        bound_ms = sum(max(d.get("stream_ms", 0.0), d.get("compute_ms",
+                                                          0.0))
+                       for d in level_detail)
+        bound_ms += (n2 * n2 + 2 * n2) * 4 / (peak_gbps * 1e9) * 1e3
+        bound_fraction = bound_ms / (dt * 1e3)
+    else:
+        bound_ms, bound_fraction = float("nan"), 0.0
 
     # --- measured CPU baseline: same V-cycle through scipy CSR --------
     from saamge_tpu.solve.vcycle import VCycleSolver
@@ -562,10 +640,13 @@ def main():
             "compile_s": round(compile_s, 2),
             "peak_stream_gbps": round(peak_gbps, 1),
             "measured_stream_gbps": raw_stream,
+            "vpu_gflops": round(vpu_gflops, 1),
             "roofline_model_ms": round(roofline_ms, 3),
             "roofline_fraction": round(roofline_fraction, 3),
             "format_traffic_ms": round(format_ms, 3),
             "format_fraction": round(format_fraction, 3),
+            "bound_model_ms": round(bound_ms, 3),
+            "bound_fraction": round(bound_fraction, 3),
             "levels": level_detail,
             "wavefront_segments": ([list(t) for t in wf_segs]
                                    if structured and wf_segs is not None
