@@ -63,16 +63,31 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def mid_kernel_vmem_bytes(rects, bs: int, NB: int, itemsize: int) -> int:
-    """VMEM footprint estimate of the resident packed rectangles."""
+def _sym_keep(doffs):
+    """Indices of the lexicographically non-negative brick offsets.
+
+    The coarse Galerkin operator is symmetric, so the block of offset
+    -d is the slot-transpose of the block of +d shifted by d:
+    B_{-d}[s2, s1, p + d] = B_{+d}[s1, s2, p].  Streaming only the kept
+    half and applying each block both ways halves the resident DMA."""
+    return tuple(i for i, d in enumerate(doffs) if tuple(d) >= (0, 0, 0))
+
+
+def mid_kernel_vmem_bytes(rects, bs: int, NB: int, itemsize: int,
+                          doffs=None) -> int:
+    """VMEM footprint estimate of the resident packed rectangles
+    (symmetry-halved when ``doffs`` is given)."""
     L = _round_up(NB, LANES)
-    rows = sum(r2 * _round_up(max(r1, 1), SUB) for r1, r2 in rects)
+    keep = _sym_keep(doffs) if doffs is not None else range(len(rects))
+    rows = sum(rects[i][1] * _round_up(max(rects[i][0], 1), SUB)
+               for i in keep)
     BSp = _round_up(bs, SUB)
     return rows * L * itemsize + 6 * BSp * L * 4
 
 
-def fits_mid_kernel(rects, bs: int, NB: int, itemsize: int) -> bool:
-    return mid_kernel_vmem_bytes(rects, bs, NB, itemsize) \
+def fits_mid_kernel(rects, bs: int, NB: int, itemsize: int,
+                    doffs=None) -> bool:
+    return mid_kernel_vmem_bytes(rects, bs, NB, itemsize, doffs) \
         <= MID_VMEM_BUDGET
 
 
@@ -81,14 +96,17 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                      rects: Tuple[Tuple[int, int], ...],
                      bricks: Tuple[int, int, int], bs: int, NB: int,
                      k_roots: int, emit_res: bool, vdtype,
-                     interpret: bool):
+                     interpret: bool, sym: bool = False):
     BX, BY, BZ = bricks
     L = _round_up(NB, LANES)
     BSp = _round_up(bs, SUB)
-    kd = len(doffs)
+    keep = _sym_keep(doffs) if sym else tuple(range(len(doffs)))
+    kd = len(keep)
     # read-at p + shift == roll right by (L - shift) mod L
-    shifts = tuple((int(dx) * BY * BZ + int(dy) * BZ + int(dz))
-                   for (dx, dy, dz) in doffs)
+    shifts = tuple((int(doffs[i][0]) * BY * BZ
+                    + int(doffs[i][1]) * BZ + int(doffs[i][2]))
+                   for i in keep)
+    krects = tuple(rects[i] for i in keep)
 
     def kernel(tau_ref, *refs):
         blk = refs[:kd]
@@ -100,7 +118,7 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
             for k in range(kd):
                 s = shifts[k]
                 xk = pltpu.roll(x, (L - s) % L, 1) if s % L else x
-                r1, r2 = rects[k]
+                r1, r2 = krects[k]
                 r1p = _round_up(max(r1, 1), SUB)
                 Bk = blk[k][...]                      # (r2, r1p, L)
                 xs = jax.lax.slice(xk, (0, 0), (r2, L))[:, None, :]
@@ -116,6 +134,21 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                     # static zero-pad (scatter-add is not lowerable)
                     part = jnp.pad(part, ((0, BSp - r1p), (0, 0)))
                 acc = acc + part
+                if sym and s % L:
+                    # transposed application of the same resident block
+                    # = the -d offset: W[s2, p] = sum_s1 B[s1, s2, p]
+                    # x[s1, p], then y[:, p + s] += W[:, p] (a right
+                    # roll).  Wrapped/out-of-grid lanes of W are zero
+                    # because B[:, :, p] == 0 wherever brick p + d does
+                    # not exist, so no masking is needed (same argument
+                    # as the forward wrap reads).
+                    xs2 = jax.lax.slice(x, (0, 0), (r1p, L))[None]
+                    prod2 = Bk * xs2.astype(Bk.dtype)
+                    W = jnp.sum(prod2.astype(jnp.float32), axis=1)
+                    W = pltpu.roll(W, s % L, 1)
+                    if r2 < BSp:
+                        W = jnp.pad(W, ((0, BSp - r2), (0, 0)))
+                    acc = acc + W
             return acc
 
         x = x_ref[:].astype(jnp.float32)
@@ -132,9 +165,12 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
     if emit_res:
         out_shape.append(jax.ShapeDtypeStruct((BSp, L), jnp.float32))
     itv = jnp.dtype(vdtype).itemsize
-    packed_rows = sum(r2 * _round_up(max(r1, 1), SUB) for r1, r2 in rects)
+    packed_rows = sum(r2 * _round_up(max(r1, 1), SUB)
+                      for r1, r2 in krects)
     pad_rows = sum(r2 * _round_up(max(r1, 1), SUB) - r2 * r1
-                   for r1, r2 in rects)
+                   for r1, r2 in krects)
+    # each off-center block is applied twice in sym mode (fwd + transp)
+    use_mult = 2 if sym else 1
     return pl.pallas_call(
         kernel,
         out_shape=(out_shape[0] if not emit_res else tuple(out_shape)),
@@ -144,7 +180,7 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                    if not emit_res
                    else (pl.BlockSpec(memory_space=pltpu.VMEM),) * 2),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (packed_rows - pad_rows) * L
+            flops=2 * use_mult * (packed_rows - pad_rows) * L
             * (k_roots + (1 if emit_res else 0)),
             bytes_accessed=packed_rows * L * itv + 5 * BSp * L * 4,
             transcendentals=0),
@@ -154,16 +190,40 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
     )
 
 
-def prep_blocksT(op) -> Tuple[jnp.ndarray, ...]:
+def prep_blocksT(op, sym: bool = False) -> Tuple[jnp.ndarray, ...]:
     """BrickBlockOp.blocks (k, s1, s2, NB) -> the kernel's resident
     packed-rectangle inputs: one dense (r2_k, r1pad_k, L) array per
     offset (s2 = input-slot reduction axis leading, used output slots
     r1 padded to the sublane tile, bricks padded to whole lanes).
+    With ``sym`` only the lexicographically non-negative offsets are
+    packed (the kernel applies each both ways — see _sym_keep).
     One-time host-side cost at compile."""
     _, bs, _, NB = op.blocks.shape
     L = _round_up(NB, LANES)
+    keep = _sym_keep(op.doffs) if sym else range(len(op.doffs))
+    if sym:
+        # symmetry sanity: the -d block must be the slot-transpose of
+        # the +d block (shifted by d, a support bijection, so the
+        # per-slot-pair square sums match).  Catches a nonsymmetric
+        # operator without materializing shifted copies.
+        import numpy as _np
+        dmap = {tuple(d): i for i, d in enumerate(op.doffs)}
+        for i in keep:
+            d = tuple(op.doffs[i])
+            if d == (0, 0, 0):
+                continue
+            nd = tuple(-c for c in d)
+            assert nd in dmap, "mid operator is not offset-symmetric"
+            s_fwd = (_np.asarray(op.blocks[i], _np.float32) ** 2) \
+                .sum(axis=2)
+            s_rev = (_np.asarray(op.blocks[dmap[nd]], _np.float32)
+                     ** 2).sum(axis=2).T
+            assert _np.allclose(s_fwd, s_rev, rtol=1e-3,
+                                atol=1e-6 * max(1e-30, s_fwd.max())), \
+                "mid operator is not offset-symmetric"
     out = []
-    for k, (r1, r2) in enumerate(op.rects):
+    for k in keep:
+        r1, r2 = op.rects[k]
         r1p = _round_up(max(r1, 1), SUB)
         bT = jnp.transpose(op.blocks[k, :r1, :r2, :], (1, 0, 2))
         out.append(jnp.pad(bT, ((0, 0), (0, r1p - r1), (0, L - NB))))
@@ -185,14 +245,16 @@ def unpad_vec(v2: jnp.ndarray, bs: int, NB: int) -> jnp.ndarray:
 def mid_chain(blocks: Tuple[jnp.ndarray, ...], doffs, rects, bricks,
               bs: int, NB: int, taus: tuple, b2: jnp.ndarray,
               d2: jnp.ndarray, x2: jnp.ndarray, emit_res: bool = False,
-              interpret: bool = False):
+              interpret: bool = False, sym: bool = False):
     """Run all roots x <- x + d (b - A x) tau_r (and optionally the
     trailing residual b - A x) on (BSp, L) tile-padded vectors.
 
-    ``blocks``: per-offset packed rectangles from ``prep_blocksT``;
+    ``blocks``: per-offset packed rectangles from ``prep_blocksT``
+    (pass ``sym`` consistently with how they were packed);
+    ``doffs``/``rects`` are always the FULL operator's;
     ``taus``: tuple of (1,) f32 device arrays."""
     tau_vec = jnp.concatenate([t.reshape(-1) for t in taus])
     fn = _build_mid_chain(tuple(doffs), tuple(rects), tuple(bricks),
                           bs, NB, len(taus), emit_res,
-                          blocks[0].dtype, interpret)
+                          blocks[0].dtype, interpret, sym)
     return fn(tau_vec, *blocks, x2, b2, d2)

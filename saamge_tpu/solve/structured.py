@@ -243,10 +243,17 @@ class BrickBlockOp:
     # dense storage layout (and hence the sharded path) unchanged.
     # None = dense rectangles (legacy behavior).
     rects: Optional[tuple] = None
+    # symmetry-halved streaming: the operator is symmetric (a Galerkin
+    # product), so B_{-d}[s2, s1, p + d] = B_{+d}[s1, s2, p]; the rect
+    # matvec then reads only the lexicographically non-negative offsets
+    # and applies each slice both ways (forward + transposed-shifted),
+    # halving the HBM block stream.  Storage stays full so the sharded
+    # path (which never calls this matvec) is unchanged.
+    sym_stream: bool = False
 
     def tree_flatten(self):
         return (self.blocks,), (self.doffs, self.bricks, self.bs,
-                                self.rects)
+                                self.rects, self.sym_stream)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -256,6 +263,10 @@ class BrickBlockOp:
     def nbytes(self):
         return self.blocks.size * self.blocks.dtype.itemsize
 
+    def _sym_keep(self):
+        return tuple(i for i, d in enumerate(self.doffs)
+                     if tuple(d) >= (0, 0, 0))
+
     @property
     def traffic_bytes(self):
         """Bytes the matvec actually streams (rect slices when the
@@ -264,7 +275,10 @@ class BrickBlockOp:
         it = self.blocks.dtype.itemsize
         if self.rects is None or self.nbytes < self.RECT_MIN_BYTES:
             return self.blocks.size * it
-        return sum(r1 * r2 for r1, r2 in self.rects) * NB * it
+        keep = self._sym_keep() if self.sym_stream \
+            else range(len(self.doffs))
+        return sum(self.rects[i][0] * self.rects[i][1]
+                   for i in keep) * NB * it
 
     # Below this blocks size the whole operator is VMEM-resident and ONE
     # fused multiply-reduce beats 27 sliced ops (measured at n=96: 39 MB
@@ -292,9 +306,15 @@ class BrickBlockOp:
                         axis=(0, 2))
             return y.reshape(-1)
         # per-offset multiply-reduce over the used-slot rectangle only;
-        # f32 accumulation, one stream over the sliced blocks
+        # f32 accumulation, one stream over the sliced blocks.  With
+        # sym_stream only the non-negative offsets are read; each slice
+        # additionally contributes the -d coupling as a transposed
+        # product shifted by +d (exact — same values, reassociated)
+        keep = self._sym_keep() if self.sym_stream \
+            else range(len(self.doffs))
         y = jnp.zeros((bs, NB), jnp.float32)
-        for i, (dx, dy, dz) in enumerate(self.doffs):
+        for i in keep:
+            dx, dy, dz = self.doffs[i]
             r1, r2 = self.rects[i]
             view = jax.lax.slice(
                 xp, (0, 1 + dx, 1 + dy, 1 + dz),
@@ -302,9 +322,24 @@ class BrickBlockOp:
             ).reshape(r2, NB).astype(self.blocks.dtype)
             Bk = jax.lax.slice(self.blocks, (i, 0, 0, 0),
                                (i + 1, r1, r2, NB))[0]
-            part = jnp.sum(Bk.astype(jnp.float32)
-                           * view[None].astype(jnp.float32), axis=1)
+            Bf = Bk.astype(jnp.float32)
+            part = jnp.sum(Bf * view[None].astype(jnp.float32), axis=1)
             y = y.at[:r1].add(part)
+            if self.sym_stream and (dx, dy, dz) != (0, 0, 0):
+                # W[s2, p] = sum_s1 B[s1, s2, p] x[s1, p], scattered to
+                # brick p + d via a pad-and-slice shift (out-of-grid
+                # targets are dropped; B[:, :, p] is zero there anyway)
+                x1 = jax.lax.slice(
+                    x4, (0, 0, 0, 0), (r1, BX, BY, BZ)
+                ).reshape(r1, NB).astype(self.blocks.dtype)
+                W = jnp.sum(Bf * x1[:, None].astype(jnp.float32),
+                            axis=0)
+                W4 = jnp.pad(W.reshape(r2, BX, BY, BZ),
+                             ((0, 0), (1, 1), (1, 1), (1, 1)))
+                sh = jax.lax.slice(
+                    W4, (0, 1 - dx, 1 - dy, 1 - dz),
+                    (r2, 1 - dx + BX, 1 - dy + BY, 1 - dz + BZ))
+                y = y.at[:r2].add(sh.reshape(r2, NB))
         return y.reshape(-1)
 
     @staticmethod
@@ -339,6 +374,17 @@ class BrickBlockOp:
         for j in range(len(used)):
             m = ki == j
             rects.append((int(s1a[m].max()) + 1, int(s2a[m].max()) + 1))
+        # direction-symmetrize the rectangles (rect of -d := transpose
+        # of rect of +d): a fp-level cancellation in the host RAP could
+        # otherwise make the pattern one-sided, breaking the symmetric
+        # halving paths' structural assumption
+        dmap = {d: j for j, d in enumerate(doffs)}
+        for j, d in enumerate(doffs):
+            nd = (-d[0], -d[1], -d[2])
+            if nd in dmap:
+                jn = dmap[nd]
+                r1, r2 = rects[j]
+                rects[j] = (max(r1, rects[jn][1]), max(r2, rects[jn][0]))
         return BrickBlockOp(jnp.asarray(blocks, dtype), doffs,
                             (BX, BY, BZ), bs, rects=tuple(rects))
 
@@ -440,6 +486,10 @@ class StructuredHierarchy:
     # smoothing chain runs as ONE Pallas kernel that DMAs the operator
     # to VMEM once (2 operator streams/cycle instead of 2*deg1+1)
     A1kT: Optional[jnp.ndarray] = None
+    # A1kT holds only the lexicographically non-negative offsets (the
+    # kernel applies each resident block both ways — symmetry halves
+    # the DMA; ops/pallas_midsmooth._sym_keep)
+    mid_sym: bool = False
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
@@ -447,7 +497,7 @@ class StructuredHierarchy:
                  self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
                  self.flat_id2, self.Wc, self.A1kT),
                 (self.geo, self.n_fine, self.n_flat, self.nzp,
-                 self.supers, self.wavefront))
+                 self.supers, self.wavefront, self.mid_sym))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -456,7 +506,7 @@ class StructuredHierarchy:
                    Rst_pad=children[11], Rst1=children[12],
                    supers=aux[4], flat_id2=children[13],
                    Wc=children[14], wavefront=aux[5],
-                   A1kT=children[15])
+                   A1kT=children[15], mid_sym=aux[6])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -649,13 +699,15 @@ class StructuredHierarchy:
                                    A1.bricks, A1.bs, NBm, self.taus1,
                                    b2, d2, jnp.zeros_like(b2),
                                    emit_res=True,
-                                   interpret=self.A0.interpret)
+                                   interpret=self.A0.interpret,
+                                   sym=self.mid_sym)
                 x1 = unpad_vec(x2, A1.bs, NBm) \
                     + self._coarsest_correct(unpad_vec(r2, A1.bs, NBm))
                 x2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
                                A1.bricks, A1.bs, NBm, self.taus1,
                                b2, d2, pad_vec(x1, A1.bs, NBm),
-                               interpret=self.A0.interpret)
+                               interpret=self.A0.interpret,
+                               sym=self.mid_sym)
                 xc = unpad_vec(x2, A1.bs, NBm)
             else:
                 x1 = jnp.zeros_like(b1)
@@ -888,6 +940,10 @@ def compile_structured(ml, geo: BrickGeometry,
         if mid_format == "brickblock":
             A1d = BrickBlockOp.from_csr(Ac1, cd_brick, slot, bs,
                                         geo.bricks, mid_dtype)
+            # Galerkin => symmetric: halve the streaming-rect matvec's
+            # block reads (no effect below RECT_MIN_BYTES or on the
+            # sharded path, which shards the full blocks itself)
+            A1d = dataclasses.replace(A1d, sym_stream=True)
             # padded-layout companions (padding slots: dinv 0 so the
             # smoother leaves them untouched; R1 columns 0)
             dinv1p = np.zeros(n_flat)
@@ -920,12 +976,17 @@ def compile_structured(ml, geo: BrickGeometry,
         taus1 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                       for t in np.asarray(pd1.roots))
         A1kT = None
+        mid_sym = False
         if isinstance(A1d, BrickBlockOp):
             from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
                                                          prep_blocksT)
             _, bs_m, _, NB_m = A1d.blocks.shape
+            # symmetry-halved packing (each resident block applied both
+            # ways): half the chain DMA, and it admits mid levels up to
+            # 2x the budget that the full packing rejects
             fits = fits_mid_kernel(tuple(A1d.rects), bs_m, NB_m,
-                                   A1d.blocks.dtype.itemsize)
+                                   A1d.blocks.dtype.itemsize,
+                                   doffs=A1d.doffs)
             if mid_resident and not fits:
                 from saamge_tpu.utils.logging import sa_print
                 sa_print(1, "mid_resident=True overrides the VMEM fits "
@@ -933,7 +994,8 @@ def compile_structured(ml, geo: BrickGeometry,
                          "budget; expect a Mosaic VMEM OOM at compile, "
                          "see ops/pallas_midsmooth.py)")
             if mid_resident or (mid_resident is None and fits):
-                A1kT = prep_blocksT(A1d)
+                mid_sym = True
+                A1kT = prep_blocksT(A1d, sym=True)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         rst_dev = jnp.asarray(Rst, rp_dtype)
         return StructuredHierarchy(
@@ -945,7 +1007,7 @@ def compile_structured(ml, geo: BrickGeometry,
                                    and not window_contract),
             Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2,
             Wc=_maybe_window(Rst, geo, window_contract),
-            wavefront=wavefront, A1kT=A1kT)
+            wavefront=wavefront, A1kT=A1kT, mid_sym=mid_sym)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)

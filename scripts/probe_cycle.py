@@ -166,7 +166,7 @@ def main():
             def mid_pre(x2, hh, b2, d2):
                 xo, ro = mid_chain(hh.A1kT, A1.doffs, A1.rects, A1.bricks,
                                    bsm, NBm, hh.taus1, b2, d2, x2,
-                                   emit_res=True)
+                                   emit_res=True, sym=hh.mid_sym)
                 return xo + 1e-30 * ro
 
             timed_chain("mid_chain_pre_ms", mid_pre, jnp.zeros_like(b2m),
@@ -174,7 +174,7 @@ def main():
             timed_chain("mid_chain_post_ms",
                         lambda x2, hh, b2, d2: mid_chain(
                             hh.A1kT, A1.doffs, A1.rects, A1.bricks, bsm,
-                            NBm, hh.taus1, b2, d2, x2),
+                            NBm, hh.taus1, b2, d2, x2, sym=hh.mid_sym),
                         jnp.zeros_like(b2m), 60, operands=(h, b2m, d2m))
         timed_chain("coarsest_ms",
                     lambda x, hh: x + hh._coarsest_correct(x),
