@@ -32,7 +32,16 @@ upcast of the blocks is loop-invariant across the chained roots and XLA
 hoists it, keeping every offset's f32 copy live — a measured VMEM OOM
 at n=128); the slot reduction and the root updates accumulate in f32,
 and x stays f32 throughout (the XLA fused bf16 path rounds x itself to
-bf16 before the multiply, a comparable rounding class)."""
+bf16 before the multiply, a comparable rounding class).
+
+Scheduling: two kernel variants picked by ``plan_mid_kernel``.  The
+default "batched" schedule lets Mosaic issue every per-offset product
+ahead of the reduction chain (fastest, but the peak holds ALL f32
+product temps — n=128 sym measured 120.91M scheduled, over the 128 MB
+VMEM no matter the vmem_limit, which the scheduler overshoots by the
+~1 MB output stack).  The "serial" schedule fences each offset's
+product on the running accumulator so only ~2 offsets' temps are in
+flight, admitting shapes up to ~64 MB packed at ~5% extra VPU work."""
 
 from __future__ import annotations
 
@@ -47,16 +56,21 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUB = 16  # sublane tile (bf16; also a multiple of the f32 tile 8)
 
-# VMEM budget for the resident packed rectangles, in PACKED bytes.
-# MEASURED gate, not a capacity bound: Mosaic's scheduler batches all
-# kd per-offset products ahead of the reduction chain, so the compiled
-# peak is ~3x the packed bytes (input + ~2x register spill slots — the
-# n=128 failure report shows 162.57M of "register allocator spill
-# slots" against 65.7 MB packed, while n=96's 28.7 MB compiles and
-# runs).  3 * 36 MB + vectors stays under the 128 MB VMEM.
-# (jax.lax.optimization_barrier would force serial products but is not
-# lowerable in Pallas TPU kernels.)
-MID_VMEM_BUDGET = 36 * 1024 * 1024
+# Peak-VMEM budgets for the two kernel schedules (MEASURED, not
+# capacity bounds).  In the default "batched" schedule Mosaic issues
+# all kd per-offset products ahead of the reduction chain, so the
+# compiled peak is packed blocks + EVERY (r2, r1p, L) f32 product temp
+# (n=128 sym: 120.91M scheduled against 31.9 MB packed; the scheduler
+# overshoots any vmem_limit given by the ~1 MB output stack, so limit
+# tuning cannot admit it).  The "serial" schedule adds a value
+# dependency of each offset's product on the running accumulator
+# (jax.lax.optimization_barrier is not lowerable in Pallas TPU
+# kernels), so only ~2 offsets' temps are in flight: peak = packed +
+# O(2) product temps + vectors.  BATCHED_BUDGET is the scoped limit the
+# flagship shape measurably compiles under; SERIAL_BUDGET leaves slack
+# for scheduling inexactness under the 124M scoped limit.
+BATCHED_BUDGET = 110 * 1024 * 1024
+SERIAL_BUDGET = 100 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -85,10 +99,35 @@ def mid_kernel_vmem_bytes(rects, bs: int, NB: int, itemsize: int,
     return rows * L * itemsize + 6 * BSp * L * 4
 
 
+def plan_mid_kernel(rects, bs: int, NB: int, itemsize: int,
+                    doffs=None):
+    """Pick the kernel schedule for a shape: ``("batched", peak)``,
+    ``("serial", peak)``, or ``(None, peak)`` when even the serialized
+    schedule exceeds its budget.  ``doffs`` given = symmetry-halved
+    packing (each resident block applied forward + transposed, so the
+    per-offset f32 temps double)."""
+    sym = doffs is not None
+    L = _round_up(NB, LANES)
+    BSp = _round_up(bs, SUB)
+    keep = _sym_keep(doffs) if sym else range(len(rects))
+    rows_k = [rects[i][1] * _round_up(max(rects[i][0], 1), SUB)
+              for i in keep]
+    packed = sum(rows_k) * L * itemsize
+    vec = 8 * BSp * L * 4
+    pair = 2 if sym else 1
+    batched = packed + vec + sum(rows_k) * L * 4 * pair
+    if batched <= BATCHED_BUDGET:
+        return "batched", batched
+    serial = packed + vec + 2 * pair * max(rows_k, default=0) * L * 4
+    if serial <= SERIAL_BUDGET:
+        return "serial", serial
+    return None, serial
+
+
 def fits_mid_kernel(rects, bs: int, NB: int, itemsize: int,
                     doffs=None) -> bool:
-    return mid_kernel_vmem_bytes(rects, bs, NB, itemsize, doffs) \
-        <= MID_VMEM_BUDGET
+    return plan_mid_kernel(rects, bs, NB, itemsize, doffs)[0] \
+        is not None
 
 
 @lru_cache(maxsize=32)
@@ -96,12 +135,17 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                      rects: Tuple[Tuple[int, int], ...],
                      bricks: Tuple[int, int, int], bs: int, NB: int,
                      k_roots: int, emit_res: bool, vdtype,
-                     interpret: bool, sym: bool = False):
+                     interpret: bool, sym: bool = False,
+                     serialize=None):
     BX, BY, BZ = bricks
     L = _round_up(NB, LANES)
     BSp = _round_up(bs, SUB)
     keep = _sym_keep(doffs) if sym else tuple(range(len(doffs)))
     kd = len(keep)
+    if serialize is None:
+        serialize = plan_mid_kernel(
+            rects, bs, NB, jnp.dtype(vdtype).itemsize,
+            doffs if sym else None)[0] == "serial"
     # read-at p + shift == roll right by (L - shift) mod L
     shifts = tuple((int(doffs[i][0]) * BY * BZ
                     + int(doffs[i][1]) * BZ + int(doffs[i][2]))
@@ -116,8 +160,20 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
         def matvec(x):
             acc = jnp.zeros((BSp, L), jnp.float32)
             for k in range(kd):
+                if serialize and k:
+                    # Value-dependency fence: offset k's product cannot
+                    # issue until offset k-1 is folded into acc, so at
+                    # most ~2 offsets' (r2, r1p, L) f32 product temps
+                    # are in flight (the batched schedule keeps ALL of
+                    # them live — measured 120.91M scheduled at n=128
+                    # sym vs the 128 MB VMEM).  The mul by 0 is not
+                    # folded (not an identity under NaN/Inf) and costs
+                    # one (BSp, L) mul+add per offset (~5% VPU).
+                    xv = x + acc * 0.0
+                else:
+                    xv = x
                 s = shifts[k]
-                xk = pltpu.roll(x, (L - s) % L, 1) if s % L else x
+                xk = pltpu.roll(xv, (L - s) % L, 1) if s % L else xv
                 r1, r2 = krects[k]
                 r1p = _round_up(max(r1, 1), SUB)
                 Bk = blk[k][...]                      # (r2, r1p, L)
@@ -142,7 +198,7 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
                     # because B[:, :, p] == 0 wherever brick p + d does
                     # not exist, so no masking is needed (same argument
                     # as the forward wrap reads).
-                    xs2 = jax.lax.slice(x, (0, 0), (r1p, L))[None]
+                    xs2 = jax.lax.slice(xv, (0, 0), (r1p, L))[None]
                     prod2 = Bk * xs2.astype(Bk.dtype)
                     W = jnp.sum(prod2.astype(jnp.float32), axis=1)
                     W = pltpu.roll(W, s % L, 1)
@@ -185,7 +241,11 @@ def _build_mid_chain(doffs: Tuple[Tuple[int, int, int], ...],
             bytes_accessed=packed_rows * L * itv + 5 * BSp * L * 4,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            # Mosaic's scheduled peak tracks the budget from below: the
+            # n=128 sym packing (31.9 MB) scheduled to 115.78M at a 110M
+            # limit and 120.91M at 120M.  124M leaves 4 MB of headroom
+            # to the 128 MB physical VMEM.
+            vmem_limit_bytes=124 * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -245,16 +305,18 @@ def unpad_vec(v2: jnp.ndarray, bs: int, NB: int) -> jnp.ndarray:
 def mid_chain(blocks: Tuple[jnp.ndarray, ...], doffs, rects, bricks,
               bs: int, NB: int, taus: tuple, b2: jnp.ndarray,
               d2: jnp.ndarray, x2: jnp.ndarray, emit_res: bool = False,
-              interpret: bool = False, sym: bool = False):
+              interpret: bool = False, sym: bool = False,
+              serialize=None):
     """Run all roots x <- x + d (b - A x) tau_r (and optionally the
     trailing residual b - A x) on (BSp, L) tile-padded vectors.
 
     ``blocks``: per-offset packed rectangles from ``prep_blocksT``
     (pass ``sym`` consistently with how they were packed);
     ``doffs``/``rects`` are always the FULL operator's;
-    ``taus``: tuple of (1,) f32 device arrays."""
+    ``taus``: tuple of (1,) f32 device arrays; ``serialize``: None =
+    pick the schedule by plan_mid_kernel, True/False = force."""
     tau_vec = jnp.concatenate([t.reshape(-1) for t in taus])
     fn = _build_mid_chain(tuple(doffs), tuple(rects), tuple(bricks),
                           bs, NB, len(taus), emit_res,
-                          blocks[0].dtype, interpret, sym)
+                          blocks[0].dtype, interpret, sym, serialize)
     return fn(tau_vec, *blocks, x2, b2, d2)

@@ -182,23 +182,68 @@ def test_prep_blocksT_sym_rejects_nonsymmetric():
 
 
 def test_fits_gate_measured_shapes():
-    """The auto-gate admits the flagship mid level and rejects the
-    measured-OOM n=128 one (ops/pallas_midsmooth.py MID_VMEM_BUDGET:
-    Mosaic spills ~2x the packed bytes in vregs, so the gate is on
-    PACKED bytes with ~3x headroom under the 128 MB VMEM)."""
+    """The schedule planner (ops/pallas_midsmooth.plan_mid_kernel)
+    keeps the measured flagship shape on the batched schedule, moves
+    the measured-OOM n=128 one to the serialized schedule (batched
+    peak = packed + ALL f32 product temps: 120.91M scheduled at n=128
+    sym vs 128 MB VMEM), and still rejects n=200-class mid levels
+    (even 2 serialized product temps blow the budget at L=15744)."""
     from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
-                                                 mid_kernel_vmem_bytes)
+                                                 mid_kernel_vmem_bytes,
+                                                 plan_mid_kernel)
+    doffs27 = tuple((dx, dy, dz) for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1) for dz in (-1, 0, 1))
     # n=96 flagship: 27 offsets, bs=20, NB=1728 -> L=1792, measured
-    # 28.7 MB packed, compiles and runs (1.81 ms V-cycle)
+    # 28.7 MB packed, compiles and runs on the batched schedule
     rects96 = [(11, 20)] * 27       # ~ the measured 42%-dense rects
-    assert fits_mid_kernel(tuple(rects96), 20, 1728, 2)
-    # n=128: NB=4096 -> L=4096, 65.7 MB packed -> measured VMEM OOM
-    # (162.57M spill slots); must be rejected
+    assert plan_mid_kernel(tuple(rects96), 20, 1728, 2)[0] == "batched"
+    # n=128: NB=4096 -> L=4096; the batched schedule measurably OOMs
+    # (120.91M scoped at sym) but the serialized one fits
     rects128 = [(11, 20)] * 27
-    assert not fits_mid_kernel(tuple(rects128), 20, 4096, 2)
+    assert plan_mid_kernel(tuple(rects128), 20, 4096, 2,
+                           doffs=doffs27)[0] == "serial"
+    assert fits_mid_kernel(tuple(rects128), 20, 4096, 2, doffs=doffs27)
+    # n=200-class: NB=15625 -> L=15744; a single offset's product temp
+    # is ~64 MB f32 — rejected on either schedule
+    rects200 = [(20, 32)] * 27
+    assert not fits_mid_kernel(tuple(rects200), 32, 15625, 2)
+    assert plan_mid_kernel(tuple(rects200), 32, 15625, 2)[0] is None
     # the estimate counts r1 padded to the 16-row sublane tile: r1=1
     # and r1=16 must cost the same, r1=17 strictly more
     assert mid_kernel_vmem_bytes(((1, 1),), 4, 128, 2) \
         == mid_kernel_vmem_bytes(((16, 1),), 4, 128, 2)
     assert mid_kernel_vmem_bytes(((17, 1),), 20, 128, 2) \
         > mid_kernel_vmem_bytes(((16, 1),), 20, 128, 2)
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_mid_chain_serialized_matches(sym):
+    """The serialized schedule (value-dependency fence between
+    per-offset products) is numerically identical to the batched one
+    up to fp reassociation."""
+    op0, A = _brick_op((3, 3, 2), 4, seed=21, ragged_rects=True)
+    NB, bs = 18, 4
+    if sym:
+        Asym = ((A + A.T) * 0.5).tocsr()
+        cd_brick = np.tile(np.arange(NB), bs)
+        slot = np.repeat(np.arange(bs), NB)
+        op = BrickBlockOp.from_csr(Asym, cd_brick, slot, bs, (3, 3, 2),
+                                   dtype=jnp.float32)
+    else:
+        op = op0
+    n = NB * bs
+    rng = np.random.default_rng(9)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    d = jnp.asarray(rng.random(n) * 0.3 + 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    taus = tuple(jnp.asarray([t], jnp.float32) for t in (0.31, 0.17))
+    blocks = prep_blocksT(op, sym=sym)
+    outs = [mid_chain(blocks, op.doffs, op.rects, op.bricks, bs, NB,
+                      taus, pad_vec(b, bs, NB), pad_vec(d, bs, NB),
+                      pad_vec(x, bs, NB), emit_res=True,
+                      interpret=INTERP, sym=sym, serialize=ser)
+            for ser in (False, True)]
+    for f, s in zip(outs[0], outs[1]):
+        np.testing.assert_allclose(np.asarray(unpad_vec(s, bs, NB)),
+                                   np.asarray(unpad_vec(f, bs, NB)),
+                                   rtol=2e-5, atol=2e-5)
