@@ -1,0 +1,164 @@
+"""Lane-chunked streamed brick-block matvec: the mid-level Galerkin
+operator applied at HBM stream rate when it is too large for the
+VMEM-resident chain kernel (ops/pallas_midsmooth.py).
+
+Motivation (measured, n=200 / 8.12M-dof bundle): the XLA rect matvec of
+solve/structured.BrickBlockOp streams its 77.6 MB sym-halved rectangle
+coverage at only ~82 GB/s — the per-offset ``Bk.astype(f32)`` upcasts
+and sliced reduces materialize HBM temps several times the packed bytes
+— so the 9 mid passes of a V-cycle cost 8.55 ms of a 16.1 ms cycle.
+This kernel streams each packed block byte exactly once per pass.
+
+Layout: bricks are x-major (brick id p = px*BY*BZ + py*BZ + pz,
+structured.BrickBlockOp.from_csr), so a contiguous lane range is an
+x-slab and the neighbor-brick offset (dx, dy, dz) is the static lane
+shift s = dx*BY*BZ + dy*BZ + dz with |s| <= BY*BZ + BZ + 1.  The grid
+runs over lane chunks of Lc = roundup(max|s|, 128) lanes:
+
+  - per offset k, the packed rectangle (r2_k, r1p_k, Lpad) block
+    (prep_blocks_chunked — input-slot rows r2 leading, used output
+    slots padded to the 16-row sublane tile) arrives chunk-by-chunk
+    through a standard pipelined BlockSpec (blocks are indexed by the
+    OUTPUT lane, so they need no halo);
+  - x arrives as THREE shifted block refs of the zero-side-padded
+    (BSp, Lc + Lpad + Lc) vector (the ops/pallas_window.py trick),
+    concatenated in VMEM to the (BSp, 3*Lc) window that covers every
+    p + s read; out-of-grid / padding reads are killed by the
+    structurally-zero block entries (same argument as the resident
+    kernel's wrapped rolls).
+
+The per-offset products are value-fenced on the running accumulator
+(see pallas_midsmooth's serialized schedule) so Mosaic holds ~2 product
+temps instead of all kd; the kernel is DMA-bound, so the fence costs
+nothing.  Reference semantics: one SpMV of the coarse ParCSR operator
+(hypre RAP product, tg.hpp:696) restricted to the brick-structured
+fast path.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+SUB = 16
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def chunk_plan(doffs, bricks: Tuple[int, int, int], NB: int):
+    """(Lc, Lpad, C): lane-chunk size covering every offset shift, the
+    chunk-padded lane count, and the grid length."""
+    _, BY, BZ = bricks
+    maxs = max(abs(int(dx)) * BY * BZ + abs(int(dy)) * BZ + abs(int(dz))
+               for dx, dy, dz in doffs)
+    Lc = max(_round_up(max(maxs, 1), LANES), 512)
+    Lpad = _round_up(NB, Lc)
+    return Lc, Lpad, Lpad // Lc
+
+
+def prep_blocks_chunked(op) -> Tuple[Tuple[jnp.ndarray, ...], int]:
+    """BrickBlockOp.blocks (k, s1, s2, NB) -> per-offset packed
+    (r2_k, r1pad_k, Lpad) arrays for the chunked matvec, plus Lc.
+    One-time host-side cost at compile."""
+    _, bs, _, NB = op.blocks.shape
+    Lc, Lpad, _ = chunk_plan(op.doffs, op.bricks, NB)
+    out = []
+    for k in range(len(op.doffs)):
+        r1, r2 = op.rects[k]
+        r1p = _round_up(max(r1, 1), SUB)
+        bT = jnp.transpose(op.blocks[k, :r1, :r2, :], (1, 0, 2))
+        out.append(jnp.pad(bT, ((0, 0), (0, r1p - r1), (0, Lpad - NB))))
+    return tuple(out), Lc
+
+
+def pad_vec_chunked(v: jnp.ndarray, bs: int, NB: int, Lc: int):
+    """(bs*NB,) slot-major flat -> (BSp, Lc + Lpad + Lc) side-padded."""
+    Lpad = _round_up(NB, Lc)
+    BSp = _round_up(bs, SUB)
+    return jnp.pad(v.reshape(bs, NB),
+                   ((0, BSp - bs), (Lc, Lc + Lpad - NB)))
+
+
+@lru_cache(maxsize=32)
+def _build_chunked_mv(doffs: Tuple[Tuple[int, int, int], ...],
+                      rects: Tuple[Tuple[int, int], ...],
+                      bricks: Tuple[int, int, int], bs: int, NB: int,
+                      vdtype, interpret: bool):
+    _, BY, BZ = bricks
+    Lc, Lpad, C = chunk_plan(doffs, bricks, NB)
+    BSp = _round_up(bs, SUB)
+    kd = len(doffs)
+    shifts = tuple(int(dx) * BY * BZ + int(dy) * BZ + int(dz)
+                   for dx, dy, dz in doffs)
+
+    def kernel(*refs):
+        blk = refs[:kd]
+        xm, x0, xp = refs[kd:kd + 3]
+        out = refs[kd + 3]
+        window = jnp.concatenate([xm[...], x0[...], xp[...]], axis=1)
+        acc = jnp.zeros((BSp, Lc), jnp.float32)
+        for k in range(kd):
+            r1, r2 = rects[k]
+            r1p = _round_up(max(r1, 1), SUB)
+            xsl = jax.lax.slice(window, (0, Lc + shifts[k]),
+                                (r2, 2 * Lc + shifts[k]))
+            if k:
+                # value fence: serialize the product temps (module doc);
+                # same-shape operands — Mosaic cannot broadcast a (1,1)
+                # in both sublanes and lanes
+                xsl = xsl + jax.lax.slice(acc, (0, 0), (r2, Lc)) * 0.0
+            xs = xsl[:, None, :]
+            prod = blk[k][...] * xs.astype(blk[k].dtype)
+            part = jnp.sum(prod.astype(jnp.float32), axis=0)
+            if r1p < BSp:
+                part = jnp.pad(part, ((0, BSp - r1p), (0, 0)))
+            acc = acc + part
+        out[:, :] = acc
+
+    itv = jnp.dtype(vdtype).itemsize
+    packed_rows = sum(r2 * _round_up(max(r1, 1), SUB)
+                      for r1, r2 in rects)
+    used_rows = sum(r1 * r2 for r1, r2 in rects)
+    in_specs = (
+        [pl.BlockSpec((r2, _round_up(max(r1, 1), SUB), Lc),
+                      lambda j: (0, 0, j))
+         for r1, r2 in rects]
+        + [pl.BlockSpec((BSp, Lc), lambda j, _o=o: (0, j + _o))
+           for o in range(3)])
+    return pl.pallas_call(
+        kernel,
+        grid=(C,),
+        out_shape=jax.ShapeDtypeStruct((BSp, Lpad), jnp.float32),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((BSp, Lc), lambda j: (0, j)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * used_rows * Lpad,
+            bytes_accessed=packed_rows * Lpad * itv
+            + 4 * BSp * Lpad * 4,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+
+def chunked_matvec(blocks: Tuple[jnp.ndarray, ...], doffs, rects,
+                   bricks, bs: int, NB: int, Lc: int, x: jnp.ndarray,
+                   interpret: bool = False) -> jnp.ndarray:
+    """y = A x on slot-major flat (bs*NB,) vectors; ``blocks``/``Lc``
+    from ``prep_blocks_chunked``."""
+    fn = _build_chunked_mv(tuple(doffs), tuple(rects), tuple(bricks),
+                           bs, NB, blocks[0].dtype, interpret)
+    xpad = pad_vec_chunked(x, bs, NB, Lc)
+    # the same side-padded vector enters through THREE shifted block
+    # refs (window = concat of chunks j, j+1, j+2 of it)
+    y2 = fn(*blocks, xpad, xpad, xpad)
+    return y2[:bs, :NB].reshape(-1)

@@ -490,14 +490,21 @@ class StructuredHierarchy:
     # kernel applies each resident block both ways — symmetry halves
     # the DMA; ops/pallas_midsmooth._sym_keep)
     mid_sym: bool = False
+    # lane-chunked streamed mid matvec (ops/pallas_midmv.py): packed
+    # per-offset rectangles for operators too large for the resident
+    # chain — streams each block byte once per pass (the XLA rect
+    # matvec measures ~6x over stream at n=200)
+    A1kC: Optional[tuple] = None
+    mid_Lc: int = 0               # static chunk size of A1kC
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
                  self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
-                 self.flat_id2, self.Wc, self.A1kT),
+                 self.flat_id2, self.Wc, self.A1kT, self.A1kC),
                 (self.geo, self.n_fine, self.n_flat, self.nzp,
-                 self.supers, self.wavefront, self.mid_sym))
+                 self.supers, self.wavefront, self.mid_sym,
+                 self.mid_Lc))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -506,7 +513,8 @@ class StructuredHierarchy:
                    Rst_pad=children[11], Rst1=children[12],
                    supers=aux[4], flat_id2=children[13],
                    Wc=children[14], wavefront=aux[5],
-                   A1kT=children[15], mid_sym=aux[6])
+                   A1kT=children[15], mid_sym=aux[6],
+                   A1kC=children[16], mid_Lc=aux[7])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -670,6 +678,13 @@ class StructuredHierarchy:
         return xh
 
     def _mid_matvec(self, x):
+        if self.A1kC is not None:
+            from saamge_tpu.ops.pallas_midmv import chunked_matvec
+            A1 = self.A1d
+            return chunked_matvec(self.A1kC, A1.doffs, A1.rects,
+                                  A1.bricks, A1.bs,
+                                  int(np.prod(A1.bricks)), self.mid_Lc,
+                                  x, interpret=self.A0.interpret)
         if isinstance(self.A1d, BrickBlockOp):
             return self.A1d.matvec(x)
         return jnp.dot(self.A1d, x.astype(self.A1d.dtype),
@@ -977,6 +992,8 @@ def compile_structured(ml, geo: BrickGeometry,
                       for t in np.asarray(pd1.roots))
         A1kT = None
         mid_sym = False
+        A1kC = None
+        mid_Lc = 0
         if isinstance(A1d, BrickBlockOp):
             from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
                                                          prep_blocksT)
@@ -996,6 +1013,15 @@ def compile_structured(ml, geo: BrickGeometry,
             if mid_resident or (mid_resident is None and fits):
                 mid_sym = True
                 A1kT = prep_blocksT(A1d, sym=True)
+            elif (A1d.rects is not None
+                  and A1d.nbytes >= A1d.RECT_MIN_BYTES):
+                # too large for the resident chain AND in the HBM-bound
+                # regime: lane-chunked streamed Pallas matvec (the XLA
+                # rect matvec materializes f32 temps — measured ~6x
+                # over stream at n=200, ops/pallas_midmv.py)
+                from saamge_tpu.ops.pallas_midmv import \
+                    prep_blocks_chunked
+                A1kC, mid_Lc = prep_blocks_chunked(A1d)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
         rst_dev = jnp.asarray(Rst, rp_dtype)
         return StructuredHierarchy(
@@ -1007,7 +1033,8 @@ def compile_structured(ml, geo: BrickGeometry,
                                    and not window_contract),
             Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2,
             Wc=_maybe_window(Rst, geo, window_contract),
-            wavefront=wavefront, A1kT=A1kT, mid_sym=mid_sym)
+            wavefront=wavefront, A1kT=A1kT, mid_sym=mid_sym,
+            A1kC=A1kC, mid_Lc=mid_Lc)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)

@@ -67,7 +67,11 @@ def main():
                            rp_dtype=jnp.bfloat16, fine_layout=layout,
                            super_bricks=supers, window_contract=True,
                            wavefront=not args.no_wavefront,
-                           mid_resident=not args.no_mid_resident)
+                           # None = the VMEM fits gate decides (True
+                           # FORCES the resident kernel and Mosaic-OOMs
+                           # on shapes the gate rejects, e.g. n=200)
+                           mid_resident=(False if args.no_mid_resident
+                                         else None))
     compile_s = time.perf_counter() - t0
     bdev = jnp.asarray(b, jnp.float32)
 

@@ -1,0 +1,60 @@
+"""Lane-chunked streamed brick-block matvec (ops/pallas_midmv.py) vs
+the scipy ground truth and the XLA BrickBlockOp.matvec."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from saamge_tpu.ops.pallas_midmv import (chunk_plan, chunked_matvec,
+                                         prep_blocks_chunked)
+from tests.test_midsmooth import _brick_op
+
+INTERP = jax.devices()[0].platform == "cpu"
+
+
+@pytest.mark.parametrize("bricks,bs,ragged", [
+    ((10, 8, 8), 4, True),    # NB=640 > Lc=512 -> 2 chunks, boundary
+    ((10, 8, 8), 4, False),   #   reads cross the chunk seam
+    ((3, 2, 2), 5, True),     # NB=12 -> single chunk, heavy lane pad
+    ((16, 8, 4), 3, True),    # NB=512 == Lc exactly
+])
+def test_chunked_matvec_matches(bricks, bs, ragged):
+    op, A = _brick_op(bricks, bs, seed=hash((bricks, bs)) % 997,
+                      ragged_rects=ragged)
+    NB = int(np.prod(bricks))
+    n = NB * bs
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(n).astype(np.float32)
+
+    blocks, Lc = prep_blocks_chunked(op)
+    Lc2, Lpad, C = chunk_plan(op.doffs, op.bricks, NB)
+    assert Lc == Lc2 and Lpad == C * Lc and Lpad >= NB
+
+    y = chunked_matvec(blocks, op.doffs, op.rects, op.bricks, bs, NB,
+                       Lc, jnp.asarray(x), interpret=INTERP)
+    y_ref = A @ x.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=2e-5,
+                               atol=2e-5 * np.abs(y_ref).max())
+    # and against the XLA matvec (same fp class)
+    y_xla = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(np.asarray(y), y_xla, rtol=2e-5,
+                               atol=2e-5 * np.abs(y_ref).max())
+
+
+def test_chunked_matvec_bf16_blocks():
+    """bf16 blocks: same rounding class as the bf16 XLA rect path."""
+    import dataclasses
+    op, A = _brick_op((10, 8, 8), 4, seed=31, ragged_rects=True)
+    op16 = dataclasses.replace(op, blocks=op.blocks.astype(jnp.bfloat16))
+    NB, bs = 640, 4
+    n = NB * bs
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(n).astype(np.float32)
+    blocks, Lc = prep_blocks_chunked(op16)
+    y = chunked_matvec(blocks, op.doffs, op.rects, op.bricks, bs, NB,
+                       Lc, jnp.asarray(x), interpret=INTERP)
+    y_ref = A @ x.astype(np.float64)
+    err = np.abs(np.asarray(y) - y_ref)
+    assert err.max() <= 0.05 * max(1.0, float(np.abs(y_ref).max()))
