@@ -111,6 +111,8 @@ class SpectralAMGSolver:
             do_aggregates=opts.do_aggregates,
             use_double_cycle=opts.double_cycle,
             coarse_direct=opts.coarse_direct,
+            smoother_poly_family=opts.smoother_poly_family,
+            smoother_poly_param=opts.smoother_poly_param,
             setup_mesh=setup_mesh)
         if opts.linear_coarse or vdim > 1:
             self.mlp.set_polynomial_coarse_space(0, 1)
@@ -197,7 +199,8 @@ class SAAMGeAlgPC:
         # relaxation data must match the FULL operator
         from saamge_tpu.solve import smoothers
         self.tg.poly_data = smoothers.init_poly_data(
-            self.A_full, opts.nu_relax, "sas")
+            self.A_full, opts.nu_relax, opts.smoother_poly_family,
+            opts.smoother_poly_param)
         self.precond = VCycleSolver(self.tg)
         self.precond.set_operator(self.A_full)
 

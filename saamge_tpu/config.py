@@ -78,6 +78,11 @@ class SolverOptions:
     zero_rhs: bool = False
     rtol: float = 1e-6
     maxiter: int = 1000
+    # relaxation root family: sas (reference default, smpr.cpp:376), sa,
+    # oneminusx, or invx (two mixed chains; param = spectral a in (0,1));
+    # None = TG_CONFIG.smoother_poly_family
+    smoother_poly_family: Optional[str] = None
+    smoother_poly_param: float = 0.0
 
     def resolved(self) -> "SolverOptions":
         out = dataclasses.replace(self)
@@ -89,6 +94,8 @@ class SolverOptions:
             out.first_nu_pro = out.nu_pro
         if out.first_elems_per_agg is None:
             out.first_elems_per_agg = out.elems_per_agg
+        if out.smoother_poly_family is None:
+            out.smoother_poly_family = TG_CONFIG.smoother_poly_family
         return out
 
 

@@ -224,12 +224,19 @@ class ShardedLevel:
     roots: jnp.ndarray       # replicated
     n: int
     nc: int
+    # invx family second chain (smpr.cpp:213-234): zero-length for
+    # sa/sas/oneminusx; weightfirst mixes the two chains
+    roots2: Optional[jnp.ndarray] = None    # replicated
+    weightfirst: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_pytree_node(
     ShardedLevel,
-    lambda l: ((l.A, l.Pop, l.Rop, l.dinv, l.roots), (l.n, l.nc)),
-    lambda aux, ch: ShardedLevel(*ch, n=aux[0], nc=aux[1]),
+    lambda l: ((l.A, l.Pop, l.Rop, l.dinv, l.roots, l.roots2,
+                l.weightfirst), (l.n, l.nc)),
+    lambda aux, ch: ShardedLevel(ch[0], ch[1], ch[2], ch[3], ch[4],
+                                 n=aux[0], nc=aux[1], roots2=ch[5],
+                                 weightfirst=ch[6]),
 )
 
 
@@ -346,9 +353,8 @@ def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32,
     for i, level in enumerate(ml.levels):
         tg = level.tg_data
         pd = tg.poly_data
-        assert pd.roots2 is None or len(pd.roots2) == 0, \
-            "sharded smoother implements single-root families only"
         npad = cur_pad
+        has_r2 = pd.roots2 is not None and len(pd.roots2)
         next_pos, ncpad = _owner_aligned_numbering(tg.interp, ndev, npad,
                                                    cur_pos)
         A_p = _permuted_csr(level.A, cur_pos, cur_pos, npad, npad)
@@ -368,7 +374,12 @@ def shard_hierarchy(ml, mesh: Mesh, dtype=jnp.float32,
             dinv=jax.device_put(dinv.astype(np_dtype), shard_rows),
             roots=jax.device_put(np.asarray(pd.roots, dtype=np_dtype),
                                  repl),
-            n=npad, nc=ncpad))
+            n=npad, nc=ncpad,
+            roots2=(jax.device_put(np.asarray(pd.roots2, dtype=np_dtype),
+                                   repl) if has_r2 else None),
+            weightfirst=(jax.device_put(
+                np.asarray(pd.weightfirst, dtype=np_dtype), repl)
+                if has_r2 else None)))
         cur_pos, cur_pad = next_pos, ncpad
     Ac = ml.levels[-1].tg_data.Ac
     Acp = _permuted_csr(Ac, cur_pos, cur_pos, cur_pad, cur_pad).toarray()
@@ -443,11 +454,19 @@ def _spmv(op: HaloOp, x_blk, axis):
 
 def _smooth(lv: ShardedLevel, b_blk, x_blk, axis):
     """Polynomial smoother on distributed vectors: dinv is local, the only
-    communication is A's halo exchange per root."""
-    def body(x, tau):
-        Ax = _spmv(lv.A, x, axis)
-        return x + lv.dinv * (b_blk - Ax) / tau, None
-    x, _ = jax.lax.scan(body, x_blk, lv.roots)
+    communication is A's halo exchange per root.  The invx family mixes
+    two root chains with weightfirst (smpr_sym_poly, smpr.cpp:213-234);
+    chain presence is static per hierarchy."""
+    def chain(x0, roots):
+        def body(x, tau):
+            Ax = _spmv(lv.A, x, axis)
+            return x + lv.dinv * (b_blk - Ax) / tau, None
+        x, _ = jax.lax.scan(body, x0, roots)
+        return x
+    x = chain(x_blk, lv.roots)
+    if lv.roots2 is not None:
+        x2 = chain(x_blk, lv.roots2)
+        x = lv.weightfirst * x + (1.0 - lv.weightfirst) * x2
     return x
 
 
@@ -482,7 +501,9 @@ def _level_specs(h: ShardedHierarchy):
                               else (P(axis, None),) * 4)
         specs.append(ShardedLevel(
             A=op(lv.A), Pop=op(lv.Pop), Rop=op(lv.Rop),
-            dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc))
+            dinv=P(axis), roots=P(), n=lv.n, nc=lv.nc,
+            roots2=None if lv.roots2 is None else P(),
+            weightfirst=None if lv.weightfirst is None else P()))
     return specs
 
 

@@ -1193,8 +1193,9 @@ def spmd_ml_produce_data(e2d_global: Table, e2e_global: Table,
         interp_j = out_j.interp if out_j.interp is not None else out_j.P
         return tg_mod.TGData(
             interp_data=interp_data,
-            poly_data=smoothers.init_poly_data(A_lv, mlp.get_nu_relax(j),
-                                               "sas"),
+            poly_data=smoothers.init_poly_data(
+                A_lv, mlp.get_nu_relax(j), mlp.smoother_poly_family,
+                mlp.smoother_poly_param),
             theta=mlp.get_theta(j),
             smooth_interp=out_j.interp is not None,
             ltent_interp=out_j.P, tent_interp=out_j.P, interp=interp_j,

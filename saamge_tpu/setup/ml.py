@@ -39,6 +39,10 @@ class MultilevelParameters:
     use_double_cycle: bool = False
     coarse_direct: bool = False
     smooth_drop_tol: float = 0.0
+    # relaxation root family + its parameter (smpr.cpp:376 hardcodes SAS;
+    # invx needs the spectral parameter a in (0,1))
+    smoother_poly_family: str = "sas"
+    smoother_poly_param: float = 0.0
     # device mesh for distributed setup (sharded eigensolve batches and
     # owner-computes MIS-SVD, parallel/dist_setup.py)
     setup_mesh: object = None
@@ -131,7 +135,9 @@ def ml_produce_data(A: sp.csr_matrix, rels: AggPartRels, elem_data,
         A, rels, mlp.get_nu_pro(0), mlp.get_nu_relax(0), mlp.get_theta(0),
         mlp.get_smooth_interp(0), mlp.smooth_drop_tol,
         mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver,
-        setup_mesh=mlp.setup_mesh)
+        setup_mesh=mlp.setup_mesh,
+        smoother_family=mlp.smoother_poly_family,
+        smoother_param=mlp.smoother_poly_param)
     tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(0)
     if mlp.use_correct_nullspace and (mlp.num_coarsenings == 1
                                       or mlp.use_double_cycle):
@@ -174,7 +180,9 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
             A, rels, mlp.get_nu_pro(i), mlp.get_nu_relax(i), mlp.get_theta(i),
             mlp.get_smooth_interp(i), mlp.smooth_drop_tol,
             mlp.use_truncated_eigensolver, mlp.use_batched_eigensolver,
-            setup_mesh=mlp.setup_mesh)
+            setup_mesh=mlp.setup_mesh,
+            smoother_family=mlp.smoother_poly_family,
+            smoother_param=mlp.smoother_poly_param)
         tg.polynomial_coarse_space = mlp.get_polynomial_coarse_space(i)
         if mlp.use_correct_nullspace and i == coarsenings - 1:
             tg.interp_data.scaling_P = True

@@ -44,13 +44,17 @@ def tg_init_data(A: sp.csr_matrix, rels: AggPartRels, nu_pro: int,
                  smooth_drop_tol: float = 0.0,
                  use_truncated_eigensolver: bool = False,
                  use_batched_eigensolver: bool = False,
-                 setup_mesh=None) -> TGData:
-    """tg_init_data (tg.cpp:402)."""
+                 setup_mesh=None, smoother_family: str = "sas",
+                 smoother_param: float = 0.0) -> TGData:
+    """tg_init_data (tg.cpp:402).  ``smoother_family``/``smoother_param``
+    select the relaxation root family (the reference hardcodes SAS at
+    smpr.cpp:376; invx takes the spectral parameter ``a``)."""
     interp_data = interp_init_data(rels, nu_pro, use_truncated_eigensolver)
     interp_data.drop_tol = smooth_drop_tol
     interp_data.use_batched_eigensolver = use_batched_eigensolver
     interp_data.setup_mesh = setup_mesh
-    poly_data = smoothers.init_poly_data(A, nu_relax, "sas")
+    poly_data = smoothers.init_poly_data(A, nu_relax, smoother_family,
+                                         smoother_param)
     return TGData(interp_data=interp_data, poly_data=poly_data, theta=theta,
                   smooth_interp=smooth_interp)
 

@@ -934,6 +934,9 @@ def compile_structured(ml, geo: BrickGeometry,
                                  dtype=smoother_dtype)
     dinv0h = A0.pad(jnp.asarray(dinv_np, jnp.float32))
     pd0 = tg0.poly_data
+    assert pd0.roots2 is None or len(pd0.roots2) == 0, \
+        "structured path implements single-chain root families only " \
+        "(use the compiled/sharded paths for invx)"
     taus0 = tuple(jnp.asarray([1.0 / float(t)], jnp.float32)
                   for t in np.asarray(pd0.roots))
 
