@@ -165,7 +165,40 @@ def main():
                     help="log10 range of the random element coefficient")
     ap.add_argument("--host-setup", action="store_true",
                     help="force the host (numpy f64) setup path")
+    ap.add_argument("--probe-timeout", type=float, default=1800.0,
+                    help="seconds before declaring the TPU tunnel dead "
+                         "(must exceed the worst observed remote-compile "
+                         "drift, ~1000 s)")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the tunnel liveness probe")
     args = ap.parse_args()
+
+    # --- tunnel liveness probe ----------------------------------------
+    # The axon tunnel has been observed to list devices fine but hang
+    # INDEFINITELY on the first compile RPC (a trivial matmul > 30 min).
+    # bench must always emit its one JSON line: probe compile+execute in
+    # a SUBPROCESS (a hung RPC is not interruptible in-process) and pin
+    # the CPU platform if it fails, so the artifact says platform=cpu +
+    # tunnel_unresponsive=true instead of the driver recording nothing.
+    tunnel_unresponsive = False
+    if os.environ.get("JAX_PLATFORMS") != "cpu" and not args.no_probe:
+        import subprocess
+        probe_src = ("import jax, jax.numpy as jnp; "
+                     "print(float(jax.jit(lambda x: (x * x + 1.0).sum())"
+                     "(jnp.ones((256, 256)))))")
+        try:
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=args.probe_timeout,
+                               capture_output=True)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            tunnel_unresponsive = True
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            print(f"[bench] TPU tunnel unresponsive "
+                  f"(probe > {args.probe_timeout:.0f}s or failed); "
+                  f"falling back to the CPU platform", file=sys.stderr)
 
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -622,6 +655,7 @@ def main():
         "vs_baseline": round(host_dt / dt, 3),
         "extra": {
             "ndof": ndof, "platform": platform,
+            "tunnel_unresponsive": tunnel_unresponsive,
             "structured": structured, "theta": theta,
             "coarse_dims": [lv.tg_data.Ac.shape[0] for lv in s.ml.levels],
             "pcg_iters_1e-6": iters,
