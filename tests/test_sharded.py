@@ -185,6 +185,41 @@ def test_far_exchange_spmv_matches_scipy():
     np.testing.assert_allclose(np.asarray(y), A @ x, rtol=1e-12)
 
 
+def test_sharded_smoothed_P_matches_compiled():
+    """Smoothed prolongator (nu_pro > 0, tg_smooth_interp /
+    interp_smooth, interp.cpp:172): the smoothed P/R have wider
+    stencils, so their halos widen — the sharded V-cycle must still
+    equal the single-device compiled one and keep device-count
+    invariance (the distributed story for SA-smoothed interpolation)."""
+    from saamge_tpu.parallel.sharded import make_sharded_pcg_jit
+    mesh = quad_mesh(16)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh, coef=checkerboard_coef, rhs=1.0, ess_attr_marker=ess)
+    opts = SolverOptions(num_levels=2, correct_nulspace=False,
+                         first_elems_per_agg=16, nu_pro=2,
+                         first_nu_pro=2)
+    s = SpectralAMGSolver(A, mesh, em, opts, ess_attr_marker=ess)
+    assert s.ml.finest.tg_data.smooth_interp
+
+    h1 = compiled.compile_hierarchy(s.ml, dtype=jnp.float64)
+    z1 = np.asarray(compiled.vcycle_apply(h1, jnp.asarray(b)))
+
+    iters = []
+    for ndev in (1, 8):
+        jmesh = JaxMesh(_devices(ndev), axis_names=("dp",))
+        h = shard_hierarchy(s.ml, jmesh, dtype=jnp.float64)
+        vc = make_sharded_vcycle(h)
+        z = unshard_vector(h, vc(shard_vector(h, b)))
+        np.testing.assert_allclose(z, z1, rtol=1e-10, atol=1e-12)
+        solve = make_sharded_pcg_jit(h, rel_tol=1e-6, max_iter=100)
+        x, its = solve(shard_vector(h, b))
+        iters.append(int(its))
+        x = unshard_vector(h, x)
+        assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-4
+    assert iters[0] == iters[1], iters
+
+
 def test_sharded_invx_smoother_matches_compiled():
     """invx family (two mixed root chains, smpr.cpp:213-234/smpr_invx):
     the sharded V-cycle must equal the single-device compiled one, and
