@@ -566,9 +566,18 @@ def main():
                        + 2 * nrows * 4)
         elif structured and i == 1:
             from saamge_tpu.solve.structured import BrickBlockOp
+            # the chunked Pallas matvec (A1kC, ops/pallas_midmv.py)
+            # streams the FULL per-offset packed blocks each pass — no
+            # symmetry halving on that path, so traffic_bytes (which
+            # halves under sym_stream) would under-model it ~2x
+            chunked_b = (sum(a.size * a.dtype.itemsize for a in h.A1kC)
+                         if getattr(h, "A1kC", None) is not None
+                         else None)
             if isinstance(h.A1d, BrickBlockOp):
+                mid_elems_b = (chunked_b if chunked_b is not None
+                               else h.A1d.traffic_bytes)
                 flops_levels.append(
-                    passes * 2 * h.A1d.traffic_bytes
+                    passes * 2 * mid_elems_b
                     / h.A1d.blocks.dtype.itemsize)
             else:
                 flops_levels.append(passes * 2 * nrows * nrows)
@@ -581,6 +590,10 @@ def main():
                 packed_b = sum(a.size * a.dtype.itemsize for a in h.A1kT)
                 bsp = -(-h.A1d.bs // SUB) * SUB
                 ba = 2 * packed_b + 9 * bsp * Lpad * 4
+            elif isinstance(h.A1d, BrickBlockOp) and chunked_b is not None:
+                # lane-chunked streamed Pallas matvec: full packed
+                # per-offset blocks once per pass + vector streams
+                ba = passes * (chunked_b + 3 * h.dinv1.shape[0] * 4)
             elif isinstance(h.A1d, BrickBlockOp):
                 # brick-block operator streams its (k, bs, bs, NB) blocks
                 ba = passes * (h.A1d.traffic_bytes

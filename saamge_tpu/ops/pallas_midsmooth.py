@@ -83,20 +83,22 @@ def _sym_keep(doffs):
     The coarse Galerkin operator is symmetric, so the block of offset
     -d is the slot-transpose of the block of +d shifted by d:
     B_{-d}[s2, s1, p + d] = B_{+d}[s1, s2, p].  Streaming only the kept
-    half and applying each block both ways halves the resident DMA."""
-    return tuple(i for i, d in enumerate(doffs) if tuple(d) >= (0, 0, 0))
+    half and applying each block both ways halves the resident DMA.
 
-
-def mid_kernel_vmem_bytes(rects, bs: int, NB: int, itemsize: int,
-                          doffs=None) -> int:
-    """VMEM footprint estimate of the resident packed rectangles
-    (symmetry-halved when ``doffs`` is given)."""
-    L = _round_up(NB, LANES)
-    keep = _sym_keep(doffs) if doffs is not None else range(len(rects))
-    rows = sum(rects[i][1] * _round_up(max(rects[i][0], 1), SUB)
-               for i in keep)
-    BSp = _round_up(bs, SUB)
-    return rows * L * itemsize + 6 * BSp * L * 4
+    Raises on any ONE-SIDED nonzero offset: a dropped negative offset
+    with no kept mirror would lose that coupling silently, and a kept
+    positive offset with no stored mirror would fabricate one — either
+    way the operator is not offset-symmetric and every sym path would
+    be silently wrong."""
+    have = {tuple(d) for d in doffs}
+    for td in have:
+        if td != (0, 0, 0) and (-td[0], -td[1], -td[2]) not in have:
+            raise ValueError(
+                "one-sided brick offset %s has no mirror: the operator "
+                "is not offset-symmetric and symmetry halving would "
+                "silently mis-apply this coupling" % (td,))
+    return tuple(i for i, d in enumerate(doffs)
+                 if tuple(d) >= (0, 0, 0))
 
 
 def plan_mid_kernel(rects, bs: int, NB: int, itemsize: int,
@@ -264,20 +266,20 @@ def prep_blocksT(op, sym: bool = False) -> Tuple[jnp.ndarray, ...]:
     if sym:
         # symmetry sanity: the -d block must be the slot-transpose of
         # the +d block (shifted by d, a support bijection, so the
-        # per-slot-pair square sums match).  Catches a nonsymmetric
-        # operator without materializing shifted copies.
+        # per-slot-pair square sums match).  One device reduction +
+        # one small (k, bs, bs) fetch — NOT per-slice D2H transfers
+        # (the tunnel's D2H fetches have been observed to hang).
         import numpy as _np
         dmap = {tuple(d): i for i, d in enumerate(op.doffs)}
+        ss = _np.asarray(jnp.sum(op.blocks.astype(jnp.float32) ** 2,
+                                 axis=3))
         for i in keep:
             d = tuple(op.doffs[i])
             if d == (0, 0, 0):
                 continue
             nd = tuple(-c for c in d)
             assert nd in dmap, "mid operator is not offset-symmetric"
-            s_fwd = (_np.asarray(op.blocks[i], _np.float32) ** 2) \
-                .sum(axis=2)
-            s_rev = (_np.asarray(op.blocks[dmap[nd]], _np.float32)
-                     ** 2).sum(axis=2).T
+            s_fwd, s_rev = ss[i], ss[dmap[nd]].T
             assert _np.allclose(s_fwd, s_rev, rtol=1e-3,
                                 atol=1e-6 * max(1e-30, s_fwd.max())), \
                 "mid operator is not offset-symmetric"

@@ -264,8 +264,10 @@ class BrickBlockOp:
         return self.blocks.size * self.blocks.dtype.itemsize
 
     def _sym_keep(self):
-        return tuple(i for i, d in enumerate(self.doffs)
-                     if tuple(d) >= (0, 0, 0))
+        # single source of truth for the keep-set rule (and its
+        # one-sided-offset guard): ops/pallas_midsmooth._sym_keep
+        from saamge_tpu.ops.pallas_midsmooth import _sym_keep
+        return _sym_keep(self.doffs)
 
     @property
     def traffic_bytes(self):

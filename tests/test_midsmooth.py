@@ -172,13 +172,79 @@ def test_mid_chain_symmetric_halving(bricks, bs, emit_res, ragged):
 
 
 def test_prep_blocksT_sym_rejects_nonsymmetric():
-    op, _ = _brick_op((3, 2, 2), 4, seed=2)   # random — NOT symmetric
     # rects are direction-symmetric here (non-ragged), so the structure
-    # check passes; from_csr on a nonsymmetric matrix with ragged rects
-    # trips the rectangle assert instead
+    # check passes and the per-slot-pair VALUE comparison must fire
+    op, _ = _brick_op((3, 2, 2), 4, seed=2)   # random — NOT symmetric
+    with pytest.raises(AssertionError):
+        prep_blocksT(op, sym=True)
+    # ragged rects on a nonsymmetric matrix trip the rectangle assert
     op_r, _ = _brick_op((2, 3, 4), 5, seed=3, ragged_rects=True)
     with pytest.raises(AssertionError):
         prep_blocksT(op_r, sym=True)
+
+
+def test_sym_stream_rect_matvec_matches(monkeypatch):
+    """The sym_stream rect branch of BrickBlockOp.matvec (kept offsets
+    applied forward + transposed-shifted) vs the ground truth — the
+    rect regime is forced by dropping RECT_MIN_BYTES so the branch is
+    exercised at test size."""
+    import dataclasses
+    _, A = _brick_op((3, 3, 2), 4, seed=33, ragged_rects=True)
+    NB, bs = 18, 4
+    Asym = ((A + A.T) * 0.5).tocsr()
+    cd_brick = np.tile(np.arange(NB), bs)
+    slot = np.repeat(np.arange(bs), NB)
+    op = BrickBlockOp.from_csr(Asym, cd_brick, slot, bs, (3, 3, 2),
+                               dtype=jnp.float32)
+    op = dataclasses.replace(op, sym_stream=True)
+    monkeypatch.setattr(BrickBlockOp, "RECT_MIN_BYTES", 0)
+    n = NB * bs
+    x = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    y_ref = Asym @ x.astype(np.float64)
+    y = np.asarray(op.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5,
+                               atol=2e-5 * np.abs(y_ref).max())
+    # the sym stream must actually be halved vs the full rect stream
+    op_full = dataclasses.replace(op, sym_stream=False)
+    assert op.traffic_bytes < op_full.traffic_bytes
+    y_full = np.asarray(op_full.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(y, y_full, rtol=2e-5,
+                               atol=2e-5 * np.abs(y_ref).max())
+
+
+def test_sym_rejects_one_sided_offset():
+    """An offset stored only in one direction (the hazard from_csr's
+    rect symmetrization warns about) must RAISE in every sym path, not
+    silently drop/fabricate the coupling (_sym_keep guard)."""
+    from saamge_tpu.ops.pallas_midsmooth import _sym_keep
+    bs, bricks = 2, (2, 2, 2)
+    BX, BY, BZ = bricks
+    NB = BX * BY * BZ
+    n = bs * NB
+    pid = np.arange(NB)
+    px = pid // (BY * BZ)
+    rows = [np.arange(n)]               # unit diagonal, all slots
+    cols = [np.arange(n)]
+    vals = [np.ones(n)]
+    # one-sided coupling: brick p -> p - BY*BZ (dx = -1) ONLY
+    src = pid[px > 0]
+    rows.append(src)                    # slot 0
+    cols.append(src - BY * BZ)
+    vals.append(np.full(len(src), 0.5))
+    A = sp.coo_matrix((np.concatenate(vals),
+                       (np.concatenate(rows), np.concatenate(cols))),
+                      shape=(n, n)).tocsr()
+    cd_brick = np.tile(np.arange(NB), bs)
+    slot = np.repeat(np.arange(bs), NB)
+    op = BrickBlockOp.from_csr(A, cd_brick, slot, bs, bricks,
+                               dtype=jnp.float32)
+    assert any(tuple(d) == (-1, 0, 0) for d in op.doffs)
+    with pytest.raises(ValueError, match="one-sided"):
+        _sym_keep(op.doffs)
+    with pytest.raises(ValueError, match="one-sided"):
+        prep_blocksT(op, sym=True)
+    with pytest.raises(ValueError, match="one-sided"):
+        op._sym_keep()
 
 
 def test_fits_gate_measured_shapes():
@@ -189,7 +255,6 @@ def test_fits_gate_measured_shapes():
     sym vs 128 MB VMEM), and still rejects n=200-class mid levels
     (even 2 serialized product temps blow the budget at L=15744)."""
     from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
-                                                 mid_kernel_vmem_bytes,
                                                  plan_mid_kernel)
     doffs27 = tuple((dx, dy, dz) for dx in (-1, 0, 1)
                     for dy in (-1, 0, 1) for dz in (-1, 0, 1))
@@ -208,12 +273,12 @@ def test_fits_gate_measured_shapes():
     rects200 = [(20, 32)] * 27
     assert not fits_mid_kernel(tuple(rects200), 32, 15625, 2)
     assert plan_mid_kernel(tuple(rects200), 32, 15625, 2)[0] is None
-    # the estimate counts r1 padded to the 16-row sublane tile: r1=1
-    # and r1=16 must cost the same, r1=17 strictly more
-    assert mid_kernel_vmem_bytes(((1, 1),), 4, 128, 2) \
-        == mid_kernel_vmem_bytes(((16, 1),), 4, 128, 2)
-    assert mid_kernel_vmem_bytes(((17, 1),), 20, 128, 2) \
-        > mid_kernel_vmem_bytes(((16, 1),), 20, 128, 2)
+    # the planner counts r1 padded to the 16-row sublane tile: r1=1
+    # and r1=16 must cost the same peak, r1=17 strictly more
+    assert plan_mid_kernel(((1, 1),), 4, 128, 2)[1] \
+        == plan_mid_kernel(((16, 1),), 4, 128, 2)[1]
+    assert plan_mid_kernel(((17, 1),), 20, 128, 2)[1] \
+        > plan_mid_kernel(((16, 1),), 20, 128, 2)[1]
 
 
 @pytest.mark.parametrize("sym", [False, True])
