@@ -233,10 +233,11 @@ def main():
         out["pcg_iters"] = int(iters)
         out["rel_res"] = float(relres)
 
-        # two independently-compiled chains: each compile is a separate
-        # autotune draw (the lottery); report both, headline the min
+        # three independently-compiled chains: each compile is a separate
+        # autotune draw (the lottery; 4-10x first-draw outliers observed
+        # — CLAUDE.md round-3 facts); report all, headline the min
         draws = []
-        for R in (20, 21):
+        for R in (20, 21, 22):
             @jax.jit
             def chain(hier, b0):
                 def body(c, _):
