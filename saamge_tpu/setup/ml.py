@@ -14,7 +14,7 @@ from saamge_tpu.setup.tg import TGData
 from saamge_tpu.solve.coarse import CorrectNullspace, VCycleCoarseSolver
 from saamge_tpu.topology.agglomerate import (AggPartRels,
                                              create_partitioning_coarse)
-from saamge_tpu.utils.logging import sa_print
+from saamge_tpu.utils.logging import TIMERS, sa_print
 
 
 @dataclasses.dataclass
@@ -170,11 +170,12 @@ def ml_produce_hierarchy_from_level(coarsenings: int, starting_level: int,
         override = None
         if coarse_part_override is not None:
             override = coarse_part_override(i)
-        rels, offsets = create_partitioning_coarse(
-            A, finer.rels, finer.tg_data.interp_data.mis_numcoarsedof,
-            finer.tg_data.tent_interp,
-            mlp.get_nparts_capped(i, A.shape[0]),
-            do_aggregates=do_aggregates, partitioning=override)
+        with TIMERS.phase("setup.coarse_topology"):
+            rels, offsets = create_partitioning_coarse(
+                A, finer.rels, finer.tg_data.interp_data.mis_numcoarsedof,
+                finer.tg_data.tent_interp,
+                mlp.get_nparts_capped(i, A.shape[0]),
+                do_aggregates=do_aggregates, partitioning=override)
         finer.tg_data.interp_data.mis_coarsedofoffsets = offsets
         tg = tg_mod.tg_init_data(
             A, rels, mlp.get_nu_pro(i), mlp.get_nu_relax(i), mlp.get_theta(i),

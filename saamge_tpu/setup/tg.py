@@ -53,8 +53,9 @@ def tg_init_data(A: sp.csr_matrix, rels: AggPartRels, nu_pro: int,
     interp_data.drop_tol = smooth_drop_tol
     interp_data.use_batched_eigensolver = use_batched_eigensolver
     interp_data.setup_mesh = setup_mesh
-    poly_data = smoothers.init_poly_data(A, nu_relax, smoother_family,
-                                         smoother_param)
+    with TIMERS.phase("setup.dinv"):
+        poly_data = smoothers.init_poly_data(A, nu_relax, smoother_family,
+                                             smoother_param)
     return TGData(interp_data=interp_data, poly_data=poly_data, theta=theta,
                   smooth_interp=smooth_interp)
 
@@ -62,10 +63,12 @@ def tg_init_data(A: sp.csr_matrix, rels: AggPartRels, nu_pro: int,
 def tg_smooth_interp(A: sp.csr_matrix, tg: TGData) -> None:
     """tg_smooth_interp (tg.hpp:678)."""
     if tg.smooth_interp:
-        tg.interp = interp_mod.interp_smooth(
-            A, tg.tent_interp, tg.poly_data.dinv,
-            tg.interp_data.interp_smoother_roots,
-            tg.interp_data.times_apply_smoother, tg.interp_data.drop_tol)
+        with TIMERS.phase("setup.interp_smooth"):
+            tg.interp = interp_mod.interp_smooth(
+                A, tg.tent_interp, tg.poly_data.dinv,
+                tg.interp_data.interp_smoother_roots,
+                tg.interp_data.times_apply_smoother,
+                tg.interp_data.drop_tol)
     else:
         tg.interp = tg.tent_interp.copy()
     tg.restr = tg.interp.T.tocsr()

@@ -181,6 +181,10 @@ def main():
         phases["setup_rap_s"] = round(TIMERS.total("setup.rap"), 2)
         phases["setup_rap_device_s"] = round(
             TIMERS.total("setup.rap_device"), 2)
+        # full accumulating-timer dump: localizes the host setup tail
+        # (everything in setup_s outside the device pipeline)
+        phases["timers"] = {k: round(v, 2)
+                            for k, v in sorted(TIMERS.totals.items())}
 
         out = {
             "metric": f"scale_setup_n{ndof}",
