@@ -94,3 +94,22 @@ def test_aggregates_mode_disjoint():
     assert rels.num_mises == rels.nparts
     assert (rels.mises >= 0).all()
     assert rels.mises_size.sum() == rels.ND
+
+
+def test_elem_to_elem_grid_fast_path_parity():
+    """The Cartesian closed-form dual graph (Mesh._elem_to_elem_grid)
+    must produce the identical Table to the generic face-matching path
+    (same indptr, same within-row ascending neighbor order)."""
+    import numpy as np
+    from saamge_tpu.fem.mesh import hex_mesh
+
+    for dims in [(2, 3, 4), (3, 3, 3), (1, 4, 2), (4, 4, 1)]:
+        m = hex_mesh(*dims)
+        assert m.grid is not None
+        fast = m.elem_to_elem()          # takes the grid path
+        object.__setattr__(m, "grid", None)
+        object.__setattr__(m, "_e2e_cache", None)
+        gen = m.elem_to_elem()           # generic lexsort face matching
+        assert np.array_equal(fast.indptr, gen.indptr), dims
+        assert np.array_equal(fast.indices, gen.indices), dims
+        assert fast.ncols == gen.ncols == m.num_elements
