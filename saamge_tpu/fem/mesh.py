@@ -342,16 +342,16 @@ class Mesh:
             strides[a] = strides[a + 1] * shape[a + 1]
         e = np.arange(NE, dtype=np.int64)
         # ascending-offset column order: -s0 < -s1 < ... < +s1 < +s0
-        cols, masks = [], []
         axes = list(range(len(shape)))                    # s0 > s1 > ...
-        for a in axes:                                    # negative offsets
-            ia = (e // strides[a]) % shape[a]
-            cols.append(e - strides[a]); masks.append(ia > 0)
-        for a in reversed(axes):                          # positive offsets
-            ia = (e // strides[a]) % shape[a]
-            cols.append(e + strides[a]); masks.append(ia < shape[a] - 1)
-        C = np.stack(cols, axis=1)
-        M = np.stack(masks, axis=1)
+        ia = [(e // strides[a]) % shape[a] for a in axes]
+        C = np.empty((NE, 2 * len(axes)), dtype=np.int64)
+        M = np.empty((NE, 2 * len(axes)), dtype=bool)
+        last = 2 * len(axes) - 1
+        for a in axes:
+            C[:, a] = e - strides[a]
+            M[:, a] = ia[a] > 0
+            C[:, last - a] = e + strides[a]
+            M[:, last - a] = ia[a] < shape[a] - 1
         indptr = np.zeros(NE + 1, dtype=np.int64)
         np.cumsum(M.sum(axis=1, dtype=np.int64), out=indptr[1:])
         return Table(indptr, C[M], NE)

@@ -175,9 +175,22 @@ def _construct_mises_local(rels: AggPartRels) -> None:
     cols_idx = np.arange(d2ae.nnz, dtype=np.int64) \
         - np.repeat(d2ae.indptr[:-1], sizes)
     sig[rows_idx, cols_idx] = d2ae.indices
-    uniq, inverse = np.unique(sig, axis=0, return_inverse=True)
-    inverse = inverse.reshape(-1)
-    num = len(uniq)
+    # group identical rows: lexsort (maxm radix passes) + neighbor-diff —
+    # same grouping as np.unique(sig, axis=0, return_inverse=True) but
+    # ~3x faster (unique's void-dtype row view sorts with quicksort)
+    if ND:
+        order = np.lexsort(sig.T[::-1])
+        ss = sig[order]
+        new = np.empty(ND, dtype=bool)
+        new[0] = True
+        if ND > 1:
+            new[1:] = (ss[1:] != ss[:-1]).any(axis=1)
+        inverse = np.empty(ND, dtype=np.int64)
+        inverse[order] = np.cumsum(new) - 1
+        num = int(new.sum())
+    else:
+        inverse = np.zeros(0, dtype=np.int64)
+        num = 0
     # renumber groups by their lowest-numbered dof (first-encounter order)
     first_dof = np.full(num, ND, dtype=np.int64)
     np.minimum.at(first_dof, inverse, np.arange(ND, dtype=np.int64))
