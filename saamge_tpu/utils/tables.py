@@ -102,15 +102,25 @@ class Table:
         assert self.ncols == other.nrows, (self.ncols, other.nrows)
         # Gather: for every (i, k) of self and (k, j) of other produce (i, j).
         mid = self.indices
-        reps = other.row_sizes()[mid]
-        out_rows = np.repeat(
-            np.repeat(np.arange(self.nrows, dtype=np.int64), self.row_sizes()),
-            reps)
-        # concatenated columns of other's rows selected by mid, in order
-        starts = other.indptr[mid]
-        offsets = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(reps) - reps, reps)
-        out_cols = other.indices[np.repeat(starts, reps) + offsets]
+        rsz = other.row_sizes()
+        if len(rsz) and int(rsz.min()) == int(rsz.max()):
+            # rectangular right factor (elem_to_dof): one 2D row gather
+            # replaces the starts/offsets scatter machinery
+            k = int(rsz[0])
+            out_rows = np.repeat(np.repeat(
+                np.arange(self.nrows, dtype=np.int64), self.row_sizes()), k)
+            out_cols = other.indices.reshape(-1, k)[mid].ravel()
+        else:
+            reps = rsz[mid]
+            out_rows = np.repeat(
+                np.repeat(np.arange(self.nrows, dtype=np.int64),
+                          self.row_sizes()),
+                reps)
+            # concatenated columns of other's rows selected by mid, in order
+            starts = other.indptr[mid]
+            offsets = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(reps) - reps, reps)
+            out_cols = other.indices[np.repeat(starts, reps) + offsets]
         # dedupe per row, preserving first occurrence (stable radix
         # argsort + neighbor-diff: same result as np.unique(...,
         # return_index=True) but O(n) int sort instead of quicksort)
