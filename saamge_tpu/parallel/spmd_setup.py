@@ -46,7 +46,7 @@ from saamge_tpu.topology.agglomerate import (FLAG_BETWEEN_AES, FLAG_ESS_BDR,
                                              build_AE_stiffm_with_global)
 from saamge_tpu.topology.part import partition_kway
 from saamge_tpu.utils.logging import sa_assert, sa_print
-from saamge_tpu.utils.tables import Table
+from saamge_tpu.utils.tables import Table, group_rows
 
 SVD_EPS = 1e-10  # contrib.cpp:61
 
@@ -422,9 +422,7 @@ def _route_mis_identify(states: List[RankState],
         cols_idx = np.arange(s.sig_indptr[-1], dtype=np.int64) \
             - np.repeat(s.sig_indptr[:-1], sizes)
         sig[rows_idx, cols_idx] = s.sig_ids
-        uniq, inverse = np.unique(sig, axis=0, return_inverse=True)
-        inverse = inverse.reshape(-1)
-        num = len(uniq)
+        inverse, num = group_rows(sig)
         first_dof = np.full(num, s.n_loc, dtype=np.int64)
         np.minimum.at(first_dof, inverse, np.arange(s.n_loc, dtype=np.int64))
         # local mis order: ascending min local dof (== ascending min gdof)

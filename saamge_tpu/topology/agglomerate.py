@@ -24,7 +24,7 @@ import scipy.sparse as sp
 
 from saamge_tpu.topology.part import partition_kway
 from saamge_tpu.utils.logging import sa_assert, sa_print
-from saamge_tpu.utils.tables import Table
+from saamge_tpu.utils.tables import Table, group_rows
 
 # DoF status flags (aggregates.hpp agg_dof_status_t)
 FLAG_ESS_BDR = 1 << 0      # AGG_ON_ESS_DOMAIN_BORDER_FLAG
@@ -161,7 +161,7 @@ def _construct_mises_local(rels: AggPartRels) -> None:
     (agg_construct_mises_local, aggregates.cpp:501), vectorized: pad each
     dof's AE list (already in increasing AE order — dof_to_AE is the stable
     transpose of AE-major AE_to_dof) into a signature matrix and group rows
-    with one np.unique(axis=0) pass.
+    with one lexsort pass (tables.group_rows).
 
     MIS ids are assigned in order of the lowest-numbered unvisited dof;
     within each MIS, dofs are sorted by (true)dof id — the determinism
@@ -175,22 +175,7 @@ def _construct_mises_local(rels: AggPartRels) -> None:
     cols_idx = np.arange(d2ae.nnz, dtype=np.int64) \
         - np.repeat(d2ae.indptr[:-1], sizes)
     sig[rows_idx, cols_idx] = d2ae.indices
-    # group identical rows: lexsort (maxm radix passes) + neighbor-diff —
-    # same grouping as np.unique(sig, axis=0, return_inverse=True) but
-    # ~3x faster (unique's void-dtype row view sorts with quicksort)
-    if ND:
-        order = np.lexsort(sig.T[::-1])
-        ss = sig[order]
-        new = np.empty(ND, dtype=bool)
-        new[0] = True
-        if ND > 1:
-            new[1:] = (ss[1:] != ss[:-1]).any(axis=1)
-        inverse = np.empty(ND, dtype=np.int64)
-        inverse[order] = np.cumsum(new) - 1
-        num = int(new.sum())
-    else:
-        inverse = np.zeros(0, dtype=np.int64)
-        num = 0
+    inverse, num = group_rows(sig)
     # renumber groups by their lowest-numbered dof (first-encounter order)
     first_dof = np.full(num, ND, dtype=np.int64)
     np.minimum.at(first_dof, inverse, np.arange(ND, dtype=np.int64))

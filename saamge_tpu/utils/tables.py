@@ -17,6 +17,26 @@ import dataclasses
 import numpy as np
 
 
+def group_rows(sig: np.ndarray) -> tuple:
+    """Group identical rows of a 2D int array: returns (inverse, num)
+    with groups numbered in lexicographic row order — the same
+    (inverse, len(uniq)) np.unique(sig, axis=0, return_inverse=True)
+    yields, but via lexsort (ncol radix passes) + neighbor-diff instead
+    of the void-dtype quicksort (~3x faster on AE-signature matrices)."""
+    n = sig.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), 0
+    order = np.lexsort(sig.T[::-1])
+    ss = sig[order]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    if n > 1:
+        new[1:] = (ss[1:] != ss[:-1]).any(axis=1)
+    inverse = np.empty(n, dtype=np.int64)
+    inverse[order] = np.cumsum(new) - 1
+    return inverse, int(new.sum())
+
+
 @dataclasses.dataclass(frozen=True)
 class Table:
     indptr: np.ndarray   # (nrows+1,) int64
