@@ -45,3 +45,20 @@ def test_mult_matches_scipy_pattern():
     C.sort_indices()
     for i in range(30):
         assert set(tc.row(i)) == set(C.indices[C.indptr[i]:C.indptr[i + 1]])
+
+
+def test_mult_empty_rectangular_right_factor():
+    # ADVICE r3: all-empty right factor selects the rectangular fast
+    # path with k=0; must return an empty product, not raise
+    a = Table.from_rows(np.array([[0]]), 1)
+    b = Table.from_rows([[]], 1)
+    c = a.mult(b)
+    assert c.nrows == 1 and c.nnz == 0 and c.ncols == 1
+
+
+def test_group_rows_zero_width():
+    from saamge_tpu.utils.tables import group_rows
+    inv, num = group_rows(np.zeros((5, 0), dtype=np.int64))
+    assert num == 1 and np.array_equal(inv, np.zeros(5, dtype=np.int64))
+    inv0, num0 = group_rows(np.zeros((0, 0), dtype=np.int64))
+    assert num0 == 0 and len(inv0) == 0
