@@ -50,7 +50,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from saamge_tpu.ops.pallas_stencil import PallasDIA, LANES
 from saamge_tpu.solve.structured import (BrickBlockOp, BrickGeometry,
-                                         StructuredHierarchy)
+                                         MidBundle, StructuredHierarchy,
+                                         mid_bundle, mid_correct)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -101,35 +102,60 @@ class ShardedStructured:
     # configuration): preconditioner passes stream it; PCG matvec keeps
     # the f32 vals0
     vals0s: Optional[jnp.ndarray] = None
+    # REPLICATED mid+coarsest bundle (solve/structured.MidBundle): when
+    # set, the mid level runs the exact single-chip mid_correct — the
+    # resident Pallas chains / chunked matvec / superbrick coarsest —
+    # on the all-gathered coarse residual (the coarse vector is tiny:
+    # ~75 KB at flagship vs the MB-scale fine halos), replacing the
+    # per-root brick-shell ppermute loop.  This is the hypre-style
+    # "agglomerate small coarse levels onto every rank" move, and makes
+    # multi-chip semantics IDENTICAL to the flagship kernel config
+    # (VERDICT r3 item 4).
+    mb: Optional[MidBundle] = None
 
 
 jax.tree_util.register_pytree_node(
     ShardedStructured,
     lambda s: ((s.vals0, s.dinv0, s.rst, s.blocks1, s.dinv1, s.r1,
-                s.ainv, s.wrst, s.wtabs, s.vals0s),
+                s.ainv, s.wrst, s.wtabs, s.vals0s, s.mb),
     (s.st, s.mesh, s.interpret)),
     lambda aux, ch: ShardedStructured(*ch[:7], *aux, wrst=ch[7],
-                                      wtabs=ch[8], vals0s=ch[9]),
+                                      wtabs=ch[8], vals0s=ch[9],
+                                      mb=ch[10]),
 )
 
 
-def shard_structured(h: StructuredHierarchy, mesh: Mesh
+def shard_structured(h: StructuredHierarchy, mesh: Mesh,
+                     mid_replicated: Optional[bool] = None
                      ) -> ShardedStructured:
     """Slice a (zlane, brickblock) StructuredHierarchy into x-slabs.
 
     Requires ndev | BX and a 3-level hierarchy built with
-    fine_layout='zlane', mid_format='brickblock'."""
+    fine_layout='zlane'.
+
+    ``mid_replicated``: run the mid level + coarsest replicated via the
+    single-chip ``mid_correct`` on the all-gathered coarse residual
+    (see ShardedStructured.mb).  Default: on whenever the hierarchy
+    uses a mid configuration the distributed per-root loop cannot
+    express (resident chains A1kT, chunked matvec A1kC, superbrick
+    coarsest Rst1, dense mid) — i.e. the flagship bench configuration
+    shards with its exact kernel set by default."""
     ndev = mesh.devices.size
     geo = h.geo
     BX, BY, BZ = geo.bricks
     bx, by, bz = geo.brick_elems
     NXn, NYn, NZn = geo.nodes
     assert h.nzp > 0, "sharded structured path requires fine_layout='zlane'"
-    assert isinstance(h.A1d, BrickBlockOp), \
-        "sharded structured path requires mid_format='brickblock'"
-    assert h.R1 is not None, \
-        "sharded structured path needs the dense coarsest restriction " \
-        "(compile_structured without super_bricks)"
+    if mid_replicated is None:
+        mid_replicated = (h.A1kT is not None or h.A1kC is not None
+                          or h.Rst1 is not None
+                          or not isinstance(h.A1d, BrickBlockOp))
+    if not mid_replicated:
+        assert isinstance(h.A1d, BrickBlockOp), \
+            "distributed mid loop requires mid_format='brickblock'"
+        assert h.R1 is not None, \
+            "distributed mid loop needs the dense coarsest restriction " \
+            "(compile_structured without super_bricks)"
     assert BX % ndev == 0, (BX, ndev)
     nzp = h.nzp
     prow = NYn * nzp // LANES
@@ -182,24 +208,34 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
     rst_np = np.asarray(h.Rst).reshape(bs, box, ndev, nb_loc)
     rst = np.ascontiguousarray(rst_np.transpose(2, 0, 1, 3))
 
-    blk = np.asarray(h.A1d.blocks)              # (k1, bs, bs, NB),
-    # keeping the storage dtype (bf16 mid blocks stream half the bytes)
-    k1 = blk.shape[0]
-    blocks1 = np.ascontiguousarray(
-        blk.reshape(k1, bs, bs, ndev, nb_loc).transpose(3, 0, 1, 2, 4))
-
-    dinv1_np = np.asarray(h.dinv1).reshape(bs, ndev, nb_loc)
-    dinv1 = np.ascontiguousarray(
-        dinv1_np.transpose(1, 0, 2)).reshape(ndev, bs * nb_loc)
     n2 = h.Ainv.shape[0]
-    r1_np = np.asarray(h.R1).reshape(n2, bs, ndev, nb_loc)
-    r1 = np.ascontiguousarray(
-        r1_np.transpose(2, 0, 1, 3)).reshape(ndev, n2, bs * nb_loc)
+    if mid_replicated:
+        # per-shard mid arrays unused: tiny sharded placeholders keep
+        # the pytree/in_specs structure uniform
+        blocks1 = np.zeros((ndev, 1), np.float32)
+        dinv1 = np.zeros((ndev, 1), np.float32)
+        r1 = np.zeros((ndev, 1), np.float32)
+    else:
+        blk = np.asarray(h.A1d.blocks)          # (k1, bs, bs, NB),
+        # keeping the storage dtype (bf16 mid blocks stream half the
+        # bytes)
+        k1 = blk.shape[0]
+        blocks1 = np.ascontiguousarray(
+            blk.reshape(k1, bs, bs, ndev, nb_loc).transpose(3, 0, 1, 2, 4))
+
+        dinv1_np = np.asarray(h.dinv1).reshape(bs, ndev, nb_loc)
+        dinv1 = np.ascontiguousarray(
+            dinv1_np.transpose(1, 0, 2)).reshape(ndev, bs * nb_loc)
+        r1_np = np.asarray(h.R1).reshape(n2, bs, ndev, nb_loc)
+        r1 = np.ascontiguousarray(
+            r1_np.transpose(2, 0, 1, 3)).reshape(ndev, n2, bs * nb_loc)
 
     st = StructShardStatic(
         geo=geo, ndev=ndev, nzp=nzp, prow=prow, sp1=sp1, real=real,
         local_pad=local_pad, hr_need=hr_need, offsets=A0.offsets,
-        br=br, hb=hb, doffs=h.A1d.doffs, bs=bs, nb_loc=nb_loc, n2=n2,
+        br=br, hb=hb,
+        doffs=(h.A1d.doffs if isinstance(h.A1d, BrickBlockOp) else ()),
+        bs=bs, nb_loc=nb_loc, n2=n2,
         taus0=tuple(float(np.asarray(t)[0]) for t in h.taus0),
         taus1=tuple(float(np.asarray(t)[0]) for t in h.taus1))
 
@@ -215,12 +251,15 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh
         wrst = put(np.asarray(rstw_g).reshape(
             ndev, nbxy_loc, *rstw_g.shape[1:]))
         wtabs = tuple(jax.device_put(t, repl) for t in (ez, s2, s2t, ezt))
+    mb = None
+    if mid_replicated:
+        mb = jax.device_put(mid_bundle(h), repl)
     return ShardedStructured(
         vals0=put(vals0), dinv0=put(dinv0), rst=put(rst),
         blocks1=put(blocks1), dinv1=put(dinv1), r1=put(r1),
         vals0s=None if vals0s is None else put(vals0s),
         ainv=jax.device_put(h.Ainv, repl), st=st, mesh=mesh,
-        interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs)
+        interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs, mb=mb)
 
 
 # ---------------------------------------------------------------------------
@@ -425,12 +464,32 @@ def _pdot(st, a, b, axis):
     return jax.lax.psum(own + last, axis)
 
 
+def _mid_replicated_correct(st, mb, rc, axis):
+    """all_gather the local coarse residual to the full slot-major
+    padded layout, run the EXACT single-chip mid_correct (replicated:
+    every device computes the identical correction), slice the local
+    brick-x layer back out.  One tiny all_gather (bs*NB floats) per
+    cycle replaces 2*deg1+2 per-root brick-shell ppermutes."""
+    BX, BY, BZ = st.geo.bricks
+    bxl = st.nb_loc // (BY * BZ)
+    loc = rc.reshape(st.bs, bxl * BY * BZ)
+    g = jax.lax.all_gather(loc, axis)          # (P, bs, bxl*BY*BZ)
+    rc_full = jnp.transpose(g, (1, 0, 2)).reshape(-1)
+    xc_full = mid_correct(mb, rc_full)
+    i = jax.lax.axis_index(axis)
+    xc3 = xc_full.reshape(st.bs, st.ndev, bxl * BY * BZ)
+    return jax.lax.dynamic_index_in_dim(
+        xc3, i, axis=1, keepdims=False).reshape(-1)
+
+
 def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
                 ainv, b_flat, x_flat, axis, win=None, interpret=False,
-                vals0s=None):
+                vals0s=None, mb=None):
     """One V-cycle on the local closed-slab blocks.  ``vals0s``: bf16
     smoother twin streamed by the preconditioner passes (the PCG matvec
-    outside this function keeps the f32 vals0)."""
+    outside this function keeps the f32 vals0).  ``mb``: replicated
+    MidBundle — mid level via _mid_replicated_correct instead of the
+    distributed per-root loop."""
     vp = vals0 if vals0s is None else vals0s
     bh = _pad_local(st, b_flat)
     xh = _pad_local(st, x_flat)
@@ -448,18 +507,21 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
     res = _unpad_local(st, res_h)
     rc = _apply_R_blk(st, rst, win, res, interpret)
 
-    # mid level smoother + coarsest
-    b1 = rc
-    x1 = jnp.zeros_like(b1)
-    for tau in st.taus1:
-        x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1, axis)) \
-            * tau
-    r1v = b1 - _mid_matvec_blk(st, blocks1, x1, axis)
-    y2 = ainv @ jax.lax.psum(r1 @ r1v, axis)
-    x1 = x1 + r1.T @ y2
-    for tau in st.taus1:
-        x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1, axis)) \
-            * tau
+    if mb is not None:
+        x1 = _mid_replicated_correct(st, mb, rc, axis)
+    else:
+        # distributed mid level smoother + coarsest
+        b1 = rc
+        x1 = jnp.zeros_like(b1)
+        for tau in st.taus1:
+            x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1,
+                                                    axis)) * tau
+        r1v = b1 - _mid_matvec_blk(st, blocks1, x1, axis)
+        y2 = ainv @ jax.lax.psum(r1 @ r1v, axis)
+        x1 = x1 + r1.T @ y2
+        for tau in st.taus1:
+            x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1,
+                                                    axis)) * tau
 
     xh = xh + _pad_local(st, _apply_P_blk(st, rst, win, x1, axis,
                                           interpret))
@@ -476,25 +538,28 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
     kernels = _local_pallas(st, hs.interpret)
     from jax import shard_map
 
+    use_mb = hs.mb is not None
+
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             vals0s, b):
+             vals0s, mb, b):
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         z = _vcycle_blk(st, kernels, vals0[0], dinv0[0], rst[0],
                         blocks1[0], dinv1[0], r1[0], ainv,
                         b[0], jnp.zeros_like(b[0]), axis,
                         win=win, interpret=hs.interpret,
-                        vals0s=None if vals0s is None else vals0s[0])
+                        vals0s=None if vals0s is None else vals0s[0],
+                        mb=mb if use_mb else None)
         return z[None]
 
     rp = P()
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rp, P(axis), rp, P(axis), P(axis)),
+                  rp, P(axis), rp, P(axis), rp, P(axis)),
         out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, b))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, b))
 
 
 def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
@@ -506,8 +571,10 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     kernels = _local_pallas(st, hs.interpret)
     from jax import shard_map
 
+    use_mb = hs.mb is not None
+
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             vals0s, b, rtol2):
+             vals0s, mb, b, rtol2):
         vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
         blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
         vals0s = None if vals0s is None else vals0s[0]
@@ -518,7 +585,7 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
             return _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1,
                                dinv1, r1, ainv, r, jnp.zeros_like(r),
                                axis, win=win, interpret=hs.interpret,
-                               vals0s=vals0s)
+                               vals0s=vals0s, mb=mb if use_mb else None)
 
         def spmv(x):
             xh = _halo_fill(st, _pad_local(st, x), axis)
@@ -555,11 +622,11 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis), P(), P(axis), P(axis), P()),
+                  P(), P(axis), P(), P(axis), P(), P(axis), P()),
         out_specs=(P(axis), P()), check_vma=False)
     jitted = jax.jit(lambda b, rtol2: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, b, rtol2))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, b, rtol2))
 
     def solve(b, rel_tol_override=None):
         rt = rel_tol if rel_tol_override is None else rel_tol_override

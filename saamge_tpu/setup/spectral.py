@@ -66,11 +66,20 @@ class Eigensolver:
 
     def __init__(self, threshold: int = ARPACK_SIZE_THRESHOLD,
                  use_truncated: bool = True,
-                 max_vectors: int = MAX_ARPACK_VECTORS):
+                 max_vectors: int = MAX_ARPACK_VECTORS,
+                 shift_invert: str = "auto"):
         self.threshold = min(threshold if use_truncated
                              else np.iinfo(np.int32).max,
                              self.AUTO_TRUNCATE_SIZE)
         self.max_vectors = max_vectors
+        # shift-invert hardening of the truncated path (the reference's
+        # ARPACK mode IS shift-invert, ARSymGenEig arpacks.cpp:220-240):
+        # 'auto' re-solves with an exact-factorization preconditioner
+        # whenever plain LOBPCG's residuals leave the theta cut in doubt
+        # (clustered low spectra on high-contrast AEs); 'always'/'never'
+        # force the choice
+        assert shift_invert in ("auto", "always", "never")
+        self.shift_invert = shift_invert
         self.stats = EigensolverStats()
 
     def solve(self, A: np.ndarray, theta: float,
@@ -151,12 +160,44 @@ class Eigensolver:
             rng = np.random.default_rng(n)
             V0 = rng.standard_normal((n, k))
             try:
-                with np.errstate(all="ignore"):
-                    w, V = spla.lobpcg(M, V0, largest=False, tol=1e-4,
-                                       maxiter=200)
-                order = np.argsort(w)
-                evals = w[order]
-                X = dhalf[:, None] * V[:, order]
+                evals = None
+                if self.shift_invert != "always":
+                    with np.errstate(all="ignore"):
+                        w, V = spla.lobpcg(M, V0, largest=False, tol=1e-4,
+                                           maxiter=200)
+                    order = np.argsort(w)
+                    evals = w[order]
+                    V = V[:, order]
+                # eigenvalue-uncertainty guard: |lambda_hat - lambda| <=
+                # ||M v - lambda_hat v|| for symmetric M; when that bound
+                # is a significant fraction of theta the cut itself is in
+                # doubt (clustered low spectra under high contrast stall
+                # unpreconditioned LOBPCG at tol 1e-4)
+                need_si = self.shift_invert == "always"
+                if (self.shift_invert == "auto" and evals is not None):
+                    Msp = M if sp.issparse(M) else None
+                    R = (M @ V if Msp is None else Msp @ V) - V * evals
+                    res = np.linalg.norm(R, axis=0) \
+                        / np.maximum(np.linalg.norm(V, axis=0), 1e-300)
+                    need_si = bool(res.max() > 0.05 * theta)
+                if need_si:
+                    # exact-factorization preconditioner = the shift-
+                    # invert analog at sigma=0 (tiny Tikhonov shift keeps
+                    # the SPSD factor nonsingular); convergence is then
+                    # gap-independent and tol can be tight
+                    Msp = (M if sp.issparse(M)
+                           else sp.csr_matrix(M)).tocsc()
+                    tau = 1e-10 * max(abs(Msp).max(), 1.0)
+                    lu = spla.splu(Msp + tau * sp.eye(n, format="csc"))
+                    prec = spla.LinearOperator((n, n), matvec=lu.solve,
+                                               matmat=lu.solve)
+                    with np.errstate(all="ignore"):
+                        w, V = spla.lobpcg(M, V0, M=prec, largest=False,
+                                           tol=1e-8, maxiter=100)
+                    order = np.argsort(w)
+                    evals = w[order]
+                    V = V[:, order]
+                X = dhalf[:, None] * V
             except Exception:
                 evals = None
         if evals is None:

@@ -620,43 +620,27 @@ class StructuredHierarchy:
         return y3.reshape(-1)
 
     # -- structured coarsest R1/P1 (block-diagonal over superbricks) ----
+    # (implementations shared with MidBundle below: the sharded mirror
+    # runs the SAME functions on a replicated coarse vector)
+    @property
+    def bs(self) -> int:
+        return self.Rst.shape[0]
+
+    @property
+    def interpret(self) -> bool:
+        return self.A0.interpret
+
     def _super_dims(self):
-        (BX, BY, BZ), (SX, SY, SZ) = self.geo.bricks, self.supers
-        return (SX, SY, SZ), (BX // SX, BY // SY, BZ // SZ)
+        return _mid_super_dims(self)
 
     def apply_R1(self, rc_flat: jnp.ndarray) -> jnp.ndarray:
-        """level-2 restriction on the slot-major padded level-1 vector:
-        regroup bricks by superbrick (a ~1 MB reshape/transpose) + one
-        batched contraction of the block-diagonal tent blocks."""
-        (SX, SY, SZ), (sx, sy, sz) = self._super_dims()
-        bs = self.Rst.shape[0]
-        W = rc_flat.reshape(bs, SX, sx, SY, sy, SZ, sz) \
-            .transpose(0, 2, 4, 6, 1, 3, 5) \
-            .reshape(bs * sx * sy * sz, SX * SY * SZ)
-        return jnp.sum(self.Rst1.astype(jnp.float32)
-                       * W[None].astype(jnp.float32), axis=1)  # (bs2,NB2)
+        return mid_apply_R1(self, rc_flat)
 
     def apply_P1(self, y2: jnp.ndarray) -> jnp.ndarray:
-        """adjoint of apply_R1: (bs2, NB2) -> slot-major (n_flat,)."""
-        (SX, SY, SZ), (sx, sy, sz) = self._super_dims()
-        bs = self.Rst.shape[0]
-        W = jnp.sum(self.Rst1.astype(jnp.float32)
-                    * y2[:, None, :].astype(jnp.float32), axis=0)
-        return W.reshape(bs, sx, sy, sz, SX, SY, SZ) \
-            .transpose(0, 4, 1, 5, 2, 6, 3) \
-            .reshape(-1)
+        return mid_apply_P1(self, y2)
 
     def _coarsest_correct(self, r1: jnp.ndarray) -> jnp.ndarray:
-        """x1 += P1 Ainv R1 r1 term of the cycle on the padded mid
-        layout; dense-R1 or structured per what compile built."""
-        if self.Rst1 is not None:
-            rc2 = self.apply_R1(r1).reshape(-1)
-            y2 = self.Ainv @ rc2[self.flat_id2]
-            y2p = jnp.zeros_like(rc2).at[self.flat_id2].set(y2)
-            nb2 = self.Rst1.shape[2]
-            return self.apply_P1(y2p.reshape(-1, nb2))
-        y2 = self.Ainv @ (self.R1 @ r1)
-        return self.R1.T @ y2
+        return mid_coarsest_correct(self, r1)
 
     # -- cycle ----------------------------------------------------------
     def _smooth_h(self, A, taus, dinvh, bh, xh, emit_res=False):
@@ -680,17 +664,7 @@ class StructuredHierarchy:
         return xh
 
     def _mid_matvec(self, x):
-        if self.A1kC is not None:
-            from saamge_tpu.ops.pallas_midmv import chunked_matvec
-            A1 = self.A1d
-            return chunked_matvec(self.A1kC, A1.doffs, A1.rects,
-                                  A1.bricks, A1.bs,
-                                  int(np.prod(A1.bricks)), self.mid_Lc,
-                                  x, interpret=self.A0.interpret)
-        if isinstance(self.A1d, BrickBlockOp):
-            return self.A1d.matvec(x)
-        return jnp.dot(self.A1d, x.astype(self.A1d.dtype),
-                       preferred_element_type=jnp.float32)
+        return mid_matvec(self, x)
 
     def vcycle(self, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """tg_cycle_atb (tg.cpp:91) on the structured formats."""
@@ -701,49 +675,174 @@ class StructuredHierarchy:
         res = self.unpad0(resh)
         rc = self.apply_R(res)
         if self.A1d is not None:
-            padded_mid = isinstance(self.A1d, BrickBlockOp)
-            b1 = rc if padded_mid else rc[self.flat_id]
-            if self.A1kT is not None and padded_mid:
-                # VMEM-resident chains: operator streams to VMEM once
-                # per chain (pre+residual, post) instead of per root
-                from saamge_tpu.ops.pallas_midsmooth import (
-                    mid_chain, pad_vec, unpad_vec)
-                A1 = self.A1d
-                NBm = int(np.prod(A1.bricks))
-                b2 = pad_vec(b1, A1.bs, NBm)
-                d2 = pad_vec(self.dinv1, A1.bs, NBm)
-                x2, r2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
-                                   A1.bricks, A1.bs, NBm, self.taus1,
-                                   b2, d2, jnp.zeros_like(b2),
-                                   emit_res=True,
-                                   interpret=self.A0.interpret,
-                                   sym=self.mid_sym)
-                x1 = unpad_vec(x2, A1.bs, NBm) \
-                    + self._coarsest_correct(unpad_vec(r2, A1.bs, NBm))
-                x2 = mid_chain(self.A1kT, A1.doffs, A1.rects,
-                               A1.bricks, A1.bs, NBm, self.taus1,
-                               b2, d2, pad_vec(x1, A1.bs, NBm),
-                               interpret=self.A0.interpret,
-                               sym=self.mid_sym)
-                xc = unpad_vec(x2, A1.bs, NBm)
-            else:
-                x1 = jnp.zeros_like(b1)
-                for it in self.taus1:
-                    x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) \
-                        * it[0]
-                r1 = b1 - self._mid_matvec(x1)
-                x1 = x1 + self._coarsest_correct(r1)
-                for it in self.taus1:
-                    x1 = x1 + self.dinv1 * (b1 - self._mid_matvec(x1)) \
-                        * it[0]
-                xc = x1 if padded_mid \
-                    else jnp.zeros_like(rc).at[self.flat_id].set(x1)
+            xc = mid_correct(self, rc)
         else:
             yc = self.Ainv @ rc[self.flat_id]
             xc = jnp.zeros_like(rc).at[self.flat_id].set(yc)
         xh = xh + self.pad0(self.apply_P(xc))
         xh = self._smooth_h(A0, self.taus0, self.dinv0h, bh, xh)
         return self.unpad0(xh)
+
+
+# ---------------------------------------------------------------------------
+# mid-level + coarsest correction, shared between the single-chip
+# hierarchy and the sharded mirror (parallel/structured_sharded.py).
+# Every function takes a duck-typed ``m`` exposing the mid/coarsest
+# fields (StructuredHierarchy or MidBundle) so the sharded path runs
+# the EXACT single-chip op sequence on a replicated coarse vector —
+# one kernel configuration, one semantics (VERDICT r3 item 4).
+
+
+def _mid_super_dims(m):
+    (BX, BY, BZ), (SX, SY, SZ) = m.geo.bricks, m.supers
+    return (SX, SY, SZ), (BX // SX, BY // SY, BZ // SZ)
+
+
+def mid_apply_R1(m, rc_flat: jnp.ndarray) -> jnp.ndarray:
+    """level-2 restriction on the slot-major padded level-1 vector:
+    regroup bricks by superbrick (a ~1 MB reshape/transpose) + one
+    batched contraction of the block-diagonal tent blocks."""
+    (SX, SY, SZ), (sx, sy, sz) = _mid_super_dims(m)
+    bs = m.bs
+    W = rc_flat.reshape(bs, SX, sx, SY, sy, SZ, sz) \
+        .transpose(0, 2, 4, 6, 1, 3, 5) \
+        .reshape(bs * sx * sy * sz, SX * SY * SZ)
+    return jnp.sum(m.Rst1.astype(jnp.float32)
+                   * W[None].astype(jnp.float32), axis=1)  # (bs2,NB2)
+
+
+def mid_apply_P1(m, y2: jnp.ndarray) -> jnp.ndarray:
+    """adjoint of mid_apply_R1: (bs2, NB2) -> slot-major (n_flat,)."""
+    (SX, SY, SZ), (sx, sy, sz) = _mid_super_dims(m)
+    bs = m.bs
+    W = jnp.sum(m.Rst1.astype(jnp.float32)
+                * y2[:, None, :].astype(jnp.float32), axis=0)
+    return W.reshape(bs, sx, sy, sz, SX, SY, SZ) \
+        .transpose(0, 4, 1, 5, 2, 6, 3) \
+        .reshape(-1)
+
+
+def mid_coarsest_correct(m, r1: jnp.ndarray) -> jnp.ndarray:
+    """x1 += P1 Ainv R1 r1 term of the cycle on the padded mid
+    layout; dense-R1 or structured per what compile built."""
+    if m.Rst1 is not None:
+        rc2 = mid_apply_R1(m, r1).reshape(-1)
+        y2 = m.Ainv @ rc2[m.flat_id2]
+        y2p = jnp.zeros_like(rc2).at[m.flat_id2].set(y2)
+        nb2 = m.Rst1.shape[2]
+        return mid_apply_P1(m, y2p.reshape(-1, nb2))
+    y2 = m.Ainv @ (m.R1 @ r1)
+    return m.R1.T @ y2
+
+
+def mid_matvec(m, x):
+    if m.A1kC is not None:
+        from saamge_tpu.ops.pallas_midmv import chunked_matvec
+        A1 = m.A1d
+        return chunked_matvec(m.A1kC, A1.doffs, A1.rects,
+                              A1.bricks, A1.bs,
+                              int(np.prod(A1.bricks)), m.mid_Lc,
+                              x, interpret=m.interpret)
+    if isinstance(m.A1d, BrickBlockOp):
+        return m.A1d.matvec(x)
+    return jnp.dot(m.A1d, x.astype(m.A1d.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def mid_correct(m, rc: jnp.ndarray) -> jnp.ndarray:
+    """The whole coarse correction from the restricted residual ``rc``
+    (slot-major padded layout): pre mid-chain, coarsest correction,
+    post mid-chain (tg_cycle_atb's recursive coarse solve, tg.cpp:126,
+    at the mid level)."""
+    padded_mid = isinstance(m.A1d, BrickBlockOp)
+    b1 = rc if padded_mid else rc[m.flat_id]
+    if m.A1kT is not None and padded_mid:
+        # VMEM-resident chains: operator streams to VMEM once
+        # per chain (pre+residual, post) instead of per root
+        from saamge_tpu.ops.pallas_midsmooth import (
+            mid_chain, pad_vec, unpad_vec)
+        A1 = m.A1d
+        NBm = int(np.prod(A1.bricks))
+        b2 = pad_vec(b1, A1.bs, NBm)
+        d2 = pad_vec(m.dinv1, A1.bs, NBm)
+        x2, r2 = mid_chain(m.A1kT, A1.doffs, A1.rects,
+                           A1.bricks, A1.bs, NBm, m.taus1,
+                           b2, d2, jnp.zeros_like(b2),
+                           emit_res=True,
+                           interpret=m.interpret,
+                           sym=m.mid_sym)
+        x1 = unpad_vec(x2, A1.bs, NBm) \
+            + mid_coarsest_correct(m, unpad_vec(r2, A1.bs, NBm))
+        x2 = mid_chain(m.A1kT, A1.doffs, A1.rects,
+                       A1.bricks, A1.bs, NBm, m.taus1,
+                       b2, d2, pad_vec(x1, A1.bs, NBm),
+                       interpret=m.interpret,
+                       sym=m.mid_sym)
+        xc = unpad_vec(x2, A1.bs, NBm)
+    else:
+        x1 = jnp.zeros_like(b1)
+        for it in m.taus1:
+            x1 = x1 + m.dinv1 * (b1 - mid_matvec(m, x1)) * it[0]
+        r1 = b1 - mid_matvec(m, x1)
+        x1 = x1 + mid_coarsest_correct(m, r1)
+        for it in m.taus1:
+            x1 = x1 + m.dinv1 * (b1 - mid_matvec(m, x1)) * it[0]
+        xc = x1 if padded_mid \
+            else jnp.zeros_like(rc).at[m.flat_id].set(x1)
+    return xc
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class MidBundle:
+    """The mid + coarsest sub-hierarchy as a standalone (replicable)
+    pytree: exactly the fields the shared mid_* functions read.  The
+    sharded mirror replicates one of these per device and runs
+    ``mid_correct`` on the all-gathered coarse residual, so the
+    multi-chip mid level is the SAME kernels (resident Pallas chains,
+    chunked matvec, superbrick coarsest) in the SAME op order as the
+    single-chip flagship configuration."""
+    A1d: Optional[object]
+    dinv1: Optional[jnp.ndarray]
+    taus1: Optional[tuple]
+    R1: Optional[jnp.ndarray]
+    Ainv: jnp.ndarray
+    flat_id: Optional[jnp.ndarray]
+    Rst1: Optional[jnp.ndarray]
+    flat_id2: Optional[jnp.ndarray]
+    A1kT: Optional[jnp.ndarray]
+    A1kC: Optional[tuple]
+    geo: BrickGeometry            # static
+    supers: Optional[tuple]       # static
+    mid_sym: bool                 # static
+    mid_Lc: int                   # static
+    bs: int                       # static
+    interpret: bool               # static
+    n_flat: int                   # static
+
+    def tree_flatten(self):
+        return ((self.A1d, self.dinv1, self.taus1, self.R1, self.Ainv,
+                 self.flat_id, self.Rst1, self.flat_id2, self.A1kT,
+                 self.A1kC),
+                (self.geo, self.supers, self.mid_sym, self.mid_Lc,
+                 self.bs, self.interpret, self.n_flat))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def mid_bundle(h: StructuredHierarchy) -> Optional[MidBundle]:
+    """Extract the replicable mid+coarsest bundle from a 3-level
+    hierarchy (None for two-level)."""
+    if h.A1d is None:
+        return None
+    return MidBundle(
+        A1d=h.A1d, dinv1=h.dinv1, taus1=h.taus1, R1=h.R1, Ainv=h.Ainv,
+        flat_id=h.flat_id, Rst1=h.Rst1, flat_id2=h.flat_id2,
+        A1kT=h.A1kT, A1kC=h.A1kC, geo=h.geo, supers=h.supers,
+        mid_sym=h.mid_sym, mid_Lc=h.mid_Lc, bs=h.bs,
+        interpret=h.interpret, n_flat=h.n_flat)
 
 
 @jax.jit

@@ -96,6 +96,13 @@ def main():
                     help="superbrick grid side for the 3rd level "
                          "(0 = auto: divisor of nb nearest nb/4; "
                          "-1 = unstructured kway + dense R1)")
+    ap.add_argument("--mfree", action="store_true",
+                    help="matrix-free smoother/residual twin "
+                         "(ops/pallas_mfree.py): recompute the 27 "
+                         "diagonals in VMEM from the element coefficient "
+                         "field — the single-chip CAPACITY option "
+                         "(removes the bf16 diagonal store, ~1.8 GB at "
+                         "33M dofs)")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +118,7 @@ def main():
             bundle = pickle.load(f)
         ml_obj, b, out = bundle["ml"], bundle["b"], bundle["out"]
         supers = bundle.get("supers")
+        mfree_t = bundle.get("mfree")
         out["from_cache"] = True
         ndof = out["ndof"]
     else:
@@ -131,7 +139,7 @@ def main():
                                     mesh.num_elements)
         ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
         t0 = time.perf_counter()
-        A, b, em, _, _ = assemble.build_discrete_problem(
+        A, b, em, _, ess_dofs = assemble.build_discrete_problem(
             mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
         phases["assemble_s"] = round(time.perf_counter() - t0, 2)
         ndof = A.shape[0]
@@ -204,8 +212,14 @@ def main():
             "platform": jax.devices()[0].platform,
         }
         ml_obj = s.ml
+        mfree_t = None
+        if args.mfree:
+            fac = assemble.diffusion_factorized(mesh, coefs)
+            assert fac is not None, "operator does not factorize"
+            mfree_t = (fac[0], fac[1], ess_dofs)
         if args.hier_cache:
             bundle = solve_bundle(s.ml, b, out, supers=supers)
+            bundle["mfree"] = mfree_t
             with open(args.hier_cache + ".tmp", "wb") as f:
                 pickle.dump(bundle, f)
             os.replace(args.hier_cache + ".tmp", args.hier_cache)
@@ -223,13 +237,16 @@ def main():
         nzn = args.n + 1
         layout = "zlane" if (-(-nzn // 128) * 128) / nzn <= 1.35 \
             else "flat"
+        use_mfree = args.mfree and mfree_t is not None
         h = compile_structured(ml_obj, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16, fine_layout=layout,
                                super_bricks=supers,
-                               window_contract=True, wavefront=True)
+                               window_contract=True, wavefront=True,
+                               mfree=mfree_t if use_mfree else None)
         out["fine_layout"] = layout
         out["supers"] = supers
+        out["mfree"] = use_mfree
         out["mid_resident"] = h.A1kT is not None
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
@@ -257,6 +274,14 @@ def main():
         dt = min(draws)
         out["vcycle_ms"] = round(dt * 1e3, 3)
         out["dofs_per_sec"] = round(ndof / dt, 1)
+        try:
+            ms = jax.local_devices()[0].memory_stats() or {}
+            out["peak_hbm_gb"] = round(
+                ms.get("peak_bytes_in_use", 0) / 1e9, 2)
+            out["hbm_limit_gb"] = round(
+                ms.get("bytes_limit", 0) / 1e9, 2)
+        except Exception:
+            pass
 
     print(json.dumps(out))
 

@@ -165,3 +165,57 @@ def test_svd_dedup_drops_injected_duplicate_vector():
     # same column space: projections onto each other's range agree
     Q1, _ = np.linalg.qr(P1)
     assert np.linalg.norm(P2 - Q1 @ (Q1.T @ P2)) <= 1e-8
+
+
+def _clustered_contrast_chain(n=600, ninc=6, strong=1e6):
+    """1D diffusion chain with ``ninc`` strong inclusions separated by
+    weak links: the weighted-l1-scaled operator has ``ninc`` clustered
+    near-zero eigenvalues — the high-contrast regime where
+    unpreconditioned LOBPCG at tol 1e-4 stalls (the reference handles
+    it with shift-invert ARPACK, arpacks.cpp:220-240)."""
+    import scipy.sparse as sp
+    coef = np.ones(n + 1)
+    for i in range(ninc):
+        coef[i * (n // ninc) + 5:i * (n // ninc) + (n // ninc) - 5] = strong
+    rows, cols, vals = [], [], []
+    for e in range(n):
+        c = coef[e]
+        for (i, j, v) in ((e, e, c), (e + 1, e + 1, c),
+                          (e, e + 1, -c), (e + 1, e, -c)):
+            rows.append(i), cols.append(j), vals.append(v)
+    A = sp.coo_matrix((vals, (rows, cols)),
+                      shape=(n + 1, n + 1)).tocsr()
+    return A + 1e-8 * sp.eye(n + 1)
+
+
+def test_truncated_shift_invert_clustered_spectrum():
+    """VERDICT r3 item 6: on a clustered low spectrum the plain
+    truncated path misses the theta cut (eigenvalue errors ~1e-7 around
+    a theta=1e-7 cut) while the shift-invert-hardened path reproduces
+    the direct solver's coarse dimension and eigenvalues."""
+    from saamge_tpu.setup.spectral import Eigensolver, weighted_l1_diag
+    A = _clustered_contrast_chain()
+    theta = 1e-7
+    B = weighted_l1_diag(A)
+    dhalf = 1.0 / np.sqrt(B)
+    M = (dhalf[:, None] * A.toarray()) * dhalf[None, :]
+    evals_true = np.linalg.eigvalsh(0.5 * (M + M.T))
+    m_true = max(int(np.searchsorted(evals_true, theta, side="right")), 1)
+    assert m_true == 6            # the six inclusion modes
+
+    # plain truncated path (shift_invert='never'): the documented
+    # failure — wrong theta-cut count on this spectrum
+    eig_plain = Eigensolver(shift_invert="never")
+    Xp, _, _ = eig_plain.solve(A, theta)
+    assert Xp.shape[1] < m_true
+
+    # hardened path ('auto' triggers the residual guard here)
+    eig = Eigensolver(shift_invert="auto")
+    X, skipped, _ = eig.solve(A, theta)
+    assert X.shape[1] == m_true, (X.shape, m_true)
+    # eigenvalue accuracy at the cut: Rayleigh quotients of returned
+    # vectors match the true lowest eigenvalues far below theta
+    Bx = B[:, None] * X
+    rq = np.einsum("im,im->m", X, A @ X) / np.einsum("im,im->m", X, Bx)
+    assert np.abs(np.sort(rq) - evals_true[:m_true]).max() < 1e-9
+    assert skipped >= theta

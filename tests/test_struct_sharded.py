@@ -142,3 +142,81 @@ def test_sharded_struct_bf16_twins_match_single(ndev):
                                     max_iter=80)
     x, it = make_struct_sharded_pcg(hs, max_iter=80)(bsh)
     assert int(it) == int(it_ref), (int(it), int(it_ref))
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_struct_resident_mid_matches_single(ndev):
+    """VERDICT r3 item 4: the FLAGSHIP kernel configuration (VMEM-
+    resident mid chains + bf16 twins + fused window contraction) shards
+    with IDENTICAL semantics: the sharded mirror replicates the
+    MidBundle and runs the exact single-chip mid_correct on the
+    all-gathered coarse residual, so the V-cycle matches bitwise-level
+    and PCG iteration counts are equal."""
+    s, A, b, geo = _setup(8, 4, 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock",
+                           mid_dtype=jnp.bfloat16,
+                           smoother_dtype=jnp.bfloat16,
+                           rp_dtype=jnp.bfloat16,
+                           window_contract=True)
+    assert h.A1kT is not None, "resident mid chain should engage"
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h, bdev))
+    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=80)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    assert hs.mb is not None, "flagship config must auto-replicate mid"
+    bsh = scatter_fine(hs, b)
+    y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+    x, it = make_struct_sharded_pcg(hs, max_iter=80)(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
+    xh = gather_fine(hs, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ndev", [2])
+def test_sharded_struct_superbrick_coarsest(ndev):
+    """Superbrick (structured block-diagonal) coarsest restriction —
+    previously single-chip-only (the sharded path demanded a dense R1)
+    — now shards through the replicated MidBundle."""
+    from saamge_tpu.topology.part import partition_cartesian_bricks
+    n, nb = 8, 4
+    mesh_h = hex_mesh(n)
+    ess = np.ones(mesh_h.max_bdr_attr(), dtype=np.int64)
+    rng = np.random.default_rng(5)
+    coefs = 10.0 ** rng.uniform(-1.0, 1.0, mesh_h.num_elements)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        mesh_h, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh_h.elem_centers(), nb, nb, nb)
+    supers = (2, 2, 2)
+    override = lambda i: partition_cartesian_bricks(  # noqa: E731
+        (nb,) * 3, supers)
+    s = SpectralAMGSolver(
+        A, mesh_h, em,
+        SolverOptions(num_levels=3, correct_nulspace=False,
+                      device_setup=False),
+        ess_attr_marker=ess, partitioning=part,
+        coarse_part_override=override)
+    geo = BrickGeometry((nb,) * 3, (n // nb,) * 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock",
+                           super_bricks=supers, window_contract=True,
+                           rp_dtype=jnp.bfloat16)
+    assert h.Rst1 is not None
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h, bdev))
+    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=80)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh)
+    assert hs.mb is not None
+    bsh = scatter_fine(hs, b)
+    y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+    x, it = make_struct_sharded_pcg(hs, max_iter=80)(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
