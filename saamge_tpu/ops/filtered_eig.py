@@ -162,6 +162,49 @@ def batched_smallest_eigs(M, m: int, degree: int = 16, rounds: int = 4,
     return w, Xr, resh
 
 
+def warmup_threads(B: int, n: int, m: int, degree: int = 16,
+                   rounds: int = 4):
+    """Start compiling the filter-round programs at the (B, n, m)
+    production signature CONCURRENTLY on daemon threads and return the
+    thread list (join optional — a later real call on the same
+    signature blocks on jit's per-signature compile lock, so correctness
+    never depends on the join).
+
+    Purpose: the tunnel backend charges 30-1000 s PER remote compile
+    and the pipeline's programs (first round, rest rounds, residuals)
+    are independent — compiling them concurrently (server permitting)
+    and overlapped with the caller's host-side work removes the
+    serialization of compile round-trips from the setup wall time
+    (VERDICT r3 item 2).  Dummy well-conditioned inputs (identity
+    stack) populate the dispatch cache at the exact shapes."""
+    import threading
+
+    first, rest = _build(n, m, degree, rounds)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), (B, n, n))
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.standard_normal((B, n, m)), jnp.float32)
+    ones = jnp.ones((B,), jnp.float32)
+
+    def _go(fn, *args):
+        try:
+            out = fn(*args)
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready()
+                if hasattr(x, "block_until_ready") else x, out)
+        except Exception:     # warm-up must never break the real path
+            pass
+
+    jobs = [(first, eye, X0, jnp.float32(0.05)),
+            (rest, eye, X0, ones, ones),
+            (_residuals, eye, X0, jnp.ones((B, m), jnp.float32))]
+    threads = []
+    for job in jobs:
+        t = threading.Thread(target=_go, args=job, daemon=True)
+        t.start()
+        threads.append(t)
+    return threads
+
+
 @jax.jit
 def _residuals(M, X, w):
     """Per-pair residual norms ||M x_k - w_k x_k||_2, (B, m)."""

@@ -298,6 +298,29 @@ def uniform_spectral_cut(elem_data, theta: float,
         bpad = 8
         while bpad < nparts:
             bpad *= 2
+    # concurrent compile warm-up (VERDICT r3 item 2): the tunnel backend
+    # charges 30-1000 s PER remote compile; the pipeline's programs
+    # (assembly matmul; filter first/rest/residuals) are independent, so
+    # start them compiling on daemon threads at the exact production
+    # signatures — the loop's first real call blocks on jit's
+    # per-signature compile lock, so this is overlap, never duplication.
+    # (Gated off the mesh path: sharded inputs are a different program
+    # signature; and off CPU, where compiles are cheap.)
+    if mesh is None and jax.devices()[0].platform == "tpu":
+        import threading
+
+        def _warm_assemble():
+            try:
+                cz = jnp.zeros((bpad, coef2.shape[1]), jnp.float32)
+                ez = jnp.zeros((bpad, n), bool)
+                assemble(cz, pat_dev, ez)[0].block_until_ready()
+            except Exception:
+                pass
+
+        threading.Thread(target=_warm_assemble, daemon=True).start()
+        if use_filter:
+            from saamge_tpu.ops.filtered_eig import warmup_threads
+            warmup_threads(bpad, n, kmax)
     for c0 in range(0, nparts, bpad):
         idx = np.arange(c0, min(c0 + bpad, nparts))
         pidx = idx

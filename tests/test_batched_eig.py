@@ -109,3 +109,22 @@ def test_batched_cut_sharded_over_mesh(mats):
         assert cut0[i].shape == cut1[i].shape
         np.testing.assert_allclose(b0[i], b1[i], rtol=1e-12)
         np.testing.assert_allclose(abs(cut0[i]), abs(cut1[i]), atol=1e-5)
+
+
+def test_filtered_eig_warmup_threads_harmless():
+    """Concurrent compile warm-up must populate the dispatch cache
+    without perturbing the real computation's results."""
+    import numpy as np
+    import jax.numpy as jnp
+    from saamge_tpu.ops.filtered_eig import (batched_smallest_eigs,
+                                             warmup_threads)
+    rng = np.random.default_rng(0)
+    B, n, m = 4, 48, 8
+    A = rng.standard_normal((B, n, n)).astype(np.float32)
+    M = jnp.asarray((A + A.transpose(0, 2, 1)) / (2 * np.sqrt(n))
+                    + 2.0 * np.eye(n, dtype=np.float32))
+    w_ref, X_ref, _ = batched_smallest_eigs(M, m)
+    for t in warmup_threads(B, n, m):
+        t.join(timeout=120)
+    w2, X2, _ = batched_smallest_eigs(M, m)
+    assert np.allclose(w_ref, w2, rtol=0, atol=1e-6)
