@@ -22,8 +22,8 @@ Setup caching: the full host setup (60-300 s at n=96, dominated by
 remote-compile latency of the device eig pipeline) is pickled to
 ``.bench_cache/`` keyed by (n, brick, levels, theta, contrast,
 bundle-version).  A rerun loads the bundle and goes straight to the
-solve-phase measurement.  ``scripts/warm_bench_cache.py`` (or any
-previous bench run) leaves the cache warm for the driver.
+solve-phase measurement — any previous bench run leaves the cache warm
+for the driver.
 
 Measurement semantics (unchanged from round 3):
 - vs_baseline is MEASURED: the same V-cycle applied through scipy-CSR
