@@ -911,9 +911,13 @@ def build_parser():
                     help="seconds before declaring the TPU tunnel dead")
     ap.add_argument("--no-probe", action="store_true",
                     help="skip the tunnel liveness probe")
-    ap.add_argument("--budget", type=float, default=1500.0,
+    ap.add_argument("--budget", type=float, default=1000.0,
                     help="supervisor wall-clock budget (s); on overrun "
-                         "the last complete snapshot is emitted")
+                         "the last complete snapshot is emitted.  Both "
+                         "measured full TPU runs complete in 661-780 s; "
+                         "the default guards against an external driver "
+                         "timeout (>= ~1200 s) killing the parent before "
+                         "it can print")
     ap.add_argument("--components", action="store_true",
                     help="also run the per-component timed_chain probes "
                          "(each is an extra remote compile)")
