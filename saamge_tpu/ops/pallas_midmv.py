@@ -64,18 +64,35 @@ def chunk_plan(doffs, bricks: Tuple[int, int, int], NB: int):
     return Lc, Lpad, Lpad // Lc
 
 
-def prep_blocks_chunked(op) -> Tuple[Tuple[jnp.ndarray, ...], int]:
+def prep_blocks_chunked(op, host_blocks=None
+                        ) -> Tuple[Tuple[jnp.ndarray, ...], int]:
     """BrickBlockOp.blocks (k, s1, s2, NB) -> per-offset packed
     (r2_k, r1pad_k, Lpad) arrays for the chunked matvec, plus Lc.
-    One-time host-side cost at compile."""
-    _, bs, _, NB = op.blocks.shape
+    One-time cost at compile.  ``host_blocks``: do the slice/transpose/
+    pad in numpy and upload only the packed result — the device-side
+    prep holds several padded temporaries at once, which at 33M-dof
+    scale (NB=64000, bs~24) exhausted HBM on top of the resident fine
+    operator (observed RESOURCE_EXHAUSTED; the host path is the
+    capacity default via compile_structured hbm_frugal)."""
+    NB = (host_blocks.shape[3] if host_blocks is not None
+          else op.blocks.shape[3])
     Lc, Lpad, _ = chunk_plan(op.doffs, op.bricks, NB)
+    dtype = op.blocks.dtype
     out = []
     for k in range(len(op.doffs)):
         r1, r2 = op.rects[k]
         r1p = _round_up(max(r1, 1), SUB)
-        bT = jnp.transpose(op.blocks[k, :r1, :r2, :], (1, 0, 2))
-        out.append(jnp.pad(bT, ((0, 0), (0, r1p - r1), (0, Lpad - NB))))
+        if host_blocks is not None:
+            import numpy as np
+            bT = np.ascontiguousarray(
+                host_blocks[k, :r1, :r2, :].transpose(1, 0, 2))
+            padded = np.zeros((r2, r1p, Lpad), np.float32)
+            padded[:, :r1, :NB] = bT
+            out.append(jnp.asarray(padded, dtype))
+        else:
+            bT = jnp.transpose(op.blocks[k, :r1, :r2, :], (1, 0, 2))
+            out.append(jnp.pad(bT, ((0, 0), (0, r1p - r1),
+                                    (0, Lpad - NB))))
     return tuple(out), Lc
 
 

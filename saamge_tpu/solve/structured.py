@@ -347,7 +347,15 @@ class BrickBlockOp:
     @staticmethod
     def from_csr(Ac: sp.csr_matrix, cd_brick: np.ndarray,
                  slot: np.ndarray, bs: int, bricks: Tuple[int, int, int],
-                 dtype=jnp.float32) -> "BrickBlockOp":
+                 dtype=jnp.float32,
+                 host_blocks_out: Optional[list] = None
+                 ) -> "BrickBlockOp":
+        """``host_blocks_out``: when a list is passed, the host numpy
+        blocks are appended to it and the DEVICE blocks are a (k,1,1,1)
+        placeholder — the HBM-frugal mode for operators consumed only
+        through the packed chunked-matvec arrays (capacity runs: the
+        full padded blocks are GBs at 33M dofs and the chunked path
+        never reads them)."""
         BX, BY, BZ = bricks
         coo = Ac.tocoo()
         p, q = cd_brick[coo.row], cd_brick[coo.col]
@@ -387,7 +395,12 @@ class BrickBlockOp:
                 jn = dmap[nd]
                 r1, r2 = rects[j]
                 rects[j] = (max(r1, rects[jn][1]), max(r2, rects[jn][0]))
-        return BrickBlockOp(jnp.asarray(blocks, dtype), doffs,
+        if host_blocks_out is not None:
+            host_blocks_out.append(blocks)
+            dev = jnp.zeros((len(used), 1, 1, 1), dtype)
+        else:
+            dev = jnp.asarray(blocks, dtype)
+        return BrickBlockOp(dev, doffs,
                             (BX, BY, BZ), bs, rects=tuple(rects))
 
 
@@ -922,6 +935,7 @@ def compile_structured(ml, geo: BrickGeometry,
                        mfree: Optional[tuple] = None,
                        wavefront: bool = False,
                        mid_resident: Optional[bool] = None,
+                       hbm_frugal: bool = False,
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -1057,8 +1071,10 @@ def compile_structured(ml, geo: BrickGeometry,
         n2 = tg1.restr.shape[0]
         R1 = Rst1_dev = flat_id2 = None
         if mid_format == "brickblock":
+            hb_out = [] if hbm_frugal else None
             A1d = BrickBlockOp.from_csr(Ac1, cd_brick, slot, bs,
-                                        geo.bricks, mid_dtype)
+                                        geo.bricks, mid_dtype,
+                                        host_blocks_out=hb_out)
             # Galerkin => symmetric: halve the streaming-rect matvec's
             # block reads (no effect below RECT_MIN_BYTES or on the
             # sharded path, which shards the full blocks itself)
@@ -1098,7 +1114,15 @@ def compile_structured(ml, geo: BrickGeometry,
         mid_sym = False
         A1kC = None
         mid_Lc = 0
-        if isinstance(A1d, BrickBlockOp):
+        if isinstance(A1d, BrickBlockOp) and hbm_frugal:
+            # capacity mode: the device blocks are a placeholder (see
+            # from_csr host_blocks_out) — the mid level runs ONLY
+            # through the packed chunked-matvec arrays, prepped in
+            # numpy so no padded temporaries ever touch HBM
+            from saamge_tpu.ops.pallas_midmv import prep_blocks_chunked
+            A1kC, mid_Lc = prep_blocks_chunked(A1d,
+                                               host_blocks=hb_out[0])
+        elif isinstance(A1d, BrickBlockOp):
             from saamge_tpu.ops.pallas_midsmooth import (fits_mid_kernel,
                                                          prep_blocksT)
             _, bs_m, _, NB_m = A1d.blocks.shape
@@ -1127,7 +1151,14 @@ def compile_structured(ml, geo: BrickGeometry,
                     prep_blocks_chunked
                 A1kC, mid_Lc = prep_blocks_chunked(A1d)
         Ac2 = np.asarray(tg1.Ac.todense(), dtype=np.float64)
-        rst_dev = jnp.asarray(Rst, rp_dtype)
+        if hbm_frugal and window_contract:
+            # the fused window kernels are the only tent-apply path in
+            # use; skip the redundant slot-major Rst upload (a second
+            # multi-GB copy of the tent at 33M dofs).  bs stays
+            # recoverable from the placeholder's leading dim.
+            rst_dev = jnp.zeros((Rst.shape[0], 1, 1), rp_dtype)
+        else:
+            rst_dev = jnp.asarray(Rst, rp_dtype)
         return StructuredHierarchy(
             A0, dinv0h, taus0, rst_dev,
             A1d, dinv1, taus1, R1,

@@ -96,6 +96,11 @@ def main():
                     help="superbrick grid side for the 3rd level "
                          "(0 = auto: divisor of nb nearest nb/4; "
                          "-1 = unstructured kway + dense R1)")
+    ap.add_argument("--frugal", action="store_true",
+                    help="HBM-frugal compile (placeholder mid blocks + "
+                         "host-prepped chunked matvec + no redundant "
+                         "Rst upload) — required alongside --mfree for "
+                         "the 33M-dof single-chip capacity point")
     ap.add_argument("--mfree", action="store_true",
                     help="matrix-free smoother/residual twin "
                          "(ops/pallas_mfree.py): recompute the 27 "
@@ -243,7 +248,8 @@ def main():
                                rp_dtype=jnp.bfloat16, fine_layout=layout,
                                super_bricks=supers,
                                window_contract=True, wavefront=True,
-                               mfree=mfree_t if use_mfree else None)
+                               mfree=mfree_t if use_mfree else None,
+                               hbm_frugal=args.frugal)
         out["fine_layout"] = layout
         out["supers"] = supers
         out["mfree"] = use_mfree

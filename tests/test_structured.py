@@ -330,3 +330,26 @@ def test_struct_wavefront_bf16_twin_matches():
     _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=60)
     _, it_w, _ = struct_pcg_solve(h_w, bdev, max_iter=60)
     assert int(it_w) == int(it_ref)
+
+
+def test_hbm_frugal_capacity_mode_matches_default():
+    """hbm_frugal (the 33M-dof capacity configuration: placeholder mid
+    blocks + numpy-prepped chunked matvec arrays + no redundant Rst
+    upload under window_contract) must apply the same preconditioner:
+    V-cycle agreement and equal PCG iteration counts."""
+    s, b, geo = _setup(8, 4, num_levels=3)
+    kw = dict(fine_layout="zlane", mid_format="brickblock",
+              mid_dtype=jnp.bfloat16, smoother_dtype=jnp.bfloat16,
+              rp_dtype=jnp.bfloat16, window_contract=True,
+              mid_resident=False)
+    h0 = compile_structured(s.ml, geo, **kw)
+    hf = compile_structured(s.ml, geo, hbm_frugal=True, **kw)
+    assert hf.A1kC is not None and hf.A1d.blocks.size <= 32
+    assert hf.Rst.size == hf.Rst.shape[0]
+    bdev = jnp.asarray(b, jnp.float32)
+    y0 = np.asarray(struct_vcycle_apply(h0, bdev))
+    yf = np.asarray(struct_vcycle_apply(hf, bdev))
+    assert np.abs(yf - y0).max() <= 1e-5 * max(np.abs(y0).max(), 1e-30)
+    _, it0, _ = struct_pcg_solve(h0, bdev, max_iter=80)
+    _, itf, _ = struct_pcg_solve(hf, bdev, max_iter=80)
+    assert int(itf) == int(it0), (int(itf), int(it0))
