@@ -936,6 +936,7 @@ def compile_structured(ml, geo: BrickGeometry,
                        wavefront: bool = False,
                        mid_resident: Optional[bool] = None,
                        hbm_frugal: bool = False,
+                       ainv_dtype=jnp.float32,
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -1159,10 +1160,17 @@ def compile_structured(ml, geo: BrickGeometry,
             rst_dev = jnp.zeros((Rst.shape[0], 1, 1), rp_dtype)
         else:
             rst_dev = jnp.asarray(Rst, rp_dtype)
+        ainv_dev = _device_spd_inverse(Ac2)
+        if ainv_dtype != jnp.float32:
+            # capacity option: the coarsest dense inverse is n2^2 f32
+            # (1.14 GB at n2=16849); bf16 halves it.  Only perturbs a
+            # preconditioner component — the reference's coarse solve
+            # is one approximate BoomerAMG V-cycle (tg.hpp:724-730)
+            ainv_dev = ainv_dev.astype(ainv_dtype)
         return StructuredHierarchy(
             A0, dinv0h, taus0, rst_dev,
             A1d, dinv1, taus1, R1,
-            _device_spd_inverse(Ac2), geo, lv0.A.shape[0], n_flat,
+            ainv_dev, geo, lv0.A.shape[0], n_flat,
             flat_id=jnp.asarray(flat_id, jnp.int32), nzp=nzp, A0s=A0s,
             Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract
                                    and not window_contract),

@@ -243,13 +243,31 @@ def main():
         layout = "zlane" if (-(-nzn // 128) * 128) / nzn <= 1.35 \
             else "flat"
         use_mfree = args.mfree and mfree_t is not None
+        if args.frugal:
+            # capacity: flat stores NZn/nzp fewer padded diagonal bytes
+            # (0.7 GB at 33M dofs) — capacity beats the zlane kernel win
+            layout = "flat"
         h = compile_structured(ml_obj, geo, mid_dtype=jnp.bfloat16,
                                smoother_dtype=jnp.bfloat16,
                                rp_dtype=jnp.bfloat16, fine_layout=layout,
                                super_bricks=supers,
                                window_contract=True, wavefront=True,
                                mfree=mfree_t if use_mfree else None,
-                               hbm_frugal=args.frugal)
+                               hbm_frugal=args.frugal,
+                               ainv_dtype=(jnp.bfloat16 if args.frugal
+                                           else jnp.float32))
+
+        def _hbm(tag):
+            try:
+                ms = jax.local_devices()[0].memory_stats() or {}
+                print(f"[hbm {tag}] in_use="
+                      f"{ms.get('bytes_in_use', 0)/1e9:.2f}G peak="
+                      f"{ms.get('peak_bytes_in_use', 0)/1e9:.2f}G limit="
+                      f"{ms.get('bytes_limit', 0)/1e9:.2f}G",
+                      file=sys.stderr, flush=True)
+            except Exception:
+                pass
+        _hbm("post-compile")
         out["fine_layout"] = layout
         out["supers"] = supers
         out["mfree"] = use_mfree
@@ -257,6 +275,7 @@ def main():
         out["compile_s"] = round(time.perf_counter() - t0, 2)
         bdev = jnp.asarray(b, jnp.float32)
         x, iters, relres = struct_pcg_solve(h, bdev, max_iter=200)
+        _hbm("post-pcg")
         out["pcg_iters"] = int(iters)
         out["rel_res"] = float(relres)
 
