@@ -300,6 +300,9 @@ def run_bench(args):
         # honor an explicit CPU request (the axon sitecustomize ignores
         # the env var; the config API wins — cf. tests/conftest.py)
         jax.config.update("jax_platforms", "cpu")
+        # CPU backend => no persistent compile cache (machine-feature-
+        # mismatched CPU AOT loads segfault; saamge_tpu.__init__)
+        jax.config.update("jax_compilation_cache_dir", None)
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform

@@ -25,8 +25,18 @@ import os as _os
 def _enable_persistent_compile_cache() -> None:
     """TPU compile times for the batched setup eigensolves are minutes per
     shape while cached runs are milliseconds; a persistent on-disk XLA cache
-    makes them one-time.  Opt out with SAAMGE_TPU_NO_COMPILE_CACHE=1."""
+    makes them one-time.  Opt out with SAAMGE_TPU_NO_COMPILE_CACHE=1.
+
+    NEVER enabled for the CPU backend: a cached XLA:CPU AOT executable
+    embeds the compile machine's CPU features and the cache key does
+    NOT (jax logs "machine type ... doesn't match" and loading has been
+    observed to SEGFAULT the process mid-testsuite on this VM fleet).
+    Callers that pin the CPU platform after import (tests/conftest,
+    dryrun_multichip, bench's tunnel fallback) must also call
+    disable_compile_cache()."""
     if _os.environ.get("SAAMGE_TPU_NO_COMPILE_CACHE"):
+        return
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return
     try:
         import jax
@@ -37,6 +47,16 @@ def _enable_persistent_compile_cache() -> None:
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def disable_compile_cache() -> None:
+    """Turn the persistent compile cache off for this process (REQUIRED
+    after pinning the CPU platform — see _enable_persistent_compile_cache)."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", None)
     except Exception:
         pass
 

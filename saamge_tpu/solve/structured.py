@@ -511,12 +511,17 @@ class StructuredHierarchy:
     # matvec measures ~6x over stream at n=200)
     A1kC: Optional[tuple] = None
     mid_Lc: int = 0               # static chunk size of A1kC
+    # full-capacity mode (hbm_frugal + mfree): the PCG operator itself
+    # is an exact-f32 matrix-free twin — NO stored fine operator at all
+    # (A0.vals2 is then a placeholder; only pad/unpad geometry remains)
+    A0m: Optional[object] = None
 
     def tree_flatten(self):
         return ((self.A0, self.dinv0h, self.taus0, self.Rst, self.A1d,
                  self.dinv1, self.taus1, self.R1, self.Ainv,
                  self.flat_id, self.A0s, self.Rst_pad, self.Rst1,
-                 self.flat_id2, self.Wc, self.A1kT, self.A1kC),
+                 self.flat_id2, self.Wc, self.A1kT, self.A1kC,
+                 self.A0m),
                 (self.geo, self.n_fine, self.n_flat, self.nzp,
                  self.supers, self.wavefront, self.mid_sym,
                  self.mid_Lc))
@@ -529,7 +534,8 @@ class StructuredHierarchy:
                    supers=aux[4], flat_id2=children[13],
                    Wc=children[14], wavefront=aux[5],
                    A1kT=children[15], mid_sym=aux[6],
-                   A1kC=children[16], mid_Lc=aux[7])
+                   A1kC=children[16], mid_Lc=aux[7],
+                   A0m=children[17])
 
     # -- fine-level layout plumbing --------------------------------------
     def _to_zlane(self, x):
@@ -556,7 +562,8 @@ class StructuredHierarchy:
 
     def matvec0(self, x):
         """y = A x on original-layout flat vectors (the PCG operator)."""
-        return self.unpad0(self.A0.matvec_h(self.pad0(x)), x.dtype)
+        op = self.A0m if self.A0m is not None else self.A0
+        return self.unpad0(op.matvec_h(self.pad0(x)), x.dtype)
 
     # -- structured tentative P/R apply ---------------------------------
     def apply_R(self, res_flat: jnp.ndarray) -> jnp.ndarray:
@@ -1037,6 +1044,7 @@ def compile_structured(ml, geo: BrickGeometry,
     assert dia0 is not None, "finest operator is not stencil-structured"
     A0 = PallasDIA.from_dia(dia0, interpret=interpret)
     A0s = None
+    A0m = None
     if mfree is not None:
         from saamge_tpu.ops.pallas_mfree import MatrixFreeQ1
         em0_mf, c_mf, ess_mf = mfree
@@ -1045,9 +1053,23 @@ def compile_structured(ml, geo: BrickGeometry,
             cdtype=(smoother_dtype if smoother_dtype is not None
                     else jnp.float32),
             interpret=interpret, A_csr=lv0.A)
+        if hbm_frugal:
+            # full capacity mode: the PCG matvec is an exact-f32
+            # matrix-free twin too — the k*n f32 diagonal store
+            # (3.6 GB at 33M dofs) never lives in HBM; A0 keeps only
+            # its pad/unpad geometry (placeholder values)
+            from saamge_tpu.ops.pallas_stencil import LANES as _LN
+            A0m = MatrixFreeQ1.build(
+                c_mf, ess_mf, em0_mf, geo.nodes, nzp, A0,
+                cdtype=jnp.float32, interpret=interpret)
+            A0 = PallasDIA(
+                jnp.zeros((len(A0.offsets), 1, _LN), jnp.float32),
+                A0.offsets, A0.shape, A0.n_rows_pad, A0.br, A0.hb,
+                A0.interpret)
     elif smoother_dtype is not None and smoother_dtype != jnp.float32:
         A0s = PallasDIA.from_dia(dia0, interpret=interpret,
                                  dtype=smoother_dtype)
+    del dia0
     dinv0h = A0.pad(jnp.asarray(dinv_np, jnp.float32))
     pd0 = tg0.poly_data
     assert pd0.roots2 is None or len(pd0.roots2) == 0, \
@@ -1177,7 +1199,7 @@ def compile_structured(ml, geo: BrickGeometry,
             Rst1=Rst1_dev, supers=super_bricks, flat_id2=flat_id2,
             Wc=_maybe_window(Rst, geo, window_contract),
             wavefront=wavefront, A1kT=A1kT, mid_sym=mid_sym,
-            A1kC=A1kC, mid_Lc=mid_Lc)
+            A1kC=A1kC, mid_Lc=mid_Lc, A0m=A0m)
 
     # two-level: coarsest inverse stored UNPADDED (n_c x n_c)
     rst_dev = jnp.asarray(Rst, rp_dtype)
@@ -1190,7 +1212,7 @@ def compile_structured(ml, geo: BrickGeometry,
         Rst_pad=_maybe_pad_rst(rst_dev, use_pallas_contract
                                and not window_contract),
         Wc=_maybe_window(Rst, geo, window_contract),
-        wavefront=wavefront)
+        wavefront=wavefront, A0m=A0m)
 
 
 def _maybe_window(Rst_np: np.ndarray, geo: BrickGeometry,

@@ -4,6 +4,11 @@ import sys
 # Virtual multi-device CPU mesh for sharding tests (stands in for mpirun -n N
 # in the reference's pmltest); must be set before jax import.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Never use the persistent compile cache on the CPU backend: cached
+# XLA:CPU AOT executables embed compile-machine CPU features the cache
+# key does not, and loading a mismatched one SEGFAULTED a full test run
+# (jax compilation_cache.get_executable_and_time -> SIGSEGV).
+os.environ["SAAMGE_TPU_NO_COMPILE_CACHE"] = "1"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -122,3 +122,49 @@ def test_structured_mfree_bf16_iterations():
     _, it16, res16 = struct_pcg_solve(h16, bdev, max_iter=60)
     assert int(it16) <= int(it32) + 2
     assert float(res16) <= 1e-6 * np.linalg.norm(b) * 1.01
+
+
+def test_full_mfree_capacity_pcg():
+    """hbm_frugal + mfree: NO stored fine operator at all — the PCG
+    matvec is an exact-f32 matrix-free twin (A0 keeps placeholder
+    values only) and the smoother recomputes in bf16.  The solve must
+    still reach the true tolerance against the assembled operator."""
+    import numpy as np
+    import jax.numpy as jnp
+    from saamge_tpu.api import SpectralAMGSolver
+    from saamge_tpu.config import SolverOptions
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import hex_mesh
+    from saamge_tpu.topology.part import partition_cartesian_3d
+    from saamge_tpu.solve.structured import (BrickGeometry,
+                                             compile_structured,
+                                             struct_pcg_solve)
+    n, nb = 8, 4
+    mesh = hex_mesh(n)
+    ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
+    rng = np.random.default_rng(5)
+    coefs = 10.0 ** rng.uniform(-1.0, 1.0, mesh.num_elements)
+    A, b, em, _, ess_dofs = assemble.build_discrete_problem(
+        mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(mesh.elem_centers(), nb, nb, nb)
+    s = SpectralAMGSolver(
+        A, mesh, em,
+        SolverOptions(num_levels=3, correct_nulspace=False,
+                      device_setup=False),
+        ess_attr_marker=ess, partitioning=part)
+    fac = assemble.diffusion_factorized(mesh, coefs)
+    geo = BrickGeometry((nb,) * 3, (n // nb,) * 3)
+    hf = compile_structured(
+        s.ml, geo, fine_layout="flat", mid_format="brickblock",
+        mid_dtype=jnp.bfloat16, smoother_dtype=jnp.bfloat16,
+        rp_dtype=jnp.bfloat16, window_contract=True, mid_resident=False,
+        mfree=(fac[0], fac[1], ess_dofs), hbm_frugal=True,
+        ainv_dtype=jnp.bfloat16)
+    assert hf.A0m is not None
+    assert hf.A0.vals2.shape[1] == 1        # no stored fine operator
+    assert hf.A1d.blocks.size <= 32         # no stored mid blocks
+    x, it, _ = struct_pcg_solve(hf, jnp.asarray(b, jnp.float32),
+                                max_iter=80)
+    rel = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+    assert int(it) <= 10
