@@ -53,15 +53,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chunk_plan(doffs, bricks: Tuple[int, int, int], NB: int):
-    """(Lc, Lpad, C): lane-chunk size covering every offset shift, the
-    chunk-padded lane count, and the grid length."""
+# double-buffered per-chunk VMEM the packed block refs may occupy; the
+# kernel raises the scoped limit to 100 MB, and the window/out/acc need
+# the rest.  At nb=40 (33M dofs) a single-chunk plan needs Lc=1664 and
+# the 27 block refs cost ~113 MB — over the physical VMEM — hence the
+# multi-side-ref plan below.
+BLOCK_VMEM_BUDGET = 48 << 20
+
+
+def chunk_plan(doffs, bricks: Tuple[int, int, int], NB: int,
+               rects=None, itemsize: int = 4):
+    """(Lc, Lpad, C, nside): lane-chunk size, chunk-padded lane count,
+    grid length, and the number of SIDE x-refs per side needed to cover
+    the largest offset shift (1 when one chunk covers it).  With
+    ``rects`` given, Lc shrinks (min 512) until the double-buffered
+    packed block refs fit BLOCK_VMEM_BUDGET — the x window then spans
+    2*nside+1 shifted refs instead of 3."""
     _, BY, BZ = bricks
     maxs = max(abs(int(dx)) * BY * BZ + abs(int(dy)) * BZ + abs(int(dz))
                for dx, dy, dz in doffs)
     Lc = max(_round_up(max(maxs, 1), LANES), 512)
+    if rects is not None:
+        rows = sum(_round_up(max(r1, 1), SUB) * r2 for r1, r2 in rects)
+        while Lc > 512 and 2 * itemsize * Lc * rows > BLOCK_VMEM_BUDGET:
+            Lc = _round_up(max(Lc // 2, 512), LANES)
+    nside = -(-maxs // Lc) if maxs else 1
     Lpad = _round_up(NB, Lc)
-    return Lc, Lpad, Lpad // Lc
+    return Lc, Lpad, Lpad // Lc, max(nside, 1)
 
 
 def prep_blocks_chunked(op, host_blocks=None
@@ -76,8 +94,10 @@ def prep_blocks_chunked(op, host_blocks=None
     capacity default via compile_structured hbm_frugal)."""
     NB = (host_blocks.shape[3] if host_blocks is not None
           else op.blocks.shape[3])
-    Lc, Lpad, _ = chunk_plan(op.doffs, op.bricks, NB)
     dtype = op.blocks.dtype
+    Lc, Lpad, _, _ = chunk_plan(op.doffs, op.bricks, NB,
+                                rects=tuple(op.rects),
+                                itemsize=dtype.itemsize)
     out = []
     for k in range(len(op.doffs)):
         r1, r2 = op.rects[k]
@@ -96,12 +116,15 @@ def prep_blocks_chunked(op, host_blocks=None
     return tuple(out), Lc
 
 
-def pad_vec_chunked(v: jnp.ndarray, bs: int, NB: int, Lc: int):
-    """(bs*NB,) slot-major flat -> (BSp, Lc + Lpad + Lc) side-padded."""
+def pad_vec_chunked(v: jnp.ndarray, bs: int, NB: int, Lc: int,
+                    nside: int = 1):
+    """(bs*NB,) slot-major flat -> (BSp, nside*Lc + Lpad + nside*Lc)
+    side-padded."""
     Lpad = _round_up(NB, Lc)
     BSp = _round_up(bs, SUB)
     return jnp.pad(v.reshape(bs, NB),
-                   ((0, BSp - bs), (Lc, Lc + Lpad - NB)))
+                   ((0, BSp - bs),
+                    (nside * Lc, nside * Lc + Lpad - NB)))
 
 
 @lru_cache(maxsize=32)
@@ -110,7 +133,11 @@ def _build_chunked_mv(doffs: Tuple[Tuple[int, int, int], ...],
                       bricks: Tuple[int, int, int], bs: int, NB: int,
                       vdtype, interpret: bool):
     _, BY, BZ = bricks
-    Lc, Lpad, C = chunk_plan(doffs, bricks, NB)
+    itemsz = jnp.dtype(vdtype).itemsize
+    Lc, Lpad, C, nside = chunk_plan(doffs, bricks, NB,
+                                    rects=tuple(rects),
+                                    itemsize=itemsz)
+    nref = 2 * nside + 1
     BSp = _round_up(bs, SUB)
     kd = len(doffs)
     shifts = tuple(int(dx) * BY * BZ + int(dy) * BZ + int(dz)
@@ -118,15 +145,16 @@ def _build_chunked_mv(doffs: Tuple[Tuple[int, int, int], ...],
 
     def kernel(*refs):
         blk = refs[:kd]
-        xm, x0, xp = refs[kd:kd + 3]
-        out = refs[kd + 3]
-        window = jnp.concatenate([xm[...], x0[...], xp[...]], axis=1)
+        xrefs = refs[kd:kd + nref]
+        out = refs[kd + nref]
+        window = jnp.concatenate([r[...] for r in xrefs], axis=1)
         acc = jnp.zeros((BSp, Lc), jnp.float32)
         for k in range(kd):
             r1, r2 = rects[k]
             r1p = _round_up(max(r1, 1), SUB)
-            xsl = jax.lax.slice(window, (0, Lc + shifts[k]),
-                                (r2, 2 * Lc + shifts[k]))
+            xsl = jax.lax.slice(
+                window, (0, nside * Lc + shifts[k]),
+                (r2, (nside + 1) * Lc + shifts[k]))
             if k:
                 # value fence: serialize the product temps (module doc);
                 # same-shape operands — Mosaic cannot broadcast a (1,1)
@@ -140,7 +168,7 @@ def _build_chunked_mv(doffs: Tuple[Tuple[int, int, int], ...],
             acc = acc + part
         out[:, :] = acc
 
-    itv = jnp.dtype(vdtype).itemsize
+    itv = itemsz
     packed_rows = sum(r2 * _round_up(max(r1, 1), SUB)
                       for r1, r2 in rects)
     used_rows = sum(r1 * r2 for r1, r2 in rects)
@@ -149,7 +177,7 @@ def _build_chunked_mv(doffs: Tuple[Tuple[int, int, int], ...],
                       lambda j: (0, 0, j))
          for r1, r2 in rects]
         + [pl.BlockSpec((BSp, Lc), lambda j, _o=o: (0, j + _o))
-           for o in range(3)])
+           for o in range(nref)])
     return pl.pallas_call(
         kernel,
         grid=(C,),
@@ -174,8 +202,11 @@ def chunked_matvec(blocks: Tuple[jnp.ndarray, ...], doffs, rects,
     from ``prep_blocks_chunked``."""
     fn = _build_chunked_mv(tuple(doffs), tuple(rects), tuple(bricks),
                            bs, NB, blocks[0].dtype, interpret)
-    xpad = pad_vec_chunked(x, bs, NB, Lc)
-    # the same side-padded vector enters through THREE shifted block
-    # refs (window = concat of chunks j, j+1, j+2 of it)
-    y2 = fn(*blocks, xpad, xpad, xpad)
+    _, _, _, nside = chunk_plan(tuple(doffs), tuple(bricks), NB,
+                                rects=tuple(rects),
+                                itemsize=blocks[0].dtype.itemsize)
+    xpad = pad_vec_chunked(x, bs, NB, Lc, nside=nside)
+    # the same side-padded vector enters through 2*nside+1 shifted
+    # block refs (window = concat of consecutive chunks of it)
+    y2 = fn(*blocks, *([xpad] * (2 * nside + 1)))
     return y2[:bs, :NB].reshape(-1)
