@@ -26,3 +26,19 @@ try:
     jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release jit executables/tracing caches at module boundaries.
+
+    With ~200 tests in one process the accumulated executables reach
+    GBs and XLA:CPU's native compile has been observed to SEGFAULT on
+    the largest program (test_struct_wavefront_bf16_twin_matches) once
+    that much is resident — the same test passes in isolation.  The
+    12:45 green runs were served by the (since-disabled, itself
+    segfault-prone) persistent cache, masking the build-up."""
+    yield
+    jax.clear_caches()
