@@ -178,30 +178,43 @@ def measure_peak_stream(jnp, jax):
 
 
 def measure_vpu_gflops(jnp, jax):
-    """Measured VPU elementwise-FMA rate (GFLOP/s) at the stencil
-    kernels' working precision mix: a long chain of dependent
-    y = |y| * a + b steps over a VMEM-resident-sized f32 block.  The
-    fine-level smoother is COMPUTE-bound (54 FLOP/node/root on the VPU),
-    so the honest denominator for its model is this rate, not HBM."""
-    N = 2 * 1024 * 1024           # 8 MB — resident, HBM out of the way
-    R = 2048
-    a = jnp.float32(0.99999)
+    """Measured VPU FMA throughput (GFLOP/s) with the stencil root
+    pass's actual program structure: K independent (vals_k * x) FMAs
+    accumulated per output element over VMEM-resident blocks — the
+    wavefront kernel's apply_stencil loop (ops/pallas_wavefront.py:
+    153-159).  A dependent-chain probe measures FMA *latency*, not
+    throughput, and under-read the rate ~7x, which made the bench's
+    compute bound 7x looser than the measurement (VERDICT r4 weak 1) —
+    always match program structure (CLAUDE.md round-3 traps)."""
+    from jax.experimental import pallas as pl
+    K, BR, M = 27, 64, 1024       # 27 offsets; (K,BR,M) f32 = 6.75 MB VMEM
+    R = 131072                    # ~944 GFLOP/call: well past the ~30 ms
+    #                               RPC floor (R=256 measured 35 GF/s —
+    #                               pure floor; R=131072 measured 2.0 TF/s)
 
-    @jax.jit
-    def f(y, b0):
-        for _ in range(R):
-            y = jnp.abs(y) * a + b0
-        return jnp.sum(y)
+    def kern(v_ref, x_ref, o_ref):
+        v = v_ref[...]
 
-    y0 = jnp.full(N, 0.5, jnp.float32)
-    b0 = jnp.full(N, 1e-6, jnp.float32)
-    float(f(y0, b0))
+        def body(r, acc):
+            y = v[0] * acc
+            for k in range(1, K):
+                y = y + v[k] * acc      # K independent FMAs, full ILP
+            return y * jnp.float32(1e-2)
+
+        o_ref[...] = jax.lax.fori_loop(0, R, body, x_ref[...])
+
+    f_pl = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((BR, M), jnp.float32))
+    fj = jax.jit(lambda v, x: jnp.sum(f_pl(v, x)))
+    v = jnp.full((K, BR, M), 1.0007, jnp.float32)
+    x = jnp.full((BR, M), 0.5, jnp.float32)
+    float(fj(v, x))
     best = float("inf")
-    for k in range(2):
+    for k in range(3):
         t0 = time.perf_counter()
-        float(f(y0 * (1.0 + 1e-7 * (k + 1)), b0))
+        float(fj(v * (1.0 + 1e-7 * (k + 1)), x))
         best = min(best, time.perf_counter() - t0)
-    return 3.0 * N * R / best / 1e9   # abs + mul + add per step
+    return (2.0 * K + 1.0) * BR * M * R / best / 1e9
 
 
 # ----------------------------------------------------------------------
@@ -506,9 +519,15 @@ def run_bench(args):
     bdev = jnp.asarray(b, jnp.float32)
     x, iters, _ = pcg(h, bdev, max_iter=200)
     iters = int(iters)
+    # the BASELINE.json metric is iteration parity at tol 1e-8
+    # (mltest.cpp:639,775 squares rel_tol; VERDICT r4 item 6): the
+    # tolerance is an operand, so this reuses the compiled program
+    _, iters8, _ = pcg(h, bdev, rel_tol=1e-8, max_iter=200)
+    iters8 = int(iters8)
 
     emit.emit(_skeleton("compiled", platform, ndof=ndof,
-                        pcg_iters=iters, compile_s=round(compile_s, 2)))
+                        pcg_iters=iters, pcg_iters_1e_8=iters8,
+                        compile_s=round(compile_s, 2)))
 
     # --- V-cycle timing: whole rep chain inside ONE jitted call, three
     # independently-compiled chains (different scan lengths = separate
@@ -542,6 +561,7 @@ def run_bench(args):
         "setup_from_cache": from_cache,
         "coarse_dims": coarse_dims,
         "pcg_iters_1e-6": iters,
+        "pcg_iters_1e-8": iters8,
         "vcycle_ms": round(dt * 1e3, 3),
         "vcycle_ms_draws": [round(d * 1e3, 3) for d in draws],
         "host_vcycle_ms": round(host_dt * 1e3, 3),

@@ -99,12 +99,14 @@ def visualize_partitioning(mesh: Mesh, partitioning: np.ndarray,
 
 def visualize_aggregates(mesh: Mesh, rels, order: int = 1, **kw) -> None:
     """fem_parallel_visualize_aggregates analog (fem.cpp:207-233):
-    per-DoF agglomerate ids as a nodal field (vertex dofs for P1)."""
+    per-DoF agglomerate ids as a nodal field.  The full order-nd field is
+    streamed so the declared FE space matches the value count (fem.cpp's
+    aggregate view sends the whole fespace-sized function)."""
     nd = mesh.num_dofs(order)
     ae_id = np.full(nd, -1.0)
     for ae in range(rels.nparts):
         ae_id[rels.AE_to_dof.row(ae)] = ae
-    glvis_send(mesh, ae_id[:len(mesh.vertices)], order=order, **kw)
+    glvis_send(mesh, ae_id, order=order, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -77,6 +77,17 @@ def chunk_plan(doffs, bricks: Tuple[int, int, int], NB: int,
         rows = sum(_round_up(max(r1, 1), SUB) * r2 for r1, r2 in rects)
         while Lc > 512 and 2 * itemsize * Lc * rows > BLOCK_VMEM_BUDGET:
             Lc = _round_up(max(Lc // 2, 512), LANES)
+        if 2 * itemsize * Lc * rows > BLOCK_VMEM_BUDGET:
+            # make a Mosaic VMEM OOM attributable to its cause rather
+            # than failing deep inside compile (ADVICE r4): the packed
+            # rect rows are too large for any lane-chunk size
+            import warnings
+            warnings.warn(
+                f"pallas_midmv chunk_plan: packed rect rows ({rows}) "
+                f"exceed BLOCK_VMEM_BUDGET even at the Lc={Lc} floor "
+                f"({2 * itemsize * Lc * rows >> 20} MB > "
+                f"{BLOCK_VMEM_BUDGET >> 20} MB); the kernel may fail "
+                "VMEM allocation at compile time")
     nside = -(-maxs // Lc) if maxs else 1
     Lpad = _round_up(NB, Lc)
     return Lc, Lpad, Lpad // Lc, max(nside, 1)

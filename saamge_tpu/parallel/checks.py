@@ -1,0 +1,92 @@
+"""Shared production-regime sharded parity check.
+
+The flagship kernel configuration (VMEM-resident mid chains + fused
+window contraction + full-bf16 twins + superbrick coarsest, wavefront
+sweeps on the single-chip twin) sharded over a device mesh must
+reproduce the single-chip preconditioner: PCG iteration equality (the
+pmltest serial/parallel-equivalence invariant, reference
+amg/CMakeLists.txt:198-203) and V-cycle agreement up to the
+wavefront-vs-chained-root reassociation of the smoother chain.
+
+One implementation, two callers (VERDICT r4 item 8): the driver dryrun
+(`__graft_entry__.dryrun_multichip`) runs it at the production size
+n=48 and `tests/test_struct_sharded.py` keeps it as a suite regression
+at a smaller size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def production_regime_sharded_check(mesh, ns: int = 48, brick: int = 6,
+                                    supers=(2, 2, 2), seed: int = 7,
+                                    max_iter: int = 80) -> dict:
+    """Build a high-contrast 3-level hierarchy at (ns+1)^3 dofs, compile
+    the flagship kernel configuration, assert every size-gated kernel
+    ENGAGES (resident mid, fused windows, wavefront sweeps), shard it,
+    and assert parity.  Returns diagnostics for the caller's report."""
+    import jax.numpy as jnp
+
+    from saamge_tpu.api import SpectralAMGSolver
+    from saamge_tpu.config import SolverOptions
+    from saamge_tpu.fem import assemble
+    from saamge_tpu.fem.mesh import hex_mesh
+    from saamge_tpu.ops.pallas_wavefront import plan_segments
+    from saamge_tpu.parallel.structured_sharded import (
+        gather_fine, make_struct_sharded_pcg, make_struct_sharded_vcycle,
+        scatter_fine, shard_structured)
+    from saamge_tpu.solve.structured import (BrickGeometry,
+                                             compile_structured,
+                                             struct_pcg_solve)
+    from saamge_tpu.topology.part import (partition_cartesian_3d,
+                                          partition_cartesian_bricks)
+
+    n_devices = mesh.devices.size
+    nb = ns // brick
+    assert ns % brick == 0
+    assert nb % n_devices == 0 or n_devices % nb == 0, (nb, n_devices)
+    m = hex_mesh(ns)
+    ess = np.ones(m.max_bdr_attr(), dtype=np.int64)
+    rng = np.random.default_rng(seed)
+    coef = 10.0 ** rng.uniform(-2.0, 2.0, m.num_elements)
+    A, b, em, _, _ = assemble.build_discrete_problem(
+        m, coef=coef, rhs=1.0, ess_attr_marker=ess)
+    part = partition_cartesian_3d(m.elem_centers(), nb, nb, nb)
+    s = SpectralAMGSolver(
+        A, m, em,
+        SolverOptions(num_levels=3, correct_nulspace=False,
+                      first_theta=1e-4, theta=1e-4, nu_relax=[3, 1]),
+        ess_attr_marker=ess, partitioning=part,
+        coarse_part_override=lambda i: partition_cartesian_bricks(
+            (nb,) * 3, supers))
+    geo = BrickGeometry((nb,) * 3, (brick,) * 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_dtype=jnp.bfloat16,
+                           smoother_dtype=jnp.bfloat16,
+                           rp_dtype=jnp.bfloat16, super_bricks=supers,
+                           window_contract=True, wavefront=True)
+    assert h.A1kT is not None, "resident mid chains must engage"
+    assert h.Wc is not None, "fused window kernels must engage"
+    A0 = h.A0s if h.A0s is not None else h.A0
+    lead = 0 if A0.interpret else 1
+    assert plan_segments(A0, len(h.taus0), True, lead) is not None, \
+        f"wavefront sweeps must engage at n={ns}"
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(h.vcycle(bdev, jnp.zeros_like(bdev)))
+    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=max_iter)
+    hs = shard_structured(h, mesh)
+    bsh = scatter_fine(hs, b)
+    y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
+    # wavefront (single-chip) vs chained-root (sharded) smoothing is a
+    # reassociation of the same chain; agreement is close but not bitwise
+    wf_diff = np.abs(y - y_ref).max() / max(np.abs(y_ref).max(), 1e-30)
+    assert wf_diff <= 1e-3, wf_diff
+    x, it = make_struct_sharded_pcg(hs, max_iter=max_iter)(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
+    xh = gather_fine(hs, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+    return {"n": A.shape[0], "wf_diff": wf_diff, "iters": int(it),
+            "iters_ref": int(it_ref), "rel_res": rel,
+            "mid_replicated": hs.mb is not None}

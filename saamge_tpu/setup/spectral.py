@@ -159,10 +159,17 @@ class Eigensolver:
                 M = 0.5 * (M + M.T)
             rng = np.random.default_rng(n)
             V0 = rng.standard_normal((n, k))
+            import warnings
             try:
                 evals = None
                 if self.shift_invert != "always":
-                    with np.errstate(all="ignore"):
+                    # lobpcg warns (rather than raises) when it exits at
+                    # maxiter; that is the expected outcome the residual
+                    # guard below handles — keep it out of the user's
+                    # warning filters so behavior is filter-independent
+                    with np.errstate(all="ignore"), \
+                            warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
                         w, V = spla.lobpcg(M, V0, largest=False, tol=1e-4,
                                            maxiter=200)
                     order = np.argsort(w)
@@ -184,20 +191,35 @@ class Eigensolver:
                     # exact-factorization preconditioner = the shift-
                     # invert analog at sigma=0 (tiny Tikhonov shift keeps
                     # the SPSD factor nonsingular); convergence is then
-                    # gap-independent and tol can be tight
+                    # gap-independent.  LOBPCG's own tol is set to what the
+                    # guard actually needs (ARPACK's discipline: request
+                    # only the accuracy the cut requires, spectral.cpp:
+                    # 271-274) and its best iterate is accepted silently —
+                    # the residual guard below re-checks it.
                     Msp = (M if sp.issparse(M)
                            else sp.csr_matrix(M)).tocsc()
                     tau = 1e-10 * max(abs(Msp).max(), 1.0)
                     lu = spla.splu(Msp + tau * sp.eye(n, format="csc"))
                     prec = spla.LinearOperator((n, n), matvec=lu.solve,
                                                matmat=lu.solve)
-                    with np.errstate(all="ignore"):
+                    si_tol = max(1e-10, 0.01 * theta)
+                    with np.errstate(all="ignore"), \
+                            warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
                         w, V = spla.lobpcg(M, V0, M=prec, largest=False,
-                                           tol=1e-8, maxiter=100)
+                                           tol=si_tol, maxiter=100)
                     order = np.argsort(w)
                     evals = w[order]
                     V = V[:, order]
-                X = dhalf[:, None] * V
+                    # re-apply the guard to the best iterate; if the cut
+                    # is still in doubt, fall back to the dense path
+                    R = (M @ V) - V * evals
+                    res = np.linalg.norm(R, axis=0) \
+                        / np.maximum(np.linalg.norm(V, axis=0), 1e-300)
+                    if res.max() > 0.05 * theta:
+                        evals = None
+                if evals is not None:
+                    X = dhalf[:, None] * V
             except Exception:
                 evals = None
         if evals is None:

@@ -15,6 +15,7 @@ DRIVERS = [
     ("scripts/run_mltest.py", ["--num-levels", "2"], "converged"),
     ("scripts/run_algebraic.py", ["--elems-per-agg", "128"], "iterations"),
     ("scripts/run_leastsquare.py", ["-k", "-20"], "csv_data:2,-20,2,803"),
+    ("scripts/run_leastsquare_geometric.py", [], "n_iterations:"),
     ("scripts/run_upscale.py", ["--n", "16"], "upscaling energy error"),
     ("scripts/run_encapsulate.py", ["--n", "12"], "converged: True"),
     ("scripts/run_startfromcoarse.py", ["--n", "24"], '"converged": true'),

@@ -179,6 +179,19 @@ def test_sharded_struct_resident_mid_matches_single(ndev):
 
 
 @pytest.mark.parametrize("ndev", [2])
+def test_production_regime_sharded(ndev):
+    """VERDICT r4 item 8: the production-kernel-regime check (resident
+    mid + fused windows + full bf16 + superbrick coarsest + wavefront
+    single-chip twin, every engagement asserted) as a SUITE regression —
+    shared implementation with the driver dryrun
+    (saamge_tpu/parallel/checks.py), run here at a smaller size."""
+    from saamge_tpu.parallel.checks import production_regime_sharded_check
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    out = production_regime_sharded_check(mesh, ns=24, brick=3)
+    assert out["iters"] == out["iters_ref"]
+
+
+@pytest.mark.parametrize("ndev", [2])
 def test_sharded_struct_superbrick_coarsest(ndev):
     """Superbrick (structured block-diagonal) coarsest restriction —
     previously single-chip-only (the sharded path demanded a dense R1)
