@@ -35,7 +35,7 @@ def production_regime_sharded_check(mesh, ns: int = 48, brick: int = 6,
     from saamge_tpu.ops.pallas_wavefront import plan_segments
     from saamge_tpu.parallel.structured_sharded import (
         gather_fine, make_struct_sharded_pcg, make_struct_sharded_vcycle,
-        scatter_fine, shard_structured)
+        mid_bytes_per_device, scatter_fine, shard_structured)
     from saamge_tpu.solve.structured import (BrickGeometry,
                                              compile_structured,
                                              struct_pcg_solve)
@@ -76,6 +76,21 @@ def production_regime_sharded_check(mesh, ns: int = 48, brick: int = 6,
     y_ref = np.asarray(h.vcycle(bdev, jnp.zeros_like(bdev)))
     _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=max_iter)
     hs = shard_structured(h, mesh)
+    # DISTRIBUTED mid level (VERDICT r4 item 3): the flagship config
+    # must shard with O(N1/P) per-device mid storage — blocks, dinv1
+    # and the superbrick coarsest restriction all sharded; the only
+    # replicated coarse objects are the tiny coarsest solve (Ainv) and
+    # index map
+    assert hs.mb is None, "flagship config must DISTRIBUTE the mid level"
+    assert hs.rst1 is not None, "superbrick coarsest must shard"
+    acct = mid_bytes_per_device(hs)
+    total_mid = (h.A1d.nbytes
+                 + h.dinv1.size * h.dinv1.dtype.itemsize
+                 + h.Rst1.size * h.Rst1.dtype.itemsize)
+    assert acct["sharded"] <= total_mid // n_devices + (total_mid // 8), \
+        (acct, total_mid)
+    assert acct["replicated"] <= (h.Ainv.size * h.Ainv.dtype.itemsize
+                                  + (1 << 20)), acct
     bsh = scatter_fine(hs, b)
     y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
     # wavefront (single-chip) vs chained-root (sharded) smoothing is a
@@ -89,4 +104,5 @@ def production_regime_sharded_check(mesh, ns: int = 48, brick: int = 6,
     assert rel < 1e-4, rel
     return {"n": A.shape[0], "wf_diff": wf_diff, "iters": int(it),
             "iters_ref": int(it_ref), "rel_res": rel,
-            "mid_replicated": hs.mb is not None}
+            "mid_distributed": hs.mb is None,
+            "mid_bytes": acct, "mid_bytes_total": total_mid}

@@ -78,6 +78,12 @@ class StructShardStatic:
     n2: int            # coarsest size
     taus0: tuple       # python floats (1/tau)
     taus1: tuple
+    # superbrick (structured) coarsest restriction, sharded by flat
+    # superbrick chunks (see _mid_coarsest_sb): supers grid, level-2
+    # block size, chunk width per device
+    supers: Optional[tuple] = None
+    bs2: int = 0
+    nb2c: int = 0
 
 
 @dataclasses.dataclass
@@ -108,20 +114,32 @@ class ShardedStructured:
     # on the all-gathered coarse residual (the coarse vector is tiny:
     # ~75 KB at flagship vs the MB-scale fine halos), replacing the
     # per-root brick-shell ppermute loop.  This is the hypre-style
-    # "agglomerate small coarse levels onto every rank" move, and makes
+    # "agglomerate small coarse levels onto every rank" move, making
     # multi-chip semantics IDENTICAL to the flagship kernel config
-    # (VERDICT r3 item 4).
+    # (VERDICT r3 item 4) at the cost of O(N1) mid memory PER DEVICE.
+    # Since round 5 it is opt-in (mid_replicated=True); the default is
+    # the DISTRIBUTED mid below.
     mb: Optional[MidBundle] = None
+    # DISTRIBUTED superbrick coarsest (VERDICT r4 item 3): the level-2
+    # block-diagonal tent blocks (bs2, win, NB2) sharded by flat
+    # superbrick chunks — with the distributed per-root mid loop this
+    # keeps EVERY mid-level object at O(N1/P) per device (the reference
+    # distributes every level, tg.hpp:696-711); only the coarsest
+    # solve (Ainv, n2^2) is replicated
+    rst1: Optional[jnp.ndarray] = None
+    fid2: Optional[jnp.ndarray] = None    # replicated flat_id2
 
 
 jax.tree_util.register_pytree_node(
     ShardedStructured,
     lambda s: ((s.vals0, s.dinv0, s.rst, s.blocks1, s.dinv1, s.r1,
-                s.ainv, s.wrst, s.wtabs, s.vals0s, s.mb),
+                s.ainv, s.wrst, s.wtabs, s.vals0s, s.mb, s.rst1,
+                s.fid2),
     (s.st, s.mesh, s.interpret)),
     lambda aux, ch: ShardedStructured(*ch[:7], *aux, wrst=ch[7],
                                       wtabs=ch[8], vals0s=ch[9],
-                                      mb=ch[10]),
+                                      mb=ch[10], rst1=ch[11],
+                                      fid2=ch[12]),
 )
 
 
@@ -135,11 +153,12 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
 
     ``mid_replicated``: run the mid level + coarsest replicated via the
     single-chip ``mid_correct`` on the all-gathered coarse residual
-    (see ShardedStructured.mb).  Default: on whenever the hierarchy
-    uses a mid configuration the distributed per-root loop cannot
-    express (resident chains A1kT, chunked matvec A1kC, superbrick
-    coarsest Rst1, dense mid) — i.e. the flagship bench configuration
-    shards with its exact kernel set by default."""
+    (see ShardedStructured.mb) — O(N1) mid memory and redundant mid
+    compute PER DEVICE.  Default (VERDICT r4 item 3): DISTRIBUTE the
+    mid level whenever the brick-block storage is materialized — mid
+    blocks, dinv1, and the coarsest restriction (dense R1 columns or
+    superbrick Rst1 chunks) all shard to O(N1/P) per device; only the
+    dense mid fallback and the hbm_frugal placeholder replicate."""
     ndev = mesh.devices.size
     geo = h.geo
     BX, BY, BZ = geo.bricks
@@ -147,15 +166,19 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
     NXn, NYn, NZn = geo.nodes
     assert h.nzp > 0, "sharded structured path requires fine_layout='zlane'"
     if mid_replicated is None:
-        mid_replicated = (h.A1kT is not None or h.A1kC is not None
-                          or h.Rst1 is not None
-                          or not isinstance(h.A1d, BrickBlockOp))
+        # the hbm_frugal placeholder blocks (k,1,1,1) cannot be sliced;
+        # dense mid has no brick structure to shard
+        can_distribute = (
+            isinstance(h.A1d, BrickBlockOp)
+            and h.A1d.blocks.shape[3] == geo.num_bricks
+            and (h.R1 is not None or h.Rst1 is not None))
+        mid_replicated = not can_distribute
     if not mid_replicated:
         assert isinstance(h.A1d, BrickBlockOp), \
             "distributed mid loop requires mid_format='brickblock'"
-        assert h.R1 is not None, \
-            "distributed mid loop needs the dense coarsest restriction " \
-            "(compile_structured without super_bricks)"
+        assert h.R1 is not None or h.Rst1 is not None, \
+            "distributed mid loop needs a dense or superbrick coarsest " \
+            "restriction"
     assert BX % ndev == 0, (BX, ndev)
     nzp = h.nzp
     prow = NYn * nzp // LANES
@@ -209,6 +232,8 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
     rst = np.ascontiguousarray(rst_np.transpose(2, 0, 1, 3))
 
     n2 = h.Ainv.shape[0]
+    supers = bs2 = nb2c = None
+    rst1_sh = fid2_rep = None
     if mid_replicated:
         # per-shard mid arrays unused: tiny sharded placeholders keep
         # the pytree/in_specs structure uniform
@@ -226,9 +251,27 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
         dinv1_np = np.asarray(h.dinv1).reshape(bs, ndev, nb_loc)
         dinv1 = np.ascontiguousarray(
             dinv1_np.transpose(1, 0, 2)).reshape(ndev, bs * nb_loc)
-        r1_np = np.asarray(h.R1).reshape(n2, bs, ndev, nb_loc)
-        r1 = np.ascontiguousarray(
-            r1_np.transpose(2, 0, 1, 3)).reshape(ndev, n2, bs * nb_loc)
+        if h.Rst1 is not None:
+            # superbrick coarsest: shard the block-diagonal level-2
+            # tent blocks (bs2, win, NB2) by flat superbrick chunks —
+            # the per-superbrick contractions are independent, so any
+            # disjoint (padded-equal) partition distributes them
+            rst1_np = np.asarray(h.Rst1)
+            bs2, win, NB2 = rst1_np.shape
+            nb2c = -(-NB2 // ndev)
+            pad = ndev * nb2c - NB2
+            rst1_p = np.pad(rst1_np, ((0, 0), (0, 0), (0, pad)))
+            rst1_sh = np.ascontiguousarray(
+                rst1_p.reshape(bs2, win, ndev, nb2c)
+                .transpose(2, 0, 1, 3))
+            fid2_rep = h.flat_id2
+            supers = h.supers
+            r1 = np.zeros((ndev, 1), np.float32)
+        else:
+            r1_np = np.asarray(h.R1).reshape(n2, bs, ndev, nb_loc)
+            r1 = np.ascontiguousarray(
+                r1_np.transpose(2, 0, 1, 3)).reshape(ndev, n2,
+                                                     bs * nb_loc)
 
     st = StructShardStatic(
         geo=geo, ndev=ndev, nzp=nzp, prow=prow, sp1=sp1, real=real,
@@ -237,7 +280,8 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
         doffs=(h.A1d.doffs if isinstance(h.A1d, BrickBlockOp) else ()),
         bs=bs, nb_loc=nb_loc, n2=n2,
         taus0=tuple(float(np.asarray(t)[0]) for t in h.taus0),
-        taus1=tuple(float(np.asarray(t)[0]) for t in h.taus1))
+        taus1=tuple(float(np.asarray(t)[0]) for t in h.taus1),
+        supers=supers, bs2=bs2 or 0, nb2c=nb2c or 0)
 
     shard = NamedSharding(mesh, P(mesh.axis_names[0]))
     repl = NamedSharding(mesh, P())
@@ -259,7 +303,29 @@ def shard_structured(h: StructuredHierarchy, mesh: Mesh,
         blocks1=put(blocks1), dinv1=put(dinv1), r1=put(r1),
         vals0s=None if vals0s is None else put(vals0s),
         ainv=jax.device_put(h.Ainv, repl), st=st, mesh=mesh,
-        interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs, mb=mb)
+        interpret=h.A0.interpret, wrst=wrst, wtabs=wtabs, mb=mb,
+        rst1=None if rst1_sh is None else put(rst1_sh),
+        fid2=None if fid2_rep is None
+        else jax.device_put(jnp.asarray(fid2_rep), repl))
+
+
+def mid_bytes_per_device(hs: ShardedStructured) -> dict:
+    """Per-device mid-level storage accounting (the O(N1/P) contract of
+    VERDICT r4 item 3; reference anchor: every level's operator data is
+    rank-local, tg.hpp:696-711).  ``replicated`` counts the bytes every
+    device holds in full; ``sharded`` counts one device's shard."""
+    sharded = 0
+    replicated = int(hs.ainv.size * hs.ainv.dtype.itemsize)
+    if hs.mb is not None:
+        for leaf in jax.tree_util.tree_leaves(hs.mb):
+            replicated += int(leaf.size * leaf.dtype.itemsize)
+    for a in (hs.blocks1, hs.dinv1, hs.r1, hs.rst1):
+        if a is not None:
+            sharded += int(a.size * a.dtype.itemsize) // hs.st.ndev
+    if hs.fid2 is not None:
+        replicated += int(hs.fid2.size * hs.fid2.dtype.itemsize)
+    return {"sharded": sharded, "replicated": replicated,
+            "per_device": sharded + replicated}
 
 
 # ---------------------------------------------------------------------------
@@ -464,6 +530,54 @@ def _pdot(st, a, b, axis):
     return jax.lax.psum(own + last, axis)
 
 
+def _mid_coarsest_sb(st, rst1, ainv, fid2, r1_loc, axis):
+    """Distributed superbrick coarsest correction on the mid residual.
+
+    Mirrors the single-chip mid_apply_R1/P1 + Ainv sequence
+    (solve/structured.py:721-755) with the level-2 tent blocks sharded
+    by flat superbrick chunks: the per-superbrick window contractions
+    are independent (block-diagonal restriction), so each device
+    contracts its chunk of the all-gathered mid residual; the coarsest
+    vector (n2-sized, tiny) is all-gathered and the replicated dense
+    solve applied; the adjoint contraction produces the local chunk of
+    window values, gathered and sliced back to the device's bricks.
+    Identical arithmetic per superbrick to the single-chip path (same
+    reduce orders), so parity is exact."""
+    bs = st.bs
+    BX, BY, BZ = st.geo.bricks
+    SX, SY, SZ = st.supers
+    sx, sy, sz = BX // SX, BY // SY, BZ // SZ
+    NB2 = SX * SY * SZ
+    bxl = st.nb_loc // (BY * BZ)
+    bs2, nb2c = st.bs2, st.nb2c
+    i = jax.lax.axis_index(axis)
+
+    loc = r1_loc.reshape(bs, st.nb_loc)
+    g = jax.lax.all_gather(loc, axis)             # (P, bs, nb_loc)
+    r1f = jnp.transpose(g, (1, 0, 2)).reshape(bs, SX, sx, SY, sy, SZ, sz)
+    W = r1f.transpose(0, 2, 4, 6, 1, 3, 5) \
+        .reshape(bs * sx * sy * sz, NB2)
+    Wp = jnp.pad(W, ((0, 0), (0, st.ndev * nb2c - NB2)))
+    Wl = jax.lax.dynamic_slice_in_dim(Wp, i * nb2c, nb2c, 1)
+    rc2l = jnp.sum(rst1.astype(jnp.float32) * Wl[None].astype(jnp.float32),
+                   axis=1)                        # (bs2, nb2c)
+    rc2 = jnp.transpose(jax.lax.all_gather(rc2l, axis),
+                        (1, 0, 2)).reshape(bs2, -1)[:, :NB2].reshape(-1)
+    y2 = ainv @ rc2[fid2]
+    y2p = jnp.zeros_like(rc2).at[fid2].set(y2).reshape(bs2, NB2)
+    y2pp = jnp.pad(y2p, ((0, 0), (0, st.ndev * nb2c - NB2)))
+    y2l = jax.lax.dynamic_slice_in_dim(y2pp, i * nb2c, nb2c, 1)
+    Wl_out = jnp.sum(rst1.astype(jnp.float32)
+                     * y2l[:, None, :].astype(jnp.float32),
+                     axis=0)                      # (win, nb2c)
+    Wf = jnp.transpose(jax.lax.all_gather(Wl_out, axis),
+                       (1, 0, 2)).reshape(W.shape[0], -1)[:, :NB2]
+    xf = Wf.reshape(bs, sx, sy, sz, SX, SY, SZ) \
+        .transpose(0, 4, 1, 5, 2, 6, 3).reshape(bs, BX, BY, BZ)
+    return jax.lax.dynamic_slice_in_dim(xf, i * bxl, bxl, 1) \
+        .reshape(-1)
+
+
 def _mid_replicated_correct(st, mb, rc, axis):
     """all_gather the local coarse residual to the full slot-major
     padded layout, run the EXACT single-chip mid_correct (replicated:
@@ -484,12 +598,13 @@ def _mid_replicated_correct(st, mb, rc, axis):
 
 def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
                 ainv, b_flat, x_flat, axis, win=None, interpret=False,
-                vals0s=None, mb=None):
+                vals0s=None, mb=None, rst1=None, fid2=None):
     """One V-cycle on the local closed-slab blocks.  ``vals0s``: bf16
     smoother twin streamed by the preconditioner passes (the PCG matvec
     outside this function keeps the f32 vals0).  ``mb``: replicated
     MidBundle — mid level via _mid_replicated_correct instead of the
-    distributed per-root loop."""
+    distributed per-root loop.  ``rst1``/``fid2``: superbrick-chunked
+    coarsest restriction for the distributed loop."""
     vp = vals0 if vals0s is None else vals0s
     bh = _pad_local(st, b_flat)
     xh = _pad_local(st, x_flat)
@@ -510,15 +625,19 @@ def _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1, dinv1, r1,
     if mb is not None:
         x1 = _mid_replicated_correct(st, mb, rc, axis)
     else:
-        # distributed mid level smoother + coarsest
+        # distributed mid level smoother + coarsest: every object
+        # O(N1/P) per device, one brick-shell ppermute per root
         b1 = rc
         x1 = jnp.zeros_like(b1)
         for tau in st.taus1:
             x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1,
                                                     axis)) * tau
         r1v = b1 - _mid_matvec_blk(st, blocks1, x1, axis)
-        y2 = ainv @ jax.lax.psum(r1 @ r1v, axis)
-        x1 = x1 + r1.T @ y2
+        if rst1 is not None:
+            x1 = x1 + _mid_coarsest_sb(st, rst1, ainv, fid2, r1v, axis)
+        else:
+            y2 = ainv @ jax.lax.psum(r1 @ r1v, axis)
+            x1 = x1 + r1.T @ y2
         for tau in st.taus1:
             x1 = x1 + dinv1 * (b1 - _mid_matvec_blk(st, blocks1, x1,
                                                     axis)) * tau
@@ -541,25 +660,28 @@ def make_struct_sharded_vcycle(hs: ShardedStructured):
     use_mb = hs.mb is not None
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             vals0s, mb, b):
+             vals0s, mb, rst1, fid2, b):
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         z = _vcycle_blk(st, kernels, vals0[0], dinv0[0], rst[0],
                         blocks1[0], dinv1[0], r1[0], ainv,
                         b[0], jnp.zeros_like(b[0]), axis,
                         win=win, interpret=hs.interpret,
                         vals0s=None if vals0s is None else vals0s[0],
-                        mb=mb if use_mb else None)
+                        mb=mb if use_mb else None,
+                        rst1=None if rst1 is None else rst1[0],
+                        fid2=fid2)
         return z[None]
 
     rp = P()
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  rp, P(axis), rp, P(axis), rp, P(axis)),
+                  rp, P(axis), rp, P(axis), rp, P(axis), rp, P(axis)),
         out_specs=P(axis), check_vma=False)
     return jax.jit(lambda b: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, b))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, hs.rst1,
+        hs.fid2, b))
 
 
 def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
@@ -574,10 +696,11 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     use_mb = hs.mb is not None
 
     def body(vals0, dinv0, rst, blocks1, dinv1, r1, ainv, wrst, wtabs,
-             vals0s, mb, b, rtol2):
+             vals0s, mb, rst1, fid2, b, rtol2):
         vals0, dinv0, rst = vals0[0], dinv0[0], rst[0]
         blocks1, dinv1, r1 = blocks1[0], dinv1[0], r1[0]
         vals0s = None if vals0s is None else vals0s[0]
+        rst1 = None if rst1 is None else rst1[0]
         win = None if wrst is None else (wrst[0],) + tuple(wtabs)
         b = b[0]
 
@@ -585,7 +708,8 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
             return _vcycle_blk(st, kernels, vals0, dinv0, rst, blocks1,
                                dinv1, r1, ainv, r, jnp.zeros_like(r),
                                axis, win=win, interpret=hs.interpret,
-                               vals0s=vals0s, mb=mb if use_mb else None)
+                               vals0s=vals0s, mb=mb if use_mb else None,
+                               rst1=rst1, fid2=fid2)
 
         def spmv(x):
             xh = _halo_fill(st, _pad_local(st, x), axis)
@@ -622,11 +746,13 @@ def make_struct_sharded_pcg(hs: ShardedStructured, rel_tol: float = 1e-6,
     smapped = shard_map(
         body, mesh=hs.mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(), P(axis), P(), P(axis), P(), P(axis), P()),
+                  P(), P(axis), P(), P(axis), P(), P(axis), P(),
+                  P(axis), P()),
         out_specs=(P(axis), P()), check_vma=False)
     jitted = jax.jit(lambda b, rtol2: smapped(
         hs.vals0, hs.dinv0, hs.rst, hs.blocks1, hs.dinv1, hs.r1,
-        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, b, rtol2))
+        hs.ainv, hs.wrst, hs.wtabs, hs.vals0s, hs.mb, hs.rst1,
+        hs.fid2, b, rtol2))
 
     def solve(b, rel_tol_override=None):
         rt = rel_tol if rel_tol_override is None else rel_tol_override

@@ -145,13 +145,12 @@ def test_sharded_struct_bf16_twins_match_single(ndev):
 
 
 @pytest.mark.parametrize("ndev", [2, 4])
-def test_sharded_struct_resident_mid_matches_single(ndev):
-    """VERDICT r3 item 4: the FLAGSHIP kernel configuration (VMEM-
-    resident mid chains + bf16 twins + fused window contraction) shards
-    with IDENTICAL semantics: the sharded mirror replicates the
-    MidBundle and runs the exact single-chip mid_correct on the
-    all-gathered coarse residual, so the V-cycle matches bitwise-level
-    and PCG iteration counts are equal."""
+def test_sharded_struct_resident_mid_replicated_matches_single(ndev):
+    """VERDICT r3 item 4 (replicated-mid OPT-IN since round 5): with
+    mid_replicated=True the sharded mirror replicates the MidBundle and
+    runs the exact single-chip mid_correct on the all-gathered coarse
+    residual, so the V-cycle matches bitwise-level and PCG iteration
+    counts are equal."""
     s, A, b, geo = _setup(8, 4, 3)
     h = compile_structured(s.ml, geo, fine_layout="zlane",
                            mid_format="brickblock",
@@ -165,8 +164,54 @@ def test_sharded_struct_resident_mid_matches_single(ndev):
     _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=80)
 
     mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
+    hs = shard_structured(h, mesh, mid_replicated=True)
+    assert hs.mb is not None
+    bsh = scatter_fine(hs, b)
+    y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
+    assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
+                                                 1e-30)
+    x, it = make_struct_sharded_pcg(hs, max_iter=80)(bsh)
+    assert int(it) == int(it_ref), (int(it), int(it_ref))
+    xh = gather_fine(hs, x)
+    rel = np.linalg.norm(b - A @ xh) / np.linalg.norm(b)
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_sharded_struct_distributed_mid_default(ndev):
+    """VERDICT r4 item 3: the flagship configuration now DISTRIBUTES
+    the mid level by default — blocks/dinv1 sharded by brick-x layer,
+    O(N1/P) per-device mid bytes — and its per-root chained loop
+    matches the single-chip mid_resident=False twin EXACTLY (same
+    per-element arithmetic; halo bricks equal interior bricks), so
+    V-cycle equality is tight and iteration counts match."""
+    from saamge_tpu.parallel.structured_sharded import mid_bytes_per_device
+    s, A, b, geo = _setup(8, 4, 3)
+    h = compile_structured(s.ml, geo, fine_layout="zlane",
+                           mid_format="brickblock",
+                           mid_dtype=jnp.bfloat16,
+                           smoother_dtype=jnp.bfloat16,
+                           rp_dtype=jnp.bfloat16,
+                           window_contract=True)
+    assert h.A1kT is not None, "resident mid chain should engage"
+    h_ref = compile_structured(s.ml, geo, fine_layout="zlane",
+                               mid_format="brickblock",
+                               mid_dtype=jnp.bfloat16,
+                               smoother_dtype=jnp.bfloat16,
+                               rp_dtype=jnp.bfloat16,
+                               window_contract=True, mid_resident=False)
+    bdev = jnp.asarray(b, jnp.float32)
+    y_ref = np.asarray(struct_vcycle_apply(h_ref, bdev))
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=80)
+
+    mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
     hs = shard_structured(h, mesh)
-    assert hs.mb is not None, "flagship config must auto-replicate mid"
+    assert hs.mb is None, "default must distribute the mid level"
+    acct = mid_bytes_per_device(hs)
+    total_mid = h.A1d.nbytes + h.dinv1.size * h.dinv1.dtype.itemsize \
+        + h.R1.size * h.R1.dtype.itemsize
+    assert acct["sharded"] <= total_mid // ndev + total_mid // 8, \
+        (acct, total_mid)
     bsh = scatter_fine(hs, b)
     y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
     assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
@@ -191,11 +236,13 @@ def test_production_regime_sharded(ndev):
     assert out["iters"] == out["iters_ref"]
 
 
-@pytest.mark.parametrize("ndev", [2])
+@pytest.mark.parametrize("ndev", [2, 4])
 def test_sharded_struct_superbrick_coarsest(ndev):
-    """Superbrick (structured block-diagonal) coarsest restriction —
-    previously single-chip-only (the sharded path demanded a dense R1)
-    — now shards through the replicated MidBundle."""
+    """Superbrick (structured block-diagonal) coarsest restriction,
+    DISTRIBUTED: the level-2 tent blocks shard by flat superbrick
+    chunks (_mid_coarsest_sb) with identical per-superbrick arithmetic
+    to the single-chip mid_apply_R1/P1, so parity against the
+    mid_resident=False twin is exact."""
     from saamge_tpu.topology.part import partition_cartesian_bricks
     n, nb = 8, 4
     mesh_h = hex_mesh(n)
@@ -220,13 +267,18 @@ def test_sharded_struct_superbrick_coarsest(ndev):
                            super_bricks=supers, window_contract=True,
                            rp_dtype=jnp.bfloat16)
     assert h.Rst1 is not None
+    h_ref = compile_structured(s.ml, geo, fine_layout="zlane",
+                               mid_format="brickblock",
+                               super_bricks=supers, window_contract=True,
+                               rp_dtype=jnp.bfloat16, mid_resident=False)
     bdev = jnp.asarray(b, jnp.float32)
-    y_ref = np.asarray(struct_vcycle_apply(h, bdev))
-    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=80)
+    y_ref = np.asarray(struct_vcycle_apply(h_ref, bdev))
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=80)
 
     mesh = Mesh(np.array(jax.devices("cpu")[:ndev]), ("dp",))
     hs = shard_structured(h, mesh)
-    assert hs.mb is not None
+    assert hs.mb is None and hs.rst1 is not None, \
+        "superbrick coarsest must distribute"
     bsh = scatter_fine(hs, b)
     y = gather_fine(hs, make_struct_sharded_vcycle(hs)(bsh))
     assert np.abs(y - y_ref).max() <= 1e-5 * max(np.abs(y_ref).max(),
