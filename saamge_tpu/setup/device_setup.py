@@ -85,7 +85,10 @@ def analyze_uniform(rels, elem_mats,
     map is verified for every AE, and the element-matrix factorization
     em_e = sum_j coef[e, j] * basis_j is verified for every element
     (basis found by SVD of a sample, residual checked globally)."""
-    if not (isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3):
+    from saamge_tpu.fem.assemble import FactorizedElemMats
+    factorized = isinstance(elem_mats, FactorizedElemMats)
+    if not (factorized or (isinstance(elem_mats, np.ndarray)
+                           and elem_mats.ndim == 3)):
         return None
     nparts = rels.nparts
     if nparts < 2:
@@ -129,6 +132,19 @@ def analyze_uniform(rels, elem_mats,
     if (local != local[:1]).any():
         return None
     loc0 = local[0]
+
+    if factorized:
+        # already in the exact rank-1 form the SVD below would find:
+        # em_e = c[e] * em0 => basis = em0/||em0||, coef = c*||em0||
+        em0 = elem_mats.em0
+        nrm = float(np.linalg.norm(em0))
+        basis1 = (em0 / nrm)[None]
+        cvec = (elem_mats.c if elem_mats.c is not None
+                else np.ones(elem_mats.NE)) * nrm
+        coef = cvec[elems][:, :, None]
+        ess = (rels.agg_flags[dofs] & FLAG_ESS_BDR) != 0
+        return UniformPlan(n, e_loc, 1, elems, loc0, coef, basis1, ess,
+                           False)
 
     # low-rank element-matrix factorization em_e = coef[e] @ basis:
     # basis from an SVD of a sample, coefficients by projection, the

