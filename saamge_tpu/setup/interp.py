@@ -13,6 +13,7 @@ then drop-tolerance thresholding (AltThreshold, interp.cpp:134).
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -145,29 +146,62 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         sa_print(5, "eigensolver: %d batched device solves", rels.nparts)
         return False
     if not transf:
-        # plain setup: assembly loop + per-AE eigensolves.  LAPACK releases
-        # the GIL, so the independent local eigensolves run on a thread
-        # pool (the reference's per-AE loop is serial per rank;
-        # SURVEY §2.2 item 5 makes this the batching opportunity).
-        with TIMERS.phase("setup.ae_assembly"):
-            interp_data.AEs_stiffm = elem_data.build_all_AE_stiff()
-        with TIMERS.phase("setup.local_eigensolves"):
-            import concurrent.futures as cf
-            import os
+        # plain setup: CHUNKED assemble -> eigensolve -> sparsify
+        # pipeline.  LAPACK releases the GIL, so the independent local
+        # eigensolves run on a thread pool (the reference's per-AE loop
+        # is serial per rank; SURVEY §2.2 item 5 makes this the
+        # batching opportunity).  Dense per-AE stiffness blocks exist
+        # only for the in-flight chunk: a 729-dof brick AE is 4.25 MB
+        # dense but ~0.25 MB as CSR, and building ALL dense first
+        # peaked 38 GB at 4.2M dofs (measured, --rss-trace) — the
+        # retained cache (CoarseProvider local RAP, elmat.cpp:105-195,
+        # + adaptivity re-solves) is sparse, matching the device
+        # pipeline's want_sparse_aes (setup/device_setup.py:405).
+        import concurrent.futures as cf
+        import os
+        nparts = rels.nparts
+        interp_data.AEs_stiffm = [None] * nparts
+        skipped_all = [None] * nparts
+        workers = min(os.cpu_count() or 1, 16)
+        chunk = max(workers, 64)
 
-            def solve_one(i):
-                return eig.solve(interp_data.AEs_stiffm[i], theta)
+        def solve_one(A_T):
+            return eig.solve(A_T, theta)
 
-            if rels.nparts >= 8:
-                workers = min(os.cpu_count() or 1, 16)
-                with cf.ThreadPoolExecutor(workers) as ex:
-                    results = list(ex.map(solve_one, range(rels.nparts)))
-            else:
-                results = [solve_one(i) for i in range(rels.nparts)]
-            for i, (evects, skipped, B) in enumerate(results):
-                interp_data.cut_evects_arr[i] = evects
-                interp_data.rhs_matrices_arr[i] = B
-        _suggest_theta(interp_data, theta, [r[1] for r in results])
+        ta = ts = tc = 0.0
+        with cf.ThreadPoolExecutor(workers) as ex:
+            for lo in range(0, nparts, chunk):
+                hi = min(lo + chunk, nparts)
+                t0 = time.perf_counter()
+                dense = [elem_data.build_AE_stiff(i)
+                         for i in range(lo, hi)]
+                ta += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                if hi - lo >= 8:
+                    results = list(ex.map(solve_one, dense))
+                else:
+                    results = [solve_one(a) for a in dense]
+                ts += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for k, (evects, skipped, B) in enumerate(results):
+                    i = lo + k
+                    interp_data.cut_evects_arr[i] = evects
+                    interp_data.rhs_matrices_arr[i] = B
+                    skipped_all[i] = skipped
+                    A_T = dense[k]
+                    if not sp.issparse(A_T):
+                        A_sp = sp.csr_matrix(A_T)
+                        if A_sp.data.nbytes * 1.5 < A_T.nbytes:
+                            A_T = A_sp
+                    interp_data.AEs_stiffm[i] = A_T
+                tc += time.perf_counter() - t0
+        TIMERS.totals["setup.ae_assembly"] = \
+            TIMERS.totals.get("setup.ae_assembly", 0.0) + ta
+        TIMERS.totals["setup.local_eigensolves"] = \
+            TIMERS.totals.get("setup.local_eigensolves", 0.0) + ts
+        TIMERS.totals["setup.ae_sparsify"] = \
+            TIMERS.totals.get("setup.ae_sparsify", 0.0) + tc
+        _suggest_theta(interp_data, theta, skipped_all)
         sa_print(5, "eigensolver: %d solves (%d direct)",
                  eig.stats.count_solves, eig.stats.count_direct_solves)
         return False

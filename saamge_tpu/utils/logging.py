@@ -46,14 +46,21 @@ class PhaseTimers:
     def __init__(self) -> None:
         self.totals: Dict[str, float] = {}
         self.counts: Dict[str, int] = {}
+        # active phase stack (innermost last) — read by observability
+        # probes (e.g. run_scale_setup's RSS sampler) to attribute
+        # resource peaks to a phase
+        self.stack: list = []
 
     @contextlib.contextmanager
     def phase(self, name: str):
         t0 = time.perf_counter()
+        self.stack.append(name)
         try:
             yield
         finally:
             dt = time.perf_counter() - t0
+            if self.stack and self.stack[-1] == name:
+                self.stack.pop()
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
             sa_print(4, "TIMING: %s %f seconds.", name, dt)

@@ -1,103 +1,279 @@
-"""33M-dof single-chip capacity probe (VERDICT r3 item 7).
+"""Driver-grade single-chip CAPACITY measurement (VERDICT r4 item 1).
 
-Loads the n=320 solve bundle (scripts/run_scale_setup.py --n 320
---mfree --frugal --hier-cache PATH), compiles the FULL-capacity
-hierarchy — no stored fine operator (exact-f32 matrix-free PCG matvec,
-bf16 matrix-free smoother twin), placeholder mid blocks + numpy-prepped
-chunked matvec arrays, no redundant Rst upload, bf16 coarsest inverse;
-measured static device footprint 3.7 GB — and measures the V-cycle by
-the slope of chained single-program executions (the tunnel backend
-rejects scan-fused chains at this size, see PARITY.md round-4 capacity
-notes), then solves with a split-program PCG.
+Measures the solve hot loop (reference tg_cycle_atb,
+/root/reference/amg/src/tg.cpp:91-131) at the capacity point — by
+default the 33.1M-dof n=320 hierarchy — in the full-capacity
+configuration: NO stored fine operator (exact-f32 matrix-free PCG
+matvec + bf16 matrix-free smoother twin, ops/pallas_mfree.py),
+placeholder mid blocks with numpy-prepped lane-chunked matvec arrays
+(ops/pallas_midmv.py), no redundant Rst upload, bf16 coarsest inverse.
 
-Usage: python scripts/run_capacity.py [bundle.pkl]
+Architecture mirrors bench.py: a SUPERVISOR process with a wall-clock
+budget relaunches itself as a child that snapshots a bench-schema JSON
+payload after every milestone; on child hang/death/budget overrun the
+supervisor emits the last snapshot, so a partial run still produces an
+artifact of record.  The tunnel-specific failure modes (axon's opaque
+per-program resource ceiling rejects scan-fused chains at this size
+and is session-flaky even for the single-program V-cycle — PARITY.md
+round-4 capacity notes) are handled as recorded fallbacks:
+
+  timing ladder: (1) chained x0-operand executions, slope of N=30 vs
+  N=10 wall (removes dispatch+fetch overhead); (2) independent
+  dispatches, same slope.  PCG runs split-program (one V-cycle
+  program + one matvec program + host scalars).  Each rung's outcome
+  lands in the JSON (``timing_method``, ``tunnel_errors``).
+
+Geometry/configuration are DERIVED FROM THE BUNDLE (ADVICE r4): n from
+ndof, the brick grid from the level-0 AE count, supers/mfree from the
+bundle fields.  Produce the bundle with
+  python scripts/run_scale_setup.py --n 320 --brick 8 --host-setup \
+      --mfree --frugal --hier-cache /tmp/hier320.pkl
+Usage:
+  python scripts/run_capacity.py [bundle.pkl] [--budget S] [--direct]
 """
-import os, sys, time, pickle
-sys.path.insert(0, "/root/repo")
+
+import argparse
+import json
+import os
+import pickle
+import subprocess
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
 import numpy as np
-import jax, jax.numpy as jnp
-from saamge_tpu.solve.structured import BrickGeometry, compile_structured
-path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hier320.pkl"
-with open(path, "rb") as f:
-    b = pickle.load(f)
-ml, rhs, supers, mfree_t = b["ml"], b["b"], b["supers"], b["mfree"]
-geo = BrickGeometry((40,)*3, (8,)*3)
-t0 = time.perf_counter()
-h = compile_structured(ml, geo, mid_dtype=jnp.bfloat16,
-                       smoother_dtype=jnp.bfloat16, rp_dtype=jnp.bfloat16,
-                       fine_layout="flat", super_bricks=supers,
-                       window_contract=True, wavefront=True,
-                       mfree=mfree_t, hbm_frugal=True,
-                       ainv_dtype=jnp.bfloat16)
-print("compile ok", round(time.perf_counter()-t0,1), flush=True)
-del b, ml
-bdev = jnp.asarray(rhs, jnp.float32)
-n = len(rhs)
-# EXACTLY probe D's program (x0 constructed inside): it is known-good
-vc1 = jax.jit(lambda hier, b0: hier.vcycle(b0, jnp.zeros_like(b0)))
-y = vc1(h, bdev); float(jnp.sum(y))
-print("single vcycle ok", flush=True)
-# x0-as-operand twin for the chained timing
-vc = jax.jit(lambda hier, b0, x0: hier.vcycle(b0, x0))
-try:
-    y = vc(h, bdev, jnp.zeros_like(bdev)); float(jnp.sum(y))
-    print("vc(x0) ok", flush=True)
 
-    def run_N(N):
-        x = jnp.zeros_like(bdev)
-        t0 = time.perf_counter()
-        for i in range(N):
-            x = vc(h, bdev, x)
-        float(jnp.sum(x))
-        return time.perf_counter() - t0
-    ts = {}
-    for N in (10, 30, 10, 30):
-        t = run_N(N); ts.setdefault(N, []).append(t)
-        print(f"N={N}: {t:.3f}s", flush=True)
-    slope = (min(ts[30]) - min(ts[10])) / 20
-    print("VCYCLE_MS(slope)", round(slope*1e3, 2), "DOFS/S",
-          round(n/slope/1e6, 1), "M", flush=True)
-except Exception as e:
-    print("FAIL vc(x0):", type(e).__name__, str(e)[:100], flush=True)
-    # fallback: repeat vc1 executions (no dependency chaining) and use
-    # the slope of wall time over N dispatches with a final fetch
-    def run_N(N):
-        t0 = time.perf_counter()
-        y = None
-        for i in range(N):
-            y = vc1(h, bdev * (1.0 + 1e-9 * i))
-        float(jnp.sum(y))
-        return time.perf_counter() - t0
-    ts = {}
-    for N in (10, 30, 10, 30):
-        t = run_N(N); ts.setdefault(N, []).append(t)
-        print(f"indep N={N}: {t:.3f}s", flush=True)
-    slope = (min(ts[30]) - min(ts[10])) / 20
-    print("VCYCLE_MS(indep slope)", round(slope*1e3, 2), "DOFS/S",
-          round(n/slope/1e6, 1), "M", flush=True)
 
-# split-program PCG
-mv = jax.jit(lambda hier, x: hier.matvec0(x))
-d2 = jax.jit(lambda a, c: a @ c)
-try:
+def _emitter(path):
+    import bench
+    return bench.Emitter(path)
+
+
+def run_child(args):
+    import bench
+    emit = _emitter(args.status_file)
+    extra = {"stage": "start", "platform": "unknown",
+             "bundle": args.bundle, "tunnel_errors": {}}
+    payload = {"metric": "capacity_incomplete", "value": 0.0,
+               "unit": "dofs/s", "vs_baseline": 0.0, "extra": extra}
+    emit.emit(payload)
+
+    import jax
+    import jax.numpy as jnp
+    from saamge_tpu.solve.structured import (BrickGeometry,
+                                             compile_structured)
+    extra["platform"] = jax.devices()[0].platform
+
     t0 = time.perf_counter()
-    z = vc1(h, bdev)
-    nom0 = d2(z, bdev)
-    lim = float(nom0) * 1e-12
-    x = jnp.zeros_like(bdev); r = bdev; d = z; Ad = mv(h, d)
-    nom = float(nom0); it = 0
-    while nom > lim and it < 150:
-        alpha = nom / float(d2(d, Ad))
-        x = x + alpha * d
-        r = r - alpha * Ad
-        z = vc1(h, r)   # note: z = B^-1 r with zero initial guess
-        betanom = float(d2(r, z))
-        d = z + (betanom / nom) * d
+    with open(args.bundle, "rb") as f:
+        bundle = pickle.load(f)
+    ml, rhs = bundle["ml"], bundle["b"]
+    supers, mfree_t = bundle.get("supers"), bundle.get("mfree")
+    out_meta = bundle.get("out", {})
+    ndof = len(rhs)
+    n = round(ndof ** (1.0 / 3.0)) - 1
+    assert (n + 1) ** 3 == ndof, (n, ndof)
+    nparts = ml.levels[0].rels.nparts
+    nb = round(nparts ** (1.0 / 3.0))
+    assert nb ** 3 == nparts, (nb, nparts)
+    assert n % nb == 0, (n, nb)
+    brick = n // nb
+    extra.update({
+        "stage": "loaded", "ndof": ndof, "n": n, "brick": brick,
+        "levels": out_meta.get("levels"),
+        "setup_phases": out_meta.get("phases"),
+        "setup_peak_rss_gb": out_meta.get("peak_rss_gb"),
+        "load_s": round(time.perf_counter() - t0, 1),
+        "mfree": mfree_t is not None, "supers": supers,
+    })
+    payload["metric"] = (f"3d_poisson_capacity_vcycle_dofs_per_sec_"
+                         f"{extra['platform']}_n{ndof}_L3")
+    emit.emit(payload)
+
+    geo = BrickGeometry((nb,) * 3, (brick,) * 3)
+    t0 = time.perf_counter()
+    h = compile_structured(ml, geo, mid_dtype=jnp.bfloat16,
+                           smoother_dtype=jnp.bfloat16,
+                           rp_dtype=jnp.bfloat16,
+                           fine_layout="flat", super_bricks=supers,
+                           window_contract=True, wavefront=True,
+                           mfree=mfree_t, hbm_frugal=True,
+                           ainv_dtype=jnp.bfloat16)
+    del bundle, ml
+    extra["compile_s"] = round(time.perf_counter() - t0, 1)
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        extra["hbm_in_use_gb"] = round(ms.get("bytes_in_use", 0) / 1e9, 2)
+    except Exception:
+        pass
+    extra["stage"] = "compiled"
+    emit.emit(payload)
+
+    bdev = jnp.asarray(rhs, jnp.float32)
+    vc1 = jax.jit(lambda hier, b0: hier.vcycle(b0, jnp.zeros_like(b0)))
+    t0 = time.perf_counter()
+    y = vc1(h, bdev)
+    s = float(jnp.sum(y))
+    assert np.isfinite(s), s
+    extra["first_vcycle_s"] = round(time.perf_counter() - t0, 1)
+    extra["stage"] = "vcycle_once"
+    emit.emit(payload)
+
+    # --- V-cycle timing ladder ----------------------------------------
+    # slope of wall(N=30) - wall(N=10) over 20 executions strips the
+    # constant dispatch + fetch + RPC cost; two draws each N, min taken
+    # (first-draw compile-lottery outliers, CLAUDE.md round-4)
+    def slope_time(runner):
+        ts = {}
+        for N in (10, 30, 10, 30):
+            t0 = time.perf_counter()
+            runner(N)
+            ts.setdefault(N, []).append(time.perf_counter() - t0)
+        extra["timing_draws_s"] = {str(k): [round(x, 3) for x in v]
+                                   for k, v in ts.items()}
+        return (min(ts[30]) - min(ts[10])) / 20
+
+    dt = None
+    vc = jax.jit(lambda hier, b0, x0: hier.vcycle(b0, x0))
+    try:
+        float(jnp.sum(vc(h, bdev, jnp.zeros_like(bdev))))
+
+        def run_chain(N):
+            x = jnp.zeros_like(bdev)
+            for _ in range(N):
+                x = vc(h, bdev, x)
+            float(jnp.sum(x))
+
+        dt = slope_time(run_chain)
+        extra["timing_method"] = "chained_x0_slope"
+    except Exception as e:
+        extra["tunnel_errors"]["chained"] = (type(e).__name__
+                                             + ": " + str(e)[:120])
+
+        def run_indep(N):
+            y = None
+            for i in range(N):
+                y = vc1(h, bdev * (1.0 + 1e-9 * i))
+            float(jnp.sum(y))
+
+        dt = slope_time(run_indep)
+        extra["timing_method"] = "independent_dispatch_slope"
+    extra["vcycle_ms"] = round(dt * 1e3, 3)
+    payload["value"] = round(ndof / dt, 1)
+    host_ref_ms = out_meta.get("host_vcycle_ms")
+    if host_ref_ms:
+        payload["vs_baseline"] = round(host_ref_ms / (dt * 1e3), 3)
+    extra["stage"] = "timed"
+    emit.emit(payload)
+
+    # --- split-program PCG (the tunnel rejects the fused while-loop at
+    # this size): one V-cycle program + one matvec program, host
+    # scalars; MFEM CGSolver semantics at rel 1e-6, continued to 1e-8
+    # (the BASELINE.json tolerance)
+    mv = jax.jit(lambda hier, x: hier.matvec0(x))
+    d2 = jax.jit(lambda a, c: a @ c)
+    try:
+        t0 = time.perf_counter()
+        z = vc1(h, bdev)
+        nom0 = float(d2(z, bdev))
+        lim6, lim8 = nom0 * 1e-12, nom0 * 1e-16
+        x = jnp.zeros_like(bdev)
+        r = bdev
+        d = z
         Ad = mv(h, d)
-        nom = betanom
-        it += 1
-    rel = float(jnp.linalg.norm(bdev - mv(h, x)) / jnp.linalg.norm(bdev))
-    print("PCG it=", it, "rel_res", rel,
-          round(time.perf_counter()-t0, 1), "s", flush=True)
-except Exception as e:
-    print("FAIL pcg:", type(e).__name__, str(e)[:100], flush=True)
+        nom, it = nom0, 0
+        it6 = None
+        while nom > lim8 and it < 200:
+            alpha = nom / float(d2(d, Ad))
+            x = x + alpha * d
+            r = r - alpha * Ad
+            z = vc1(h, r)
+            betanom = float(d2(r, z))
+            d = z + (betanom / nom) * d
+            Ad = mv(h, d)
+            nom = betanom
+            it += 1
+            if it6 is None and nom <= lim6:
+                it6 = it
+        rel = float(jnp.linalg.norm(bdev - mv(h, x))
+                    / jnp.linalg.norm(bdev))
+        extra["pcg_iters_1e-6"] = it6
+        extra["pcg_iters_1e-8"] = it
+        extra["pcg_rel_res"] = rel
+        extra["pcg_wall_s"] = round(time.perf_counter() - t0, 1)
+    except Exception as e:
+        extra["tunnel_errors"]["pcg"] = (type(e).__name__
+                                         + ": " + str(e)[:120])
+    extra["stage"] = "complete"
+    emit.emit(payload)
+    return payload
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bundle", nargs="?", default="/tmp/hier320.pkl")
+    ap.add_argument("--budget", type=float, default=2400.0)
+    ap.add_argument("--direct", action="store_true",
+                    help="in-process, no supervisor")
+    ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--status-file", type=str, default=None,
+                    help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.child or args.direct:
+        payload = run_child(args)
+        if args.direct:
+            print(json.dumps(payload))
+        return 0
+
+    fd, status = tempfile.mkstemp(prefix="capacity_status_",
+                                  suffix=".json")
+    os.close(fd)
+    os.unlink(status)
+    cmd = ([sys.executable, os.path.abspath(__file__)] + sys.argv[1:]
+           + ["--child", "--status-file", status])
+    t_start = time.monotonic()
+    child = subprocess.Popen(cmd, stdout=sys.stderr, stderr=sys.stderr)
+    budget_exceeded = False
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            break
+        if time.monotonic() - t_start > args.budget:
+            budget_exceeded = True
+            child.terminate()
+            try:
+                rc = child.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                child.kill()
+                rc = child.wait()
+            break
+        time.sleep(1.0)
+
+    payload = None
+    if os.path.exists(status):
+        try:
+            with open(status) as f:
+                payload = json.load(f)
+            os.unlink(status)
+        except Exception:
+            payload = None
+    if payload is None:
+        payload = {"metric": "capacity_no_snapshot", "value": 0.0,
+                   "unit": "dofs/s", "vs_baseline": 0.0,
+                   "extra": {"stage": "no_snapshot"}}
+    payload.setdefault("extra", {})
+    payload["extra"]["wall_s"] = round(time.monotonic() - t_start, 1)
+    if budget_exceeded:
+        payload["extra"]["budget_exceeded"] = True
+    elif rc != 0:
+        payload["extra"]["child_rc"] = rc
+    print(json.dumps(payload))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,43 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def start_rss_trace(period: float = 2.0):
+    """Background sampler: (t, rss_gb, phase) lines to stderr, phase
+    read from TIMERS' active stack — attributes the RSS peak to a setup
+    phase (the 98.7 GB@33M attribution problem, VERDICT r4 item 4)."""
+    import threading
+
+    from saamge_tpu.utils.logging import TIMERS
+    stop = threading.Event()
+
+    def pump():
+        t0 = time.monotonic()
+        peak_by_phase = {}
+        while not stop.wait(period):
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            try:
+                with open("/proc/self/statm") as f:
+                    cur = int(f.read().split()[1]) * os.sysconf(
+                        "SC_PAGE_SIZE") / 1e9
+            except Exception:
+                cur = rss
+            phase = ".".join(getattr(TIMERS, "stack", [])) or "-"
+            if cur > peak_by_phase.get(phase, 0.0):
+                peak_by_phase[phase] = cur
+                print(f"[rss +{time.monotonic()-t0:7.1f}s] cur={cur:6.2f}G"
+                      f" peak={rss:6.2f}G  {phase}",
+                      file=sys.stderr, flush=True)
+        print("[rss] per-phase current-RSS peaks: "
+              + json.dumps({k: round(v, 2)
+                            for k, v in sorted(peak_by_phase.items(),
+                                               key=lambda kv: -kv[1])}),
+              file=sys.stderr, flush=True)
+
+    th = threading.Thread(target=pump, daemon=True)
+    th.start()
+    return stop
+
+
 def solve_bundle(ml, b, out, supers=None):
     """Minimal picklable shim of the attributes compile_structured
     reads (solve/structured.py:565-647)."""
@@ -108,7 +145,12 @@ def main():
                          "field — the single-chip CAPACITY option "
                          "(removes the bf16 diagonal store, ~1.8 GB at "
                          "33M dofs)")
+    ap.add_argument("--rss-trace", action="store_true",
+                    help="sample current RSS every 2 s with the active "
+                         "TIMERS phase (peak-memory attribution)")
     args = ap.parse_args()
+    if args.rss_trace:
+        start_rss_trace()
 
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
