@@ -114,12 +114,29 @@ def run_child(args):
 
     bdev = jnp.asarray(rhs, jnp.float32)
     vc1 = jax.jit(lambda hier, b0: hier.vcycle(b0, jnp.zeros_like(b0)))
-    t0 = time.perf_counter()
-    y = vc1(h, bdev)
-    s = float(jnp.sum(y))
-    assert np.isfinite(s), s
-    extra["first_vcycle_s"] = round(time.perf_counter() - t0, 1)
-    extra["stage"] = "vcycle_once"
+    full_ok = True
+    if os.environ.get("SAAMGE_CAPACITY_FORCE_COMPONENTS"):
+        # operational/test hook: skip the fused program (e.g. when a
+        # session is known to sit over the tunnel's per-program ceiling)
+        full_ok = False
+        extra["stage"] = "full_vcycle_skipped"
+    else:
+        try:
+            t0 = time.perf_counter()
+            y = vc1(h, bdev)
+            s = float(jnp.sum(y))
+            assert np.isfinite(s), s
+            extra["first_vcycle_s"] = round(time.perf_counter() - t0, 1)
+            extra["stage"] = "vcycle_once"
+        except Exception as e:
+            # the tunnel's opaque per-program resource ceiling
+            # (PARITY.md round-4 capacity notes): the full V-cycle
+            # program is session-flaky at 33M — fall back to
+            # component-wise timing
+            full_ok = False
+            extra["tunnel_errors"]["full_vcycle"] = (
+                type(e).__name__ + ": " + str(e)[:160])
+            extra["stage"] = "full_vcycle_failed"
     emit.emit(payload)
 
     # --- V-cycle timing ladder ----------------------------------------
@@ -137,30 +154,129 @@ def run_child(args):
         return (min(ts[30]) - min(ts[10])) / 20
 
     dt = None
-    vc = jax.jit(lambda hier, b0, x0: hier.vcycle(b0, x0))
-    try:
-        float(jnp.sum(vc(h, bdev, jnp.zeros_like(bdev))))
+    apply_B = lambda r: vc1(h, r)                      # noqa: E731
+    if full_ok:
+        vc = jax.jit(lambda hier, b0, x0: hier.vcycle(b0, x0))
+        try:
+            float(jnp.sum(vc(h, bdev, jnp.zeros_like(bdev))))
 
-        def run_chain(N):
-            x = jnp.zeros_like(bdev)
-            for _ in range(N):
-                x = vc(h, bdev, x)
-            float(jnp.sum(x))
+            def run_chain(N):
+                x = jnp.zeros_like(bdev)
+                for _ in range(N):
+                    x = vc(h, bdev, x)
+                float(jnp.sum(x))
 
-        dt = slope_time(run_chain)
-        extra["timing_method"] = "chained_x0_slope"
-    except Exception as e:
-        extra["tunnel_errors"]["chained"] = (type(e).__name__
-                                             + ": " + str(e)[:120])
+            dt = slope_time(run_chain)
+            extra["timing_method"] = "chained_x0_slope"
+        except Exception as e:
+            extra["tunnel_errors"]["chained"] = (type(e).__name__
+                                                 + ": " + str(e)[:120])
 
-        def run_indep(N):
-            y = None
-            for i in range(N):
-                y = vc1(h, bdev * (1.0 + 1e-9 * i))
-            float(jnp.sum(y))
+            def run_indep(N):
+                y = None
+                for i in range(N):
+                    y = vc1(h, bdev * (1.0 + 1e-9 * i))
+                float(jnp.sum(y))
 
-        dt = slope_time(run_indep)
-        extra["timing_method"] = "independent_dispatch_slope"
+            dt = slope_time(run_indep)
+            extra["timing_method"] = "independent_dispatch_slope"
+    else:
+        # COMPONENT-WISE fallback: each V-cycle stage as its own
+        # program (all executed at 33M in round 4 even when the fused
+        # program exhausts).  Vector-returning programs so the cycle
+        # composes (and serves as the split PCG preconditioner); each
+        # component timed by the two-point slope over async-chained
+        # dispatches with one final scalar fetch.
+        from saamge_tpu.solve.structured import mid_correct
+
+        @jax.jit
+        def c_sm_pre(hier, b0, x0):
+            A0x = hier.A0s if hier.A0s is not None else hier.A0
+            xh, resh = hier._smooth_h(A0x, hier.taus0, hier.dinv0h,
+                                      hier.pad0(b0), hier.pad0(x0),
+                                      emit_res=True)
+            return hier.unpad0(xh), hier.unpad0(resh)
+
+        @jax.jit
+        def c_sm_post(hier, b0, x0):
+            A0x = hier.A0s if hier.A0s is not None else hier.A0
+            xh = hier._smooth_h(A0x, hier.taus0, hier.dinv0h,
+                                hier.pad0(b0), hier.pad0(x0))
+            return hier.unpad0(xh)
+
+        @jax.jit
+        def c_R(hier, res):
+            return hier.apply_R(res)
+
+        @jax.jit
+        def c_mid(hier, rc):
+            return mid_correct(hier, rc)
+
+        @jax.jit
+        def c_addP(hier, x, xc):
+            return x + hier.apply_P(xc)
+
+        def vc_comp(r):
+            x, res = c_sm_pre(h, r, jnp.zeros_like(r))
+            rc = c_R(h, res)
+            xc = c_mid(h, rc)
+            x = c_addP(h, x, xc)
+            return c_sm_post(h, r, x)
+
+        def time_part(name, step, fetch):
+            """slope of N=12 vs N=4 async-chained executions."""
+            try:
+                fetch(step())               # compile + first run
+                ts = {}
+                for N in (4, 12, 4, 12):
+                    t0 = time.perf_counter()
+                    y = None
+                    for _ in range(N):
+                        y = step()
+                    fetch(y)
+                    ts.setdefault(N, []).append(
+                        time.perf_counter() - t0)
+                # clamp: at small scale the two-point slope can dip
+                # below zero in host-noise; a component never costs
+                # negative time
+                return max((min(ts[12]) - min(ts[4])) / 8 * 1e3, 0.0)
+            except Exception as e:
+                extra["tunnel_errors"][name] = (
+                    type(e).__name__ + ": " + str(e)[:120])
+                return None
+
+        zeros = jnp.zeros_like(bdev)
+        rc0 = jnp.zeros(h.n_flat, jnp.float32)
+        comp_ms = {
+            "smooth_pre_res": time_part(
+                "smooth_pre_res", lambda: c_sm_pre(h, bdev, zeros),
+                lambda y: float(jnp.sum(y[0]))),
+            "apply_R": time_part(
+                "apply_R", lambda: c_R(h, bdev),
+                lambda y: float(jnp.sum(y))),
+            "mid_correct": time_part(
+                "mid_correct", lambda: c_mid(h, rc0),
+                lambda y: float(jnp.sum(y))),
+            "addP": time_part(
+                "addP", lambda: c_addP(h, bdev, rc0),
+                lambda y: float(jnp.sum(y))),
+            "smooth_post": time_part(
+                "smooth_post", lambda: c_sm_post(h, bdev, zeros),
+                lambda y: float(jnp.sum(y))),
+        }
+        extra["component_ms"] = comp_ms
+        emit.emit(payload)
+        if all(v is not None for v in comp_ms.values()):
+            dt = sum(comp_ms.values()) / 1e3
+            extra["timing_method"] = "component_sum_slope"
+            # the full program is unusable this session: the split PCG
+            # below composes the component programs instead
+            apply_B = vc_comp
+            extra["pcg_preconditioner"] = "component_composed"
+    if dt is None:
+        extra["stage"] = "failed"
+        emit.emit(payload)
+        return payload
     extra["vcycle_ms"] = round(dt * 1e3, 3)
     payload["value"] = round(ndof / dt, 1)
     host_ref_ms = out_meta.get("host_vcycle_ms")
@@ -177,7 +293,7 @@ def run_child(args):
     d2 = jax.jit(lambda a, c: a @ c)
     try:
         t0 = time.perf_counter()
-        z = vc1(h, bdev)
+        z = apply_B(bdev)
         nom0 = float(d2(z, bdev))
         lim6, lim8 = nom0 * 1e-12, nom0 * 1e-16
         x = jnp.zeros_like(bdev)
@@ -190,7 +306,7 @@ def run_child(args):
             alpha = nom / float(d2(d, Ad))
             x = x + alpha * d
             r = r - alpha * Ad
-            z = vc1(h, r)
+            z = apply_B(r)
             betanom = float(d2(r, z))
             d = z + (betanom / nom) * d
             Ad = mv(h, d)

@@ -30,6 +30,10 @@ DRIVERS = [
     ("scripts/run_spmd_setup.py", ["--n", "10", "--ranks", "4",
                                    "--levels", "2"],
      "converged"),
+    ("scripts/run_general_bench.py",
+     ["--problem", "tet", "--refs", "1", "--elems-per-agg", "64",
+      "--reps", "3", "--no-cache", "--host-setup"],
+     '"metric": "3d_general_tet'),
 ]
 
 
