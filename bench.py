@@ -214,7 +214,9 @@ def measure_vpu_gflops(jnp, jax):
         t0 = time.perf_counter()
         float(fj(v * (1.0 + 1e-7 * (k + 1)), x))
         best = min(best, time.perf_counter() - t0)
-    return (2.0 * K + 1.0) * BR * M * R / best / 1e9
+    # per round per element: v[0]*acc (1) + (K-1) multiply-adds
+    # (2K-2) + the final scale (1) = 2K ops
+    return 2.0 * K * BR * M * R / best / 1e9
 
 
 # ----------------------------------------------------------------------

@@ -456,14 +456,14 @@ class FactorizedElemMats:
         return np.ones(len(np.arange(self.NE)[idx]))
 
     def __getitem__(self, idx):
+        # subscript em0 FIRST so trailing indices never force the full
+        # (NE, nd, nd) product (em[:, a, :] stays O(NE*nd)), and bind
+        # to the correct axes for array/slice leading indices
         first, rest = (idx[0], idx[1:]) if isinstance(idx, tuple) \
             else (idx, ())
-        c = self._c(first)
-        out = np.asarray(c)[..., None, None] * self.em0
-        if rest:
-            out = out[(Ellipsis,) + rest] if np.ndim(c) \
-                else out[rest]
-        return out
+        em = self.em0[rest] if rest else self.em0
+        c = np.asarray(self._c(first))
+        return c.reshape(c.shape + (1,) * em.ndim) * em
 
     def materialize(self) -> np.ndarray:
         return self[np.arange(self.NE)]

@@ -74,7 +74,20 @@ def production_regime_sharded_check(mesh, ns: int = 48, brick: int = 6,
         f"wavefront sweeps must engage at n={ns}"
     bdev = jnp.asarray(b, jnp.float32)
     y_ref = np.asarray(h.vcycle(bdev, jnp.zeros_like(bdev)))
-    _, it_ref, _ = struct_pcg_solve(h, bdev, max_iter=max_iter)
+    # iteration-parity reference: the chained-root + mid_resident=False
+    # twin runs ARITHMETIC-IDENTICAL passes to the distributed sharded
+    # loop (the resident mid kernel keeps x f32 across roots and the
+    # wavefront sweeps reassociate the fine chain — both documented
+    # ~1e-3 semantic differences that could legitimately shift PCG by
+    # an iteration; the flagship resident+wavefront path stays covered
+    # by the y_ref V-cycle comparison above)
+    h_ref = compile_structured(s.ml, geo, fine_layout="zlane",
+                               mid_dtype=jnp.bfloat16,
+                               smoother_dtype=jnp.bfloat16,
+                               rp_dtype=jnp.bfloat16, super_bricks=supers,
+                               window_contract=True, wavefront=False,
+                               mid_resident=False)
+    _, it_ref, _ = struct_pcg_solve(h_ref, bdev, max_iter=max_iter)
     hs = shard_structured(h, mesh)
     # DISTRIBUTED mid level (VERDICT r4 item 3): the flagship config
     # must shard with O(N1/P) per-device mid storage — blocks, dinv1

@@ -13,7 +13,6 @@ then drop-tolerance thresholding (AltThreshold, interp.cpp:134).
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import List, Optional
 
 import numpy as np
@@ -168,39 +167,29 @@ def compute_vectors(rels: AggPartRels, interp_data: InterpData, elem_data,
         def solve_one(A_T):
             return eig.solve(A_T, theta)
 
-        ta = ts = tc = 0.0
         with cf.ThreadPoolExecutor(workers) as ex:
             for lo in range(0, nparts, chunk):
                 hi = min(lo + chunk, nparts)
-                t0 = time.perf_counter()
-                dense = [elem_data.build_AE_stiff(i)
-                         for i in range(lo, hi)]
-                ta += time.perf_counter() - t0
-                t0 = time.perf_counter()
-                if hi - lo >= 8:
-                    results = list(ex.map(solve_one, dense))
-                else:
-                    results = [solve_one(a) for a in dense]
-                ts += time.perf_counter() - t0
-                t0 = time.perf_counter()
-                for k, (evects, skipped, B) in enumerate(results):
-                    i = lo + k
-                    interp_data.cut_evects_arr[i] = evects
-                    interp_data.rhs_matrices_arr[i] = B
-                    skipped_all[i] = skipped
-                    A_T = dense[k]
-                    if not sp.issparse(A_T):
-                        A_sp = sp.csr_matrix(A_T)
-                        if A_sp.data.nbytes * 1.5 < A_T.nbytes:
-                            A_T = A_sp
-                    interp_data.AEs_stiffm[i] = A_T
-                tc += time.perf_counter() - t0
-        TIMERS.totals["setup.ae_assembly"] = \
-            TIMERS.totals.get("setup.ae_assembly", 0.0) + ta
-        TIMERS.totals["setup.local_eigensolves"] = \
-            TIMERS.totals.get("setup.local_eigensolves", 0.0) + ts
-        TIMERS.totals["setup.ae_sparsify"] = \
-            TIMERS.totals.get("setup.ae_sparsify", 0.0) + tc
+                with TIMERS.phase("setup.ae_assembly"):
+                    dense = [elem_data.build_AE_stiff(i)
+                             for i in range(lo, hi)]
+                with TIMERS.phase("setup.local_eigensolves"):
+                    if hi - lo >= 8:
+                        results = list(ex.map(solve_one, dense))
+                    else:
+                        results = [solve_one(a) for a in dense]
+                with TIMERS.phase("setup.ae_sparsify"):
+                    for k, (evects, skipped, B) in enumerate(results):
+                        i = lo + k
+                        interp_data.cut_evects_arr[i] = evects
+                        interp_data.rhs_matrices_arr[i] = B
+                        skipped_all[i] = skipped
+                        A_T = dense[k]
+                        if not sp.issparse(A_T):
+                            A_sp = sp.csr_matrix(A_T)
+                            if A_sp.data.nbytes * 1.5 < A_T.nbytes:
+                                A_T = A_sp
+                        interp_data.AEs_stiffm[i] = A_T
         _suggest_theta(interp_data, theta, skipped_all)
         sa_print(5, "eigensolver: %d solves (%d direct)",
                  eig.stats.count_solves, eig.stats.count_direct_solves)

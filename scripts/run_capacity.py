@@ -62,6 +62,12 @@ def run_child(args):
     emit.emit(payload)
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # honor an explicit CPU request through the config API — the
+        # axon sitecustomize overrides the env var alone (CLAUDE.md;
+        # without this the CPU-pinned test subprocesses attach to the
+        # REMOTE TPU and can poison a concurrent capacity session)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from saamge_tpu.solve.structured import (BrickGeometry,
                                              compile_structured)

@@ -97,7 +97,8 @@ def main():
 
     if not args.no_cache and os.path.exists(cpath):
         with open(cpath, "rb") as f:
-            ml, A, b, meta = pickle.load(f).values()
+            d = pickle.load(f)
+        ml, A, b, meta = d["ml"], d["A"], d["b"], d["meta"]
         extra.update(meta)
         extra["setup_from_cache"] = True
         ndof = A.shape[0]

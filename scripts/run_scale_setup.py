@@ -46,14 +46,22 @@ def start_rss_trace(period: float = 2.0):
     """Background sampler: (t, rss_gb, phase) lines to stderr, phase
     read from TIMERS' active stack — attributes the RSS peak to a setup
     phase (the 98.7 GB@33M attribution problem, VERDICT r4 item 4)."""
+    import atexit
     import threading
 
     from saamge_tpu.utils.logging import TIMERS
     stop = threading.Event()
+    peak_by_phase = {}
+
+    def summary():
+        print("[rss] per-phase current-RSS peaks: "
+              + json.dumps({k: round(v, 2)
+                            for k, v in sorted(peak_by_phase.items(),
+                                               key=lambda kv: -kv[1])}),
+              file=sys.stderr, flush=True)
 
     def pump():
         t0 = time.monotonic()
-        peak_by_phase = {}
         while not stop.wait(period):
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
             try:
@@ -68,14 +76,12 @@ def start_rss_trace(period: float = 2.0):
                 print(f"[rss +{time.monotonic()-t0:7.1f}s] cur={cur:6.2f}G"
                       f" peak={rss:6.2f}G  {phase}",
                       file=sys.stderr, flush=True)
-        print("[rss] per-phase current-RSS peaks: "
-              + json.dumps({k: round(v, 2)
-                            for k, v in sorted(peak_by_phase.items(),
-                                               key=lambda kv: -kv[1])}),
-              file=sys.stderr, flush=True)
 
     th = threading.Thread(target=pump, daemon=True)
     th.start()
+    # the attribution table must survive any exit path (the daemon
+    # thread is killed mid-wait at interpreter shutdown)
+    atexit.register(summary)
     return stop
 
 

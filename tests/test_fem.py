@@ -195,6 +195,23 @@ def test_lazy_elem_mats_matches_dense_setup():
     idx = np.array([3, 11, 5])
     np.testing.assert_allclose(em2[idx], em1[idx], rtol=1e-13)
     np.testing.assert_allclose(em2[:, 2, :], em1[:, 2, :], rtol=1e-13)
+    # trailing subscripts bind to the correct axes for array/slice
+    # leading indices (review finding: a length-1 rest previously
+    # indexed axis 2)
+    np.testing.assert_allclose(em2[idx, 2], em1[idx, 2], rtol=1e-13)
+    np.testing.assert_allclose(em2[5, 1], em1[5, 1], rtol=1e-13)
+    np.testing.assert_allclose(em2[2:6, 1, 3], em1[2:6, 1, 3],
+                               rtol=1e-13)
+    # axis binding proved with an ASYMMETRIC basis (stiffness matrices
+    # are symmetric, which would mask a row/column swap)
+    em0a = np.arange(9.0).reshape(3, 3)
+    ca = np.array([1.0, 2.0])
+    fa = assemble.FactorizedElemMats(em0a, ca, 2)
+    dense_a = ca[:, None, None] * em0a
+    sel = np.array([0, 1])
+    np.testing.assert_allclose(fa[sel, 2], dense_a[sel, 2])
+    np.testing.assert_allclose(fa[1, 0], dense_a[1, 0])
+    np.testing.assert_allclose(fa[:, 1, 2], dense_a[:, 1, 2])
     assert em2.shape == em1.shape and len(em2) == len(em1)
 
     part = partition_cartesian_3d(mesh.elem_centers(), 3, 3, 3)
