@@ -251,8 +251,20 @@ def run_child(args):
                     type(e).__name__ + ": " + str(e)[:120])
                 return None
 
-        zeros = jnp.zeros_like(bdev)
-        rc0 = jnp.zeros(h.n_flat, jnp.float32)
+        try:
+            # a tripped per-program ceiling poisons the session: even
+            # these allocations then fail — record and bail gracefully
+            # (the component path needs a FRESH process with
+            # SAAMGE_CAPACITY_FORCE_COMPONENTS=1)
+            zeros = jnp.zeros_like(bdev)
+            rc0 = jnp.zeros(h.n_flat, jnp.float32)
+            float(jnp.sum(zeros))
+        except Exception as e:
+            extra["tunnel_errors"]["session_poisoned"] = (
+                type(e).__name__ + ": " + str(e)[:120])
+            extra["stage"] = "failed"
+            emit.emit(payload)
+            return payload
         comp_ms = {
             "smooth_pre_res": time_part(
                 "smooth_pre_res", lambda: c_sm_pre(h, bdev, zeros),
