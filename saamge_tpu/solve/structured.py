@@ -944,6 +944,7 @@ def compile_structured(ml, geo: BrickGeometry,
                        mid_resident: Optional[bool] = None,
                        hbm_frugal: bool = False,
                        ainv_dtype=jnp.float32,
+                       ainv_precomputed: Optional[np.ndarray] = None,
                        ) -> StructuredHierarchy:
     """Build the structured device hierarchy from a host setup product.
 
@@ -1182,13 +1183,24 @@ def compile_structured(ml, geo: BrickGeometry,
             rst_dev = jnp.zeros((Rst.shape[0], 1, 1), rp_dtype)
         else:
             rst_dev = jnp.asarray(Rst, rp_dtype)
-        ainv_dev = _device_spd_inverse(Ac2)
-        if ainv_dtype != jnp.float32:
-            # capacity option: the coarsest dense inverse is n2^2 f32
-            # (1.14 GB at n2=16849); bf16 halves it.  Only perturbs a
-            # preconditioner component — the reference's coarse solve
-            # is one approximate BoomerAMG V-cycle (tg.hpp:724-730)
-            ainv_dev = ainv_dev.astype(ainv_dtype)
+        if ainv_precomputed is not None:
+            # capacity escape hatch: the chunked device
+            # cho_factor/cho_solve at n2 ~ 17k has a history of
+            # ballooning the tunnel server's arena (a full-width solve
+            # once requested 98 GB; round-5 sessions were left unable
+            # to execute even a 132 MB program afterwards) — callers
+            # can precompute the inverse on host (run_capacity caches
+            # it next to the bundle) and skip the device factorization
+            ainv_dev = jnp.asarray(ainv_precomputed, ainv_dtype)
+        else:
+            ainv_dev = _device_spd_inverse(Ac2)
+            if ainv_dtype != jnp.float32:
+                # capacity option: the coarsest dense inverse is n2^2
+                # f32 (1.14 GB at n2=16849); bf16 halves it.  Only
+                # perturbs a preconditioner component — the reference's
+                # coarse solve is one approximate BoomerAMG V-cycle
+                # (tg.hpp:724-730)
+                ainv_dev = ainv_dev.astype(ainv_dtype)
         return StructuredHierarchy(
             A0, dinv0h, taus0, rst_dev,
             A1d, dinv1, taus1, R1,

@@ -100,6 +100,29 @@ def run_child(args):
     emit.emit(payload)
 
     geo = BrickGeometry((nb,) * 3, (brick,) * 3)
+    # coarsest inverse precomputed ON HOST and cached next to the
+    # bundle: the chunked device inverse at n2 ~ 17k balloons the
+    # tunnel server's arena and poisons the session (measured round 5:
+    # client-side live arrays 4.19 GB, yet a 132 MB program is denied
+    # after compile; plain uploads of the same bytes are fine)
+    ainv_pre = None
+    apath = args.bundle + ".ainv.npy"
+    n2 = ml.levels[1].tg_data.Ac.shape[0]
+    if n2 > 4096:
+        if os.path.exists(apath):
+            ainv_pre = np.load(apath)
+            extra["ainv_host"] = "cached"
+        else:
+            import scipy.linalg as sla
+            t0 = time.perf_counter()
+            Ac2h = np.asarray(ml.levels[1].tg_data.Ac.todense(),
+                              np.float32)
+            ainv_pre = sla.cho_solve(
+                sla.cho_factor(Ac2h, lower=True),
+                np.eye(n2, dtype=np.float32))
+            np.save(apath, ainv_pre)
+            extra["ainv_host"] = f"computed {time.perf_counter()-t0:.0f}s"
+        emit.emit(payload)
     t0 = time.perf_counter()
     h = compile_structured(ml, geo, mid_dtype=jnp.bfloat16,
                            smoother_dtype=jnp.bfloat16,
@@ -107,7 +130,8 @@ def run_child(args):
                            fine_layout="flat", super_bricks=supers,
                            window_contract=True, wavefront=True,
                            mfree=mfree_t, hbm_frugal=True,
-                           ainv_dtype=jnp.bfloat16)
+                           ainv_dtype=jnp.bfloat16,
+                           ainv_precomputed=ainv_pre)
     del bundle, ml
     extra["compile_s"] = round(time.perf_counter() - t0, 1)
     try:
